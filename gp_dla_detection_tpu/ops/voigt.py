@@ -1,0 +1,121 @@
+"""Batched Voigt absorption profiles for DLAs (TPU-native voigt.c).
+
+Replaces the reference's per-sample C MEX kernel (voigt.c:253-304) with a
+single vectorized JAX computation over a whole batch of (z_DLA, N_HI)
+QMC samples at once: the reference calls ``voigt()`` 10,000 times per
+spectrum inside a parfor (process_qsos.m:184-198); here the sample axis
+is an array axis, so one fused XLA/Pallas computation produces the full
+(num_samples, num_pixels) absorption matrix.
+
+Semantics mirrored from voigt.c:
+ - per-pixel velocity relative to each redshifted Lyman line
+   (voigt.c:277-287): v = lambda * c / (lambda_t * (1+z)) - c
+ - optical depth tau = N_HI * sum_j leading_const_j * voigt(v_j, sigma,
+   gamma_j), absorption = exp(-tau) (voigt.c:282-291)
+ - 7-tap Gaussian instrumental broadening at BOSS resolution, "valid"
+   convolution dropping ``width`` pixels at each edge (voigt.c:294-299);
+   output length = num_pixels - 2*width (voigt.c:271).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import InstrumentParams
+from . import lyman_series as lines
+
+__all__ = ["voigt_absorption", "instrumental_broadening"]
+
+_SQRT_2 = float(np.sqrt(2.0))
+_SQRT_2PI = float(np.sqrt(2.0 * np.pi))
+
+
+def instrumental_broadening(raw_profile, instrument: InstrumentParams):
+    """'Valid' convolution with the instrument kernel along the last axis.
+
+    (voigt.c:294-299.)  ``raw_profile``: (..., n); returns
+    (..., n - 2*width).  The kernel width is static, so this unrolls to
+    2*width+1 shifted adds that XLA fuses into the producer.
+    """
+    taps = instrument.profile()
+    width = instrument.width
+    n_out = raw_profile.shape[-1] - 2 * width
+    out = None
+    for j, tap in enumerate(taps):
+        piece = jnp.asarray(tap, raw_profile.dtype) * raw_profile[
+            ..., j : j + n_out
+        ]
+        out = piece if out is None else out + piece
+    return out
+
+
+def voigt_absorption(
+    padded_wavelengths,
+    z_dla,
+    nhi,
+    num_lines: int = 3,
+    instrument: InstrumentParams | None = None,
+    broaden: bool = True,
+):
+    """Absorption profile(s) of DLA(s) at (z_dla, nhi).
+
+    Args:
+      padded_wavelengths: (n,) observed-frame wavelengths [Å], including
+        ``width`` convolution-padding pixels at each edge
+        (process_qsos.m:169-177).
+      z_dla: scalar or (S,) absorber redshifts.
+      nhi: scalar or (S,) H I column densities [cm^-2] (linear, not log).
+      num_lines: number of Lyman-series members (set_parameters.m:63).
+      instrument: BOSS instrument model; default :class:`InstrumentParams`.
+      broaden: apply instrumental broadening (and drop 2*width edge
+        pixels) as the reference always does.
+
+    Returns:
+      (n - 2*width,) for scalar samples, else (S, n - 2*width).
+    """
+    if instrument is None:
+        instrument = InstrumentParams()
+
+    wavelengths = jnp.asarray(padded_wavelengths)
+    z_dla = jnp.asarray(z_dla)
+    nhi = jnp.asarray(nhi)
+    dtype = wavelengths.dtype
+
+    scalar_sample = z_dla.ndim == 0
+    z = jnp.atleast_1d(z_dla).astype(dtype)[:, None]     # (S, 1)
+    column = jnp.atleast_1d(nhi).astype(dtype)[:, None]  # (S, 1)
+
+    sigma = jnp.asarray(lines.DOPPLER_SIGMA, dtype)
+    inv_sqrt2_sigma = 1.0 / (_SQRT_2 * sigma)
+    voigt_norm = 1.0 / (sigma * _SQRT_2PI)
+    c = jnp.asarray(lines.C_CGS, dtype)
+
+    # Accumulate -tau/N over the (static) line loop; the sample and pixel
+    # axes broadcast, so each line adds one fused elementwise pass.
+    from .faddeeva import wofz_real
+
+    total = jnp.zeros((z.shape[0], wavelengths.shape[-1]), dtype)
+    for j in range(num_lines):
+        lambda_t = jnp.asarray(lines.TRANSITION_WAVELENGTHS[j], dtype)
+        gamma_j = jnp.asarray(lines.LORENTZIAN_WIDTHS[j], dtype)
+        lead_j = jnp.asarray(lines.LEADING_CONSTANTS[j], dtype)
+        # velocity relative to the redshifted line [cm/s] (voigt.c:283-287);
+        # wavelengths are in Å, transition wavelengths in cm (1 Å = 1e-8 cm)
+        multiplier = c / (lambda_t * (1.0 + z)) / 1e8
+        velocity = wavelengths[None, :] * multiplier - c
+        x = velocity * inv_sqrt2_sigma
+        y = gamma_j * inv_sqrt2_sigma
+        total = total - (lead_j * voigt_norm) * wofz_real(
+            x, jnp.broadcast_to(y, x.shape)
+        )
+
+    raw_profile = jnp.exp(column * total)
+
+    if broaden:
+        profile = instrumental_broadening(raw_profile, instrument)
+    else:
+        profile = raw_profile
+    if scalar_sample:
+        profile = profile[0]
+    return profile
