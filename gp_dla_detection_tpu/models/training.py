@@ -1,0 +1,260 @@
+"""Maximum-likelihood training of the low-rank GP null model.
+
+Rebuild of learn_qso_model.m + objective.m + spectrum_loss.m.  The
+reference evaluates a hand-derived NLL gradient per spectrum in a serial
+MATLAB loop inside minFunc; here the per-spectrum Woodbury NLL is one
+batched masked computation over the whole (N_spectra, 1217) training
+matrix (two MXU matmuls + a batched k x k Cholesky), differentiated with
+``jax.grad`` — the reference's five analytic gradients
+(spectrum_loss.m:54-74) serve as an independent parity check in
+tests/test_training.py.
+
+Reference-quirk note (documented, intentionally improved): objective.m
+adds the Kim et al. (2007) Gaussian priors on tau_0 and beta to the
+*gradient* only, never to the objective value (objective.m:59-71).  We
+add the corresponding -log prior terms to the value as well, making the
+objective the true MAP objective; set ``prior_in_value=False`` to
+reproduce the reference's inconsistent value exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import flatten_util
+
+from ..ops.lbfgs import LBFGSResult, minimize_lbfgs
+from ..ops.low_rank_mvn import pair_products, woodbury_log_p
+from ..ops.pca import pairwise_pca
+from ..params import LYA_WAVELENGTH, Parameters
+from .qso_model import GPModel
+
+__all__ = [
+    "TrainingData",
+    "prepare_training_data",
+    "objective",
+    "learn_gp_model",
+    "TAU_0_MU",
+    "TAU_0_SIGMA",
+    "BETA_MU",
+    "BETA_SIGMA",
+]
+
+# Kim et al. (2007) priors (objective.m:59-71)
+TAU_0_MU, TAU_0_SIGMA = 0.0023, 0.0007
+BETA_MU, BETA_SIGMA = 3.65, 0.21
+
+
+@dataclass
+class TrainingData:
+    """Fixed-width training matrices on the rest grid (masked, filled)."""
+
+    centered_flux: np.ndarray   # (N, R), 0 where masked
+    lya_1pzs: np.ndarray        # (N, R), 1 where masked
+    noise_variance: np.ndarray  # (N, R), 0 where masked
+    mask: np.ndarray            # (N, R) bool
+    mu: np.ndarray              # (R,) empirical mean used for centering
+
+    @property
+    def num_quasars(self) -> int:
+        return self.centered_flux.shape[0]
+
+    def centered_with_nans(self) -> np.ndarray:
+        return np.where(self.mask, self.centered_flux, np.nan)
+
+
+def _interp_nan(x, y, grid):
+    """MATLAB interp1 semantics: linear, NaN outside the data range,
+    NaN-propagating from NaN samples (learn_qso_model.m:50-59)."""
+    out = np.interp(grid, x, y)
+    out[(grid < x[0]) | (grid > x[-1])] = np.nan
+    return out
+
+
+def prepare_training_data(
+    wavelengths: list[np.ndarray],
+    flux: list[np.ndarray],
+    noise_variance: list[np.ndarray],
+    pixel_mask: list[np.ndarray],
+    z_qsos: np.ndarray,
+    params: Parameters | None = None,
+) -> TrainingData:
+    """Interpolate selected spectra onto the rest grid and build the
+    masked training matrices (learn_qso_model.m:29-70)."""
+    if params is None:
+        params = Parameters()
+    grid = params.null_model.rest_wavelengths()
+    R = grid.size
+    N = len(wavelengths)
+
+    lya_1pzs = np.full((N, R), np.nan)
+    rest_fluxes = np.full((N, R), np.nan)
+    rest_noise = np.full((N, R), np.nan)
+
+    for i in range(N):
+        lam = np.asarray(wavelengths[i], np.float64)
+        fl = np.asarray(flux[i], np.float64).copy()
+        nv = np.asarray(noise_variance[i], np.float64).copy()
+        pm = np.asarray(pixel_mask[i], bool)
+        fl[pm] = np.nan
+        nv[pm] = np.nan
+        rest = lam / (1.0 + z_qsos[i])
+        lya_1pzs[i] = _interp_nan(rest, 1.0 + (lam - LYA_WAVELENGTH) / LYA_WAVELENGTH, grid)
+        rest_fluxes[i] = _interp_nan(rest, fl, grid)
+        rest_noise[i] = _interp_nan(rest, nv, grid)
+
+    # mask noisy pixels (learn_qso_model.m:63-67)
+    noisy = rest_noise > params.null_model.max_noise_variance
+    lya_1pzs[noisy] = np.nan
+    rest_fluxes[noisy] = np.nan
+    rest_noise[noisy] = np.nan
+
+    # empirical mean + centering (learn_qso_model.m:70-71)
+    with np.errstate(invalid="ignore"):
+        mu = np.nanmean(rest_fluxes, axis=0)
+    centered = rest_fluxes - mu
+
+    mask = np.isfinite(centered) & np.isfinite(lya_1pzs) & np.isfinite(rest_noise)
+    return TrainingData(
+        centered_flux=np.where(mask, centered, 0.0),
+        lya_1pzs=np.where(mask, lya_1pzs, 1.0),
+        noise_variance=np.where(mask, rest_noise, 0.0),
+        mask=mask,
+        mu=mu,
+    )
+
+
+@partial(jax.jit, static_argnames=("prior_in_value",))
+def objective(
+    model_params: dict,
+    centered_flux,
+    lya_1pzs,
+    noise_variance,
+    mask,
+    prior_in_value: bool = True,
+):
+    """Negative log likelihood of the training set (objective.m:12-74).
+
+    model_params: {"M": (R, k), "log_omega": (R,), "log_c_0": (),
+    "log_tau_0": (), "log_beta": ()}.  Fully batched over spectra; the
+    per-spectrum density is
+
+        N(y_i; 0, M M' + diag(sigma_i^2 + omega^2 (1 - exp(-tau_0
+            (1+z_i)^beta) + c_0)^2))
+
+    restricted to unmasked pixels (spectrum_loss.m:1-12).
+    """
+    M = model_params["M"]
+    log_omega = model_params["log_omega"]
+    c_0 = jnp.exp(model_params["log_c_0"])
+    tau_0 = jnp.exp(model_params["log_tau_0"])
+    beta = jnp.exp(model_params["log_beta"])
+    dtype = M.dtype
+
+    omega2 = jnp.exp(2.0 * log_omega)
+    optical_depth = tau_0 * lya_1pzs**beta
+    scaling = 1.0 - jnp.exp(-optical_depth) + c_0
+    d = noise_variance + omega2 * scaling**2            # (N, R)
+
+    valid = mask
+    d_safe = jnp.where(valid, d, 1.0)
+    inv_d = jnp.where(valid, 1.0 / d_safe, 0.0)
+    u = centered_flux * inv_d
+    quad0 = jnp.sum(centered_flux * u, axis=-1)
+    logdet_d = jnp.sum(jnp.where(valid, jnp.log(d_safe), 0.0), axis=-1)
+    n_eff = jnp.sum(valid, axis=-1).astype(dtype)
+
+    lls = woodbury_log_p(M, pair_products(M), inv_d, u, quad0, logdet_d, n_eff)
+    nll = -jnp.sum(lls)
+
+    if prior_in_value:
+        nll = nll + 0.5 * ((tau_0 - TAU_0_MU) / TAU_0_SIGMA) ** 2
+        nll = nll + 0.5 * ((beta - BETA_MU) / BETA_SIGMA) ** 2
+    return nll
+
+
+def initialize_model_params(data: TrainingData, params: Parameters) -> dict:
+    """PCA + nanstd initialization (learn_qso_model.m:74-97)."""
+    k = params.null_model.k
+    centered_nan = data.centered_with_nans()
+    coeff, latent = pairwise_pca(centered_nan, k)
+    initial_M = coeff * np.sqrt(np.maximum(latent, 0.0))[None, :]
+    with np.errstate(invalid="ignore"):
+        initial_log_omega = np.log(np.nanstd(centered_nan, axis=0, ddof=1))
+    initial_log_omega = np.where(
+        np.isfinite(initial_log_omega), initial_log_omega, 0.0
+    )
+    opt = params.optimization
+    return {
+        "M": initial_M,
+        "log_omega": initial_log_omega,
+        "log_c_0": np.float64(np.log(opt.initial_c_0)),
+        "log_tau_0": np.float64(np.log(opt.initial_tau_0)),
+        "log_beta": np.float64(np.log(opt.initial_beta)),
+    }
+
+
+def learn_gp_model(
+    data: TrainingData,
+    params: Parameters | None = None,
+    dtype=jnp.float64,
+    prior_in_value: bool = True,
+    callback=None,
+) -> tuple[GPModel, LBFGSResult]:
+    """Fit the GP null model by L-BFGS (learn_qso_model.m:100-123)."""
+    if params is None:
+        params = Parameters()
+
+    init = initialize_model_params(data, params)
+    init = {k: jnp.asarray(v, dtype) for k, v in init.items()}
+    flat0, unravel = flatten_util.ravel_pytree(init)
+
+    args = (
+        jnp.asarray(data.centered_flux, dtype),
+        jnp.asarray(data.lya_1pzs, dtype),
+        jnp.asarray(data.noise_variance, dtype),
+        jnp.asarray(data.mask),
+    )
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda flat: objective(unravel(flat), *args, prior_in_value=prior_in_value)
+        )
+    )
+
+    def value_and_grad(x):
+        f, g = grad_fn(jnp.asarray(x, dtype))
+        return float(f), np.asarray(g, np.float64)
+
+    opt = params.optimization
+    result = minimize_lbfgs(
+        value_and_grad,
+        np.asarray(flat0, np.float64),
+        max_iterations=opt.max_iterations,
+        max_fun_evals=opt.max_fun_evals,
+        callback=callback,
+    )
+
+    fitted = unravel(jnp.asarray(result.x, dtype))
+    model = GPModel(
+        rest_wavelengths=params.null_model.rest_wavelengths(),
+        mu=np.asarray(data.mu),
+        M=np.asarray(fitted["M"], np.float64),
+        log_omega=np.asarray(fitted["log_omega"], np.float64),
+        log_c_0=float(fitted["log_c_0"]),
+        log_tau_0=float(fitted["log_tau_0"]),
+        log_beta=float(fitted["log_beta"]),
+        metadata={
+            "log_likelihood": -result.f,
+            "iterations": result.iterations,
+            "fun_evals": result.fun_evals,
+            "termination": result.message,
+            "max_noise_variance": params.null_model.max_noise_variance,
+        },
+    )
+    return model, result

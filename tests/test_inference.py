@@ -1,0 +1,227 @@
+"""End-to-end single-spectrum inference vs an independent numpy oracle.
+
+The oracle transcribes the reference's per-quasar math
+(process_qsos.m:102-217) with explicit slicing, scipy dense MVN logpdfs,
+and the scipy-wofz Voigt oracle — entirely independent of the JAX code
+paths under test.
+"""
+
+import numpy as np
+import pytest
+from scipy.stats import multivariate_normal
+
+from gp_dla_detection_tpu.inference import (
+    PaddedSpectra,
+    correct_prior_dla_flags,
+    dla_rate_priors,
+    finalize_posteriors,
+    process_spectra,
+)
+from gp_dla_detection_tpu.models.qso_model import GPModel
+from gp_dla_detection_tpu.params import (
+    LYA_WAVELENGTH,
+    LYMAN_LIMIT,
+    Parameters,
+)
+
+from test_voigt import oracle_voigt
+
+
+def make_model(rng, k=5):
+    params = Parameters()
+    grid = params.null_model.rest_wavelengths()
+    R = grid.size
+    mu = 1.0 + 0.1 * np.sin(grid / 50.0)
+    M = rng.normal(size=(R, k)) * 0.05
+    log_omega = np.log(0.2 + 0.05 * rng.uniform(size=R))
+    return GPModel(
+        rest_wavelengths=grid,
+        mu=mu,
+        M=M,
+        log_omega=log_omega,
+        log_c_0=np.log(0.1),
+        log_tau_0=np.log(0.0023),
+        log_beta=np.log(3.65),
+    )
+
+
+def make_spectrum(rng, z_qso=2.8, P=640, n_real=600):
+    """Padded spectrum on an exactly uniform log10 grid with masked holes."""
+    params = Parameters()
+    lam0 = 911.9 * (1 + z_qso)  # rest ~911.9 Å at blue end
+    log_lam = np.log10(lam0) + 1e-4 * np.arange(P)
+    wavelengths = 10**log_lam
+    flux = rng.normal(1.0, 0.3, size=P)
+    noise = rng.uniform(0.05, 0.3, size=P)
+    mask = np.zeros(P, bool)
+    mask[:n_real] = True
+    # punch some masked holes inside the modelling range
+    holes = rng.choice(np.arange(50, n_real - 50), size=25, replace=False)
+    mask[holes] = False
+    return PaddedSpectra(
+        wavelengths=wavelengths[None],
+        flux=flux[None],
+        noise_variance=noise[None],
+        mask=mask[None],
+        z_qso=np.array([z_qso]),
+    )
+
+
+def oracle_spectrum(model, spec, offsets, nhis, params):
+    """Reference-semantics per-spectrum computation in numpy/scipy."""
+    lam = spec.wavelengths[0]
+    flux = spec.flux[0]
+    noise = spec.noise_variance[0]
+    mask = spec.mask[0]
+    z_qso = spec.z_qso[0]
+
+    rest = lam / (1 + z_qso)
+    in_range = (rest >= params.null_model.min_lambda) & (
+        rest <= params.null_model.max_lambda
+    )
+    unmasked_lam = lam[in_range]  # all in-range pixels (process_qsos.m:107-109)
+    keep = in_range & mask
+    lam_k, rest_k, flux_k, noise_k = lam[keep], rest[keep], flux[keep], noise[keep]
+
+    # model interpolation
+    mu = np.interp(rest_k, model.rest_wavelengths, model.mu)
+    M = np.stack(
+        [
+            np.interp(rest_k, model.rest_wavelengths, model.M[:, j])
+            for j in range(model.k)
+        ],
+        axis=1,
+    )
+    log_omega = np.interp(rest_k, model.rest_wavelengths, model.log_omega)
+    lya_zs = (lam_k - LYA_WAVELENGTH) / LYA_WAVELENGTH
+    scaling = 1 - np.exp(-model.tau_0 * (1 + lya_zs) ** model.beta) + model.c_0
+    omega2 = np.exp(2 * log_omega) * scaling**2
+
+    def dense_ll(y, mean, Mm, d):
+        return multivariate_normal.logpdf(y, mean=mean, cov=Mm @ Mm.T + np.diag(d))
+
+    null_ll = dense_ll(flux_k, mu, M, omega2 + noise_k)
+
+    max_z = lam_k.max() / LYA_WAVELENGTH - 1 - params.max_z_cut
+    min_z = max(
+        lam_k.min() / LYA_WAVELENGTH - 1,
+        LYMAN_LIMIT * (1 + z_qso) / LYA_WAVELENGTH - 1 + params.min_z_cut,
+    )
+    z_dlas = min_z + (max_z - min_z) * offsets
+
+    # conv padding built by log-continuation of the in-range grid
+    # (process_qsos.m:169-177)
+    w = params.instrument.width
+    dex = params.instrument.pixel_spacing
+    left = 10 ** (np.log10(unmasked_lam.min()) - dex * np.arange(w, 0, -1))
+    right = 10 ** (np.log10(unmasked_lam.max()) + dex * np.arange(1, w + 1))
+    padded = np.concatenate([left, unmasked_lam, right])
+
+    rel_mask = mask[in_range]  # intended alignment (see inference.py quirk note)
+    sample_lls = np.empty(len(offsets))
+    for s in range(len(offsets)):
+        absorption = oracle_voigt(padded, z_dlas[s], nhis[s], params.num_lines)
+        a = absorption[rel_mask]
+        sample_lls[s] = dense_ll(
+            flux_k, mu * a, M * a[:, None], omega2 * a**2 + noise_k
+        )
+    return null_ll, sample_lls, min_z, max_z
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    params = Parameters()
+    model = make_model(rng)
+    spec = make_spectrum(rng)
+    samples = rng.uniform(size=40)
+    nhis = 10 ** rng.uniform(20.0, 22.0, size=40)
+    return params, model, spec, samples, nhis
+
+
+def test_single_spectrum_matches_oracle(setup):
+    params, model, spec, offsets, nhis = setup
+    null_ll, sample_lls, min_z, max_z = oracle_spectrum(
+        model, spec, offsets, nhis, params
+    )
+
+    results = process_spectra(
+        model,
+        offsets,
+        nhis,
+        spec,
+        prior_z_qsos=np.array([2.0, 2.5, 3.0, 3.5]),
+        prior_dla_flags=np.array([True, False, True, False]),
+        params=params,
+        batch_size=1,
+        sample_chunk=8,
+    )
+
+    assert abs(results.log_likelihoods_no_dla[0] - null_ll) < 1e-6 * abs(null_ll)
+    np.testing.assert_allclose(
+        results.sample_log_likelihoods_dla[0], sample_lls, rtol=1e-6
+    )
+    assert abs(results.min_z_dlas[0] - min_z) < 1e-10
+    assert abs(results.max_z_dlas[0] - max_z) < 1e-10
+
+    # posteriors follow the safe aggregation (process_qsos.m:200-232)
+    max_ll = sample_lls.max()
+    exp_dla_ll = max_ll + np.log(np.mean(np.exp(sample_lls - max_ll)))
+    assert abs(results.log_likelihoods_dla[0] - exp_dla_ll) < 1e-8 * abs(exp_dla_ll)
+    assert np.isclose(results.p_dlas[0] + results.p_no_dlas[0], 1.0)
+
+
+def test_dla_rate_priors_counting():
+    params = Parameters()
+    prior_z = np.array([2.0, 2.1, 2.2, 3.0, 3.1])
+    flags = np.array([True, False, True, False, True])
+    lp_dla, lp_no = dla_rate_priors(np.array([2.25]), prior_z, flags, params)
+    # z < 2.25 + dz(30000 km/s ~ 0.1) = 2.35: prior quasars {2.0,2.1,2.2}, 2 DLAs
+    assert np.isclose(lp_dla[0], np.log(2) - np.log(3))
+    assert np.isclose(lp_no[0], np.log(1) - np.log(3))
+
+
+def test_correct_prior_dla_flags():
+    # DLA with Lyα below the QSO Lyman limit must be dropped
+    z_qsos = np.array([4.0, 4.0])
+    flags = np.array([True, True])
+    z_dlas = [np.array([2.0]), np.array([3.5])]
+    # (1+2.0)*1215.67 = 3647 < (1+4)*911.76 = 4558.8 -> dropped
+    # (1+3.5)*1215.67 = 5470 > 4558.8 -> kept
+    out = correct_prior_dla_flags(z_qsos, flags, z_dlas)
+    assert list(out) == [False, True]
+
+
+def test_batching_invariance(setup):
+    """Batched/padded execution must match per-spectrum execution."""
+    params, model, spec, offsets, nhis = setup
+    rng = np.random.default_rng(11)
+    specs = [make_spectrum(rng, z_qso=z) for z in (2.6, 2.9, 3.3)]
+    batch = PaddedSpectra(
+        *(
+            np.concatenate([getattr(s, f) for s in specs])
+            for f in ("wavelengths", "flux", "noise_variance", "mask", "z_qso")
+        )
+    )
+    prior_z = np.array([2.0, 2.5, 3.0, 3.5])
+    prior_f = np.array([True, False, True, False])
+
+    r_batch = process_spectra(
+        model, offsets, nhis, batch, prior_z, prior_f,
+        params=params, batch_size=2, sample_chunk=40,
+    )
+    for i, s in enumerate(specs):
+        r_one = process_spectra(
+            model, offsets, nhis, s, prior_z, prior_f,
+            params=params, batch_size=1, sample_chunk=40,
+        )
+        np.testing.assert_allclose(
+            r_batch.sample_log_likelihoods_dla[i],
+            r_one.sample_log_likelihoods_dla[0],
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            r_batch.log_likelihoods_no_dla[i],
+            r_one.log_likelihoods_no_dla[0],
+            rtol=1e-12,
+        )
