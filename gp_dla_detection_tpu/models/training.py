@@ -205,8 +205,14 @@ def learn_gp_model(
     dtype=jnp.float64,
     prior_in_value: bool = True,
     callback=None,
+    mesh=None,
 ) -> tuple[GPModel, LBFGSResult]:
-    """Fit the GP null model by L-BFGS (learn_qso_model.m:100-123)."""
+    """Fit the GP null model by L-BFGS (learn_qso_model.m:100-123).
+
+    With ``mesh`` given, the training matrices are sharded over the
+    mesh's 'data' axis (spectra); XLA turns the NLL sum over spectra
+    into a psum across shards — single-program data parallelism.
+    """
     if params is None:
         params = Parameters()
 
@@ -220,6 +226,23 @@ def learn_gp_model(
         jnp.asarray(data.noise_variance, dtype),
         jnp.asarray(data.mask),
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        pad = (-args[0].shape[0]) % n_data
+        if pad:
+            # padded rows are fully masked -> contribute exactly zero
+            args = tuple(
+                jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                )
+                for a in args
+            )
+        sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        args = tuple(jax.device_put(a, sharding) for a in args)
 
     grad_fn = jax.jit(
         jax.value_and_grad(

@@ -8,9 +8,15 @@ The reference evaluates, per pixel per Lyman-series line,
                              / (sigma * sqrt(2*pi)),
 
 where ``w(z) = exp(-z^2) erfc(-iz)`` is the Faddeeva function.  We
-implement ``Re w`` directly with a three-branch, fully vectorized scheme
-(no data-dependent control flow — every branch is evaluated and selected
-with ``where``, which is the XLA-friendly formulation):
+implement ``Re w`` with a three-branch, fully vectorized scheme — no
+data-dependent control flow (every branch is evaluated and selected
+with ``where``, the XLA-friendly formulation), and **no complex
+dtypes**: all complex arithmetic is carried as explicit (real, imag)
+pairs, because XLA:TPU has no complex128 and Pallas has no complex
+support at all.  This keeps one code path valid for float32 (fast/TPU),
+float64 (parity/CPU or TPU), and inside Pallas kernels.
+
+Branches:
 
 1. ``|z| >= 7``: the classical continued fraction
    ``w(z) = (i/sqrt(pi)) / (z - (1/2)/(z - 1/(z - (3/2)/(z - ...))))``
@@ -51,10 +57,11 @@ BRANCH_RADIUS = 7.0   # |z| cutoff between rational and continued fraction
 SMALL_Y = 1e-3        # y cutoff for the Taylor-in-y branch
 CF_DEPTH = 12
 _SQRT_PI = float(np.sqrt(np.pi))
+_INV_SQRT_PI = float(1.0 / np.sqrt(np.pi))
 
 
 @functools.lru_cache(maxsize=None)
-def _weideman_constants(n: int) -> tuple[float, np.ndarray]:
+def _weideman_constants(n: int) -> tuple[float, tuple[float, ...]]:
     """Weideman (1994) scale L and polynomial coefficients (highest first).
 
     Computed once on host in float64 via the FFT construction from the
@@ -71,44 +78,68 @@ def _weideman_constants(n: int) -> tuple[float, np.ndarray]:
     f = np.concatenate([[0.0], f])
     a = np.real(np.fft.fft(np.fft.fftshift(f))) / m2
     a = a[1 : n + 1][::-1]  # highest-degree coefficient first
-    return float(ell), a
+    return float(ell), tuple(float(c) for c in a)
 
 
-def _w_weideman(z, n: int = WEIDEMAN_N):
-    """Full complex w(z) via Weideman's rational approximation (Im z >= 0)."""
+def _w_weideman(x, y, n: int = WEIDEMAN_N):
+    """Complex w(x + iy) as a (re, im) pair via Weideman's rational
+    approximation (Im z >= 0).  Real arithmetic only."""
     ell, coeffs = _weideman_constants(n)
-    # numpy float64 scalars would promote complex64 inputs; keep dtype
-    coeffs = [float(c) for c in coeffs]
-    iz = 1j * z
-    recip = 1.0 / (ell - iz)
-    big_z = (ell + iz) * recip
-    p = jnp.zeros_like(big_z) + coeffs[0]
+    # recip = 1 / (L - iz) = 1 / ((L + y) - i x)
+    dr = ell + y
+    di = -x
+    inv_norm = 1.0 / (dr * dr + di * di)
+    rr = dr * inv_norm
+    ri = -di * inv_norm
+    # Z = (L + iz) * recip;  L + iz = (L - y) + i x
+    nr = ell - y
+    ni = x
+    zr = nr * rr - ni * ri
+    zi = nr * ri + ni * rr
+    # Horner in Z with real coefficients
+    pr = jnp.full_like(x, coeffs[0])
+    pi = jnp.zeros_like(x)
     for c in coeffs[1:]:
-        p = p * big_z + c
-    return 2.0 * p * recip * recip + (1.0 / _SQRT_PI) * recip
+        pr, pi = pr * zr - pi * zi + c, pr * zi + pi * zr
+    # w = 2 * p * recip^2 + (1/sqrt(pi)) * recip
+    r2r = rr * rr - ri * ri
+    r2i = 2.0 * rr * ri
+    wr = 2.0 * (pr * r2r - pi * r2i) + _INV_SQRT_PI * rr
+    wi = 2.0 * (pr * r2i + pi * r2r) + _INV_SQRT_PI * ri
+    return wr, wi
 
 
-def _w_continued_fraction(z, depth: int = CF_DEPTH):
-    """w(z) by the Gautschi continued fraction; accurate for |z| >= ~6."""
-    r = jnp.zeros_like(z)
+def _w_continued_fraction(x, y, depth: int = CF_DEPTH):
+    """Re w(x+iy) by the Gautschi continued fraction; accurate |z| >= ~6.
+
+    r <- (m/2) / (z - r), then w = (i/sqrt(pi)) / (z - r), as real pairs.
+    """
+    rr = jnp.zeros_like(x)
+    ri = jnp.zeros_like(x)
     for m in range(depth, 0, -1):
-        r = (m / 2.0) / (z - r)
-    return 1j / _SQRT_PI / (z - r)
+        dr = x - rr
+        di = y - ri
+        scale = (m / 2.0) / (dr * dr + di * di)
+        rr = scale * dr
+        ri = -scale * di
+    dr = x - rr
+    di = y - ri
+    inv_norm = _INV_SQRT_PI / (dr * dr + di * di)
+    # i / (dr + i di) = (di + i dr) / |d|^2
+    return di * inv_norm, dr * inv_norm
 
 
 def wofz_real(x, y):
     """Re w(x + iy) for y >= 0, elementwise, dtype-preserving.
 
-    ``x`` and ``y`` broadcast against each other.  The result matches
-    scipy.special.wofz to ~1e-9 relative in the small-y DLA regime when
-    evaluated in float64.
+    ``x`` and ``y`` broadcast against each other.  Matches
+    scipy.special.wofz to ~1e-12 relative in the small-y DLA regime when
+    evaluated in float64; float32 mode is ~1e-5 worst-case.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.result_type(x, y)
-    x = x.astype(dtype)
-    y = y.astype(dtype)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    x, y = jnp.broadcast_arrays(x.astype(dtype), y.astype(dtype))
 
     ax = jnp.abs(x)  # w(-x + iy) = conj(w(x + iy)) => Re w is even in x
     r2 = ax * ax + y * y
@@ -116,30 +147,34 @@ def wofz_real(x, y):
 
     # --- branch 1: continued fraction (clamp inner z to avoid 0-division)
     safe_ax = jnp.where(outer, ax, BRANCH_RADIUS)
-    z_cf = safe_ax.astype(cdtype) + 1j * y.astype(cdtype)
-    w_cf = jnp.real(_w_continued_fraction(z_cf))
+    w_cf, _ = _w_continued_fraction(safe_ax, y)
 
     # --- branch 2: Weideman at (|x|, y)
-    z_in = ax.astype(cdtype) + 1j * y.astype(cdtype)
-    w_in = _w_weideman(z_in)
+    w_in_re, _ = _w_weideman(ax, y)
 
     # --- branch 3: small-y Taylor about the real axis (order 4)
-    w_axis = _w_weideman(ax.astype(cdtype))  # w(|x| + i0)
-    # use the numerically exact real part on the axis: Re w(x) = e^{-x^2}
-    w_m_prev = jnp.exp(-ax * ax) + 1j * jnp.imag(w_axis)
-    w_m = -2.0 * ax * w_m_prev + 2j / _SQRT_PI  # w'(x)
-    iy = 1j * y.astype(cdtype)
-    series = w_m_prev
-    power = jnp.ones_like(iy)
+    _, w_axis_im = _w_weideman(ax, jnp.zeros_like(ax))
+    # numerically exact real part on the axis: Re w(x) = e^{-x^2}
+    wm_prev_r = jnp.exp(-ax * ax)
+    wm_prev_i = w_axis_im
+    # w'(x) = -2x w(x) + 2i/sqrt(pi)
+    wm_r = -2.0 * ax * wm_prev_r
+    wm_i = -2.0 * ax * wm_prev_i + 2.0 * _INV_SQRT_PI
+    # sum_m (iy)^m w_m / m!; (iy)^m cycles {1, iy, -y^2, -iy^3, y^4}
+    series = wm_prev_r
+    pow_r = jnp.ones_like(y)
+    pow_i = jnp.zeros_like(y)
     factorial = 1.0
     for m in range(1, 5):
-        power = power * iy
+        pow_r, pow_i = -pow_i * y, pow_r * y  # multiply by iy
         factorial *= m
-        series = series + power * w_m / factorial
-        w_m_prev, w_m = w_m, -2.0 * ax * w_m - 2.0 * m * w_m_prev
-    re_taylor = jnp.real(series)
+        series = series + (pow_r * wm_r - pow_i * wm_i) / factorial
+        next_r = -2.0 * ax * wm_r - 2.0 * m * wm_prev_r
+        next_i = -2.0 * ax * wm_i - 2.0 * m * wm_prev_i
+        wm_prev_r, wm_prev_i = wm_r, wm_i
+        wm_r, wm_i = next_r, next_i
 
-    inner_val = jnp.where(y < SMALL_Y, re_taylor, jnp.real(w_in))
+    inner_val = jnp.where(y < SMALL_Y, series, w_in_re)
     return jnp.where(outer, w_cf, inner_val)
 
 

@@ -1,0 +1,100 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is a shared-memory parfor over QMC
+samples (process_qsos.m:184); spectra are processed serially and
+sharded manually across MATLAB jobs by slicing test_ind
+(process_qsos.m:51-54).  The TPU-native design scales along both
+embarrassingly-parallel axes with a (data, sample) mesh:
+
+  - 'data'   axis: spectra (sightlines) — the 162,861-wide axis
+  - 'sample' axis: the 10,000 QMC (z_DLA, log N_HI) samples
+
+Collectives are inserted by XLA from sharding propagation: the only
+communication is the per-spectrum logsumexp reduction over the sample
+axis (an all-reduce along 'sample') and the result gather along 'data'.
+Multi-host execution initializes jax.distributed and uses the same code
+path (collectives ride ICI within a slice, DCN across slices).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "initialize_distributed",
+    "DATA_AXIS",
+    "SAMPLE_AXIS",
+]
+
+DATA_AXIS = "data"
+SAMPLE_AXIS = "sample"
+
+
+def make_mesh(
+    num_devices: int | None = None,
+    sample_parallelism: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, sample) mesh over the available devices.
+
+    sample_parallelism divides the QMC-sample axis across that many
+    devices; the rest go to the spectra axis.  Default is pure data
+    parallelism (sample axis size 1).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % sample_parallelism:
+        raise ValueError(
+            f"{n} devices not divisible by sample_parallelism={sample_parallelism}"
+        )
+    grid = np.asarray(devices).reshape(n // sample_parallelism, sample_parallelism)
+    return Mesh(grid, (DATA_AXIS, SAMPLE_AXIS))
+
+
+def data_sharding(mesh: Mesh, *trailing_dims: int) -> NamedSharding:
+    """Sharding for an array whose leading axis is the spectra axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * len(trailing_dims))))
+
+
+def sample_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a 1-D per-sample array (offsets, N_HI)."""
+    return NamedSharding(mesh, P(SAMPLE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, **arrays):
+    """device_put each (B, ...) array sharded along the data axis."""
+    out = {}
+    for name, a in arrays.items():
+        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        out[name] = jax.device_put(a, NamedSharding(mesh, spec))
+    return out
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (jax.distributed); no-op when single-process.
+
+    On TPU pods the arguments are auto-detected from the environment.
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

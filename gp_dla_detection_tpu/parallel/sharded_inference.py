@@ -1,0 +1,200 @@
+"""Multi-chip sharded inference with checkpoint/resume.
+
+Replaces the reference's "run several MATLAB jobs with sliced test_ind
+and save everything at the very end" workflow (process_qsos.m:51-54,
+:234-249 — a crash loses the whole run) with:
+
+  - spectra sharded across the mesh 'data' axis, QMC samples optionally
+    across the 'sample' axis; XLA inserts the logsumexp all-reduce and
+    the result gather,
+  - fixed-size super-batches (per_device_batch * n_data_shards) jitted
+    once and streamed,
+  - per-super-batch result files + a JSON manifest, so an interrupted
+    run resumes from the last completed batch (idempotent).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..inference import (
+    InferenceResults,
+    PaddedSpectra,
+    batch_log_likelihoods,
+    dla_rate_priors,
+    finalize_posteriors,
+)
+from ..models.qso_model import GPModel
+from ..params import Parameters
+from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh
+
+__all__ = ["process_spectra_sharded", "ShardedRunConfig"]
+
+
+@dataclass
+class ShardedRunConfig:
+    per_device_batch: int = 8
+    sample_chunk: int = 2500
+    dtype: str = "float32"
+    checkpoint_dir: str | None = None
+
+
+def _pad_batch(batch: PaddedSpectra, to: int) -> PaddedSpectra:
+    pad = to - len(batch)
+    if pad <= 0:
+        return batch
+    return PaddedSpectra(
+        *(
+            np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            for a in (
+                batch.wavelengths,
+                batch.flux,
+                batch.noise_variance,
+                batch.mask,
+                batch.z_qso,
+            )
+        )
+    )
+
+
+def process_spectra_sharded(
+    model: GPModel,
+    offset_samples,
+    nhi_samples,
+    spectra: PaddedSpectra,
+    prior_z_qsos,
+    prior_dla_flags,
+    params: Parameters | None = None,
+    mesh=None,
+    config: ShardedRunConfig | None = None,
+    progress: bool = False,
+) -> InferenceResults:
+    """Sharded equivalent of :func:`gp_dla_detection_tpu.inference.process_spectra`.
+
+    Runs on whatever mesh is provided (defaults to all local devices,
+    pure data parallelism).  Resumable via config.checkpoint_dir.
+    """
+    if params is None:
+        params = Parameters()
+    if config is None:
+        config = ShardedRunConfig()
+    if mesh is None:
+        mesh = make_mesh()
+    dtype = np.dtype(config.dtype)
+
+    n_data = mesh.shape[DATA_AXIS]
+    super_batch = config.per_device_batch * n_data
+    n = len(spectra)
+    num_samples = len(np.asarray(offset_samples))
+
+    # priors are host-side and cheap: compute for all spectra up front
+    log_p_dla, log_p_no_dla = dla_rate_priors(
+        spectra.z_qso, prior_z_qsos, prior_dla_flags, params
+    )
+
+    data_spec = NamedSharding(mesh, P(DATA_AXIS))
+    data_spec2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+    sample_spec = NamedSharding(mesh, P(SAMPLE_AXIS))
+
+    model_args = (
+        jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
+        jax.device_put(np.asarray(model.mu, dtype), repl),
+        jax.device_put(np.asarray(model.M, dtype), repl),
+        jax.device_put(np.asarray(model.log_omega, dtype), repl),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jax.device_put(np.asarray(offset_samples, dtype), sample_spec),
+        jax.device_put(np.asarray(nhi_samples, dtype), sample_spec),
+    )
+
+    ckpt_dir = Path(config.checkpoint_dir) if config.checkpoint_dir else None
+    manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    done: set[int] = set()
+    if manifest_path and manifest_path.exists():
+        done = set(json.loads(manifest_path.read_text())["completed_batches"])
+    if ckpt_dir:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    out_null = np.empty(n)
+    out_samples = np.empty((n, num_samples))
+    out_min_z = np.empty(n)
+    out_max_z = np.empty(n)
+
+    batch_starts = list(range(0, n, super_batch))
+    for bi, start in enumerate(batch_starts):
+        stop = min(start + super_batch, n)
+        ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
+        if bi in done and ckpt_file and ckpt_file.exists():
+            with np.load(ckpt_file) as f:
+                out_null[start:stop] = f["log_likelihood_no_dla"]
+                out_samples[start:stop] = f["sample_log_likelihoods_dla"]
+                out_min_z[start:stop] = f["min_z_dla"]
+                out_max_z[start:stop] = f["max_z_dla"]
+            continue
+
+        batch = _pad_batch(spectra.slice(slice(start, stop)), super_batch)
+        out = batch_log_likelihoods(
+            jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.mask), data_spec2),
+            jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
+            *model_args,
+            params=params,
+            sample_chunk=config.sample_chunk,
+        )
+        keep = stop - start
+        null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]
+        sample_ll = np.asarray(out["sample_log_likelihoods_dla"])[:keep]
+        min_z = np.asarray(out["min_z_dla"])[:keep]
+        max_z = np.asarray(out["max_z_dla"])[:keep]
+        out_null[start:stop] = null_ll
+        out_samples[start:stop] = sample_ll
+        out_min_z[start:stop] = min_z
+        out_max_z[start:stop] = max_z
+
+        if ckpt_file:
+            np.savez_compressed(
+                ckpt_file,
+                log_likelihood_no_dla=null_ll,
+                sample_log_likelihoods_dla=sample_ll,
+                min_z_dla=min_z,
+                max_z_dla=max_z,
+            )
+            done.add(bi)
+            manifest_path.write_text(
+                json.dumps(
+                    {
+                        "completed_batches": sorted(done),
+                        "total_batches": len(batch_starts),
+                        "num_spectra": n,
+                        "super_batch": super_batch,
+                    }
+                )
+            )
+        if progress:
+            print(f"[sharded] batch {bi + 1}/{len(batch_starts)} done", flush=True)
+
+    post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
+    return InferenceResults(
+        min_z_dlas=out_min_z,
+        max_z_dlas=out_max_z,
+        log_priors_no_dla=log_p_no_dla,
+        log_priors_dla=log_p_dla,
+        log_likelihoods_no_dla=out_null,
+        log_likelihoods_dla=post["log_likelihoods_dla"],
+        sample_log_likelihoods_dla=out_samples,
+        log_posteriors_no_dla=post["log_posteriors_no_dla"],
+        log_posteriors_dla=post["log_posteriors_dla"],
+        model_posteriors=post["model_posteriors"],
+        p_no_dlas=post["p_no_dlas"],
+        p_dlas=post["p_dlas"],
+    )
