@@ -1,0 +1,263 @@
+"""Stage orchestration: the end-to-end pipeline with stage-level resume.
+
+The reference is driven manually — the README walks the user through
+running each MATLAB script in order, each communicating through .mat
+files (README.md:16-315).  This module is the equivalent runbook as
+code: each stage checks for its artifact and is skipped when already
+complete, giving the same stage-granularity checkpointing
+(catalog -> preloaded -> model + samples -> processed -> ascii), with
+intra-stage sharded checkpoints handled by parallel/sharded_inference.
+
+CLI:  python -m gp_dla_detection_tpu.pipeline --workdir runs/dr12q \
+        [--stage all|catalog|preload|learn|samples|process|ascii]
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .ascii_catalog import write_ascii_catalog
+from .catalog import Catalog, build_catalog
+from .inference import InferenceResults, correct_prior_dla_flags
+from .models.qso_model import GPModel
+from .models.training import learn_gp_model, prepare_training_data
+from .params import Parameters
+from .samples import DLASamples, generate_dla_samples
+from .spectra import RaggedSpectra, preload_qsos
+
+__all__ = ["Pipeline", "PipelineConfig"]
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str = "runs/default"
+    release: str = "dr12q"
+    training_set_name: str = "dr9q_minus_concordance"
+    test_set_name: str = "dr12q"
+    dla_catalog_name: str = "dr9q_concordance"
+    per_device_batch: int = 8
+    sample_chunk: int = 2500
+    dtype: str = "float32"
+
+
+class Pipeline:
+    """End-to-end driver.  All artifacts live under config.workdir."""
+
+    def __init__(
+        self,
+        params: Parameters | None = None,
+        config: PipelineConfig | None = None,
+        file_loader=None,
+        mesh=None,
+    ):
+        self.params = params or Parameters()
+        self.config = config or PipelineConfig()
+        self.file_loader = file_loader
+        self.mesh = mesh
+        self.workdir = Path(self.config.workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+    # --- artifact paths (processed_directory layout, set_parameters.m:82-86)
+    @property
+    def catalog_path(self) -> Path:
+        return self.workdir / "catalog.npz"
+
+    @property
+    def preloaded_path(self) -> Path:
+        return self.workdir / "preloaded_qsos.npz"
+
+    @property
+    def model_path(self) -> Path:
+        return self.workdir / f"learned_qso_model_{self.config.training_set_name}.npz"
+
+    @property
+    def samples_path(self) -> Path:
+        return self.workdir / "dla_samples.npz"
+
+    @property
+    def results_path(self) -> Path:
+        return self.workdir / f"processed_qsos_{self.config.test_set_name}.npz"
+
+    # --- stages ---
+
+    def run_catalog(self, force: bool = False) -> Catalog:
+        if self.catalog_path.exists() and not force:
+            return Catalog.load(self.catalog_path)
+        catalog = build_catalog(self.params)
+        catalog.save(self.catalog_path)
+        (self.workdir / "file_list").write_text(
+            "\n".join(catalog.file_list()) + "\n"
+        )
+        return catalog
+
+    def run_preload(self, catalog: Catalog, force: bool = False) -> RaggedSpectra:
+        if self.preloaded_path.exists() and not force:
+            return RaggedSpectra.load(self.preloaded_path)
+        spectra = preload_qsos(catalog, self.params, file_loader=self.file_loader)
+        spectra.save(self.preloaded_path)
+        catalog.save(self.catalog_path)  # filter_flags amended in place
+        return spectra
+
+    def run_learn(
+        self,
+        catalog: Catalog,
+        spectra: RaggedSpectra,
+        train_mask=None,
+        force: bool = False,
+    ) -> GPModel:
+        if self.model_path.exists() and not force:
+            return GPModel.load(self.model_path)
+        if train_mask is None:
+            train_mask = catalog.train_dr9_no_concordance_dlas()
+        idx = np.flatnonzero(train_mask & (spectra.lengths() > 0))
+        rows = [spectra.row(int(i)) for i in idx]
+        data = prepare_training_data(
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+            [r[3] for r in rows],
+            catalog.z_qsos[idx],
+            self.params,
+        )
+        model, result = learn_gp_model(data, self.params, mesh=self.mesh)
+        model.save(self.model_path)
+        return model
+
+    def run_samples(self, catalog: Catalog, force: bool = False) -> DLASamples:
+        if self.samples_path.exists() and not force:
+            return DLASamples.load(self.samples_path)
+        observed = catalog.dla_catalogs[
+            self.config.dla_catalog_name
+        ].all_log_nhis()
+        samples = generate_dla_samples(observed, self.params)
+        samples.save(self.samples_path)
+        return samples
+
+    def run_inference(
+        self,
+        catalog: Catalog,
+        spectra: RaggedSpectra,
+        model: GPModel,
+        samples: DLASamples,
+        test_mask=None,
+        prior_mask=None,
+        force: bool = False,
+    ) -> InferenceResults:
+        if self.results_path.exists() and not force:
+            return InferenceResults.load(self.results_path)
+        if test_mask is None:
+            test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+        if prior_mask is None:
+            prior_mask = catalog.prior_dr9_concordance()
+
+        dc = catalog.dla_catalogs[self.config.dla_catalog_name]
+        prior_idx = np.flatnonzero(prior_mask)
+        prior_flags = correct_prior_dla_flags(
+            catalog.z_qsos[prior_idx],
+            dc.dla_ind[prior_idx],
+            [dc.z_dlas[int(i)] for i in prior_idx],
+        )
+
+        test_idx = np.flatnonzero(test_mask)
+        batch = spectra.to_padded(
+            indices=test_idx,
+            z_qsos=catalog.z_qsos[test_idx],
+            pixel_pad=self.params.pixel_pad,
+            pixel_spacing=self.params.instrument.pixel_spacing,
+        )
+
+        from .parallel import ShardedRunConfig, process_spectra_sharded
+
+        results = process_spectra_sharded(
+            model,
+            samples.offset_samples,
+            samples.nhi_samples,
+            batch,
+            catalog.z_qsos[prior_idx],
+            prior_flags,
+            params=self.params,
+            mesh=self.mesh,
+            config=ShardedRunConfig(
+                per_device_batch=self.config.per_device_batch,
+                sample_chunk=self.config.sample_chunk,
+                dtype=self.config.dtype,
+                checkpoint_dir=str(self.workdir / "inference_ckpt"),
+            ),
+        )
+        results.save(self.results_path)
+        (self.workdir / "test_mask.npz").parent.mkdir(exist_ok=True)
+        np.savez_compressed(self.workdir / "test_mask.npz", test_mask=test_mask)
+        return results
+
+    def run_ascii(self, catalog, samples, results, test_mask) -> dict:
+        return write_ascii_catalog(
+            self.workdir,
+            self.config.test_set_name,
+            catalog,
+            samples,
+            results,
+            test_mask,
+        )
+
+    def run_all(self) -> dict:
+        catalog = self.run_catalog()
+        spectra = self.run_preload(catalog)
+        model = self.run_learn(catalog, spectra)
+        samples = self.run_samples(catalog)
+        test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+        results = self.run_inference(catalog, spectra, model, samples, test_mask)
+        paths = self.run_ascii(catalog, samples, results, test_mask)
+        summary = {
+            "num_quasars": int(len(catalog)),
+            "num_processed": int(test_mask.sum()),
+            "num_p_dla_gt_0.9": int((results.p_dlas > 0.9).sum()),
+            "artifacts": {k: str(v) for k, v in paths.items()},
+        }
+        (self.workdir / "summary.json").write_text(json.dumps(summary, indent=2))
+        return summary
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--base-directory", default="data")
+    p.add_argument(
+        "--stage",
+        default="all",
+        choices=["all", "catalog", "preload", "learn", "samples", "process", "ascii"],
+    )
+    args = p.parse_args()
+
+    params = Parameters(base_directory=args.base_directory)
+    pipe = Pipeline(params, PipelineConfig(workdir=args.workdir))
+    if args.stage == "all":
+        print(json.dumps(pipe.run_all(), indent=2))
+        return
+    catalog = pipe.run_catalog()
+    if args.stage == "catalog":
+        return
+    spectra = pipe.run_preload(catalog)
+    if args.stage == "preload":
+        return
+    if args.stage in ("learn",):
+        pipe.run_learn(catalog, spectra)
+        return
+    if args.stage == "samples":
+        pipe.run_samples(catalog)
+        return
+    model = pipe.run_learn(catalog, spectra)
+    samples = pipe.run_samples(catalog)
+    test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+    results = pipe.run_inference(catalog, spectra, model, samples, test_mask)
+    if args.stage == "ascii":
+        pipe.run_ascii(catalog, samples, results, test_mask)
+
+
+if __name__ == "__main__":
+    main()

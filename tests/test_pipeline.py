@@ -1,0 +1,79 @@
+"""Full pipeline end-to-end on the synthetic release: FITS on disk ->
+catalog -> preload -> train -> samples -> inference -> ASCII catalog,
+with stage-level resume."""
+
+import dataclasses
+import json
+
+import numpy as np
+
+from gp_dla_detection_tpu.params import (
+    DLASamplingParams,
+    NullModelParams,
+    OptimizationParams,
+)
+from gp_dla_detection_tpu.pipeline import Pipeline, PipelineConfig
+
+
+def small_params(base):
+    return dataclasses.replace(
+        base,
+        null_model=NullModelParams(k=3),
+        optimization=OptimizationParams(max_iterations=15, max_fun_evals=30),
+        dla_sampling=DLASamplingParams(num_dla_samples=100),
+    )
+
+
+def test_pipeline_run_all(synthetic_release, tmp_path):
+    params = small_params(synthetic_release)
+    config = PipelineConfig(
+        workdir=str(tmp_path / "run"),
+        per_device_batch=1,
+        sample_chunk=50,
+        dtype="float64",
+    )
+    pipe = Pipeline(params, config)
+    summary = pipe.run_all()
+
+    assert summary["num_quasars"] == 12
+    assert summary["num_processed"] == 8
+
+    # stage artifacts all exist
+    for p in (
+        pipe.catalog_path,
+        pipe.preloaded_path,
+        pipe.model_path,
+        pipe.samples_path,
+        pipe.results_path,
+    ):
+        assert p.exists(), p
+    assert (pipe.workdir / "file_list").read_text().count("\n") == 11
+
+    # ascii outputs parse back
+    results_dat = (pipe.workdir / "dr12q_results.dat").read_text().strip().split("\n")
+    assert len(results_dat) == 8
+    first = results_dat[0].split()
+    assert first[0] == "000000101"  # %09i thing_id
+    assert len(first) == 12  # id, name, 8 numbers, map_z, map_nhi
+
+    spectra_dat = (pipe.workdir / "dr12q_spectra.dat").read_text().strip().split("\n")
+    assert len(spectra_dat) == 12
+    assert spectra_dat[2].endswith("1000")  # z-cut bit for quasar index 2
+    assert spectra_dat[3].endswith("0100")  # BAL bit
+    assert spectra_dat[6].endswith("0010")  # normalization bit
+    assert spectra_dat[7].endswith("0001")  # min-pixels bit
+
+    samples_dat = (pipe.workdir / "dr12q_dla_samples.dat").read_text().strip().split("\n")
+    assert len(samples_dat) == 100
+
+    # posteriors are proper probabilities; synthetic spectra host no DLAs
+    with np.load(pipe.results_path) as f:
+        p_dlas = f["p_dlas"]
+    assert np.all((p_dlas >= 0) & (p_dlas <= 1))
+
+    # resume: second run loads artifacts without recomputation (mtime check)
+    mtimes = {p: p.stat().st_mtime_ns for p in (pipe.model_path, pipe.results_path)}
+    summary2 = Pipeline(params, config).run_all()
+    assert summary2["num_processed"] == 8
+    for p, t in mtimes.items():
+        assert p.stat().st_mtime_ns == t, f"{p} recomputed on resume"
