@@ -1,0 +1,629 @@
+"""Column-density statistics from the DLA posterior samples.
+
+Rebuild of the reference's CDDF engine (CDDF_analysis/calc_cddf.py:37-1081):
+from the per-spectrum posterior sample likelihoods, compute
+
+  - the column density distribution function f(N) = n/ΔN/ΔX,
+  - the line density dN/dX,
+  - Omega_DLA (both by CDDF summation and by direct first-moment sum),
+
+with full Bayesian confidence intervals from the exact Poisson-binomial
+count distribution (DFT) convolved with a Le Cam Poisson approximation
+for the low-probability tail, plus z-stratified bootstrap resampling,
+SNR/redshift/proximity filters, and optional noisy-pixel path excision.
+
+Known reference warts intentionally fixed rather than replicated
+(SURVEY.md section 2 #15): the ``np.logaddexp`` misuse on the 2-DLA
+path (calc_cddf.py:274 — should be a reduction, here scipy logsumexp),
+the dead ``if True or ...`` branch (:993), and deprecated ``np.bool``
+(:83).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from .cosmology import OMEGA_M_WMAP9, AbsorptionPath, rho_crit
+from .pb import combine_with_poisson, interval, pdf_confidence, poisson_binomial_pdf
+
+__all__ = ["DLACatalogue", "compute_all_snrs"]
+
+PROTON_MASS = 1.67262178e-24      # g (calc_cddf.py:535)
+H100_PER_S = 3.2407789e-18        # 100 km/s/Mpc in 1/s (calc_cddf.py:537)
+LIGHT_CMS = 2.99e10               # cm/s as used by the reference (:539)
+LYB_OVER_LYA = 1026.72 / 1215.67  # calc_cddf.py:694-698
+
+
+class DLACatalogue:
+    """Posterior DLA catalogue statistics (calc_cddf.py DLACatalogue).
+
+    Constructed from arrays (decoupled from storage):
+
+    Args:
+      p_dla: (N,) P(>=1 DLA | D) per processed spectrum.
+      min_z_dlas, max_z_dlas: (N,) per-spectrum search ranges.
+      sample_log_likelihoods: (N, S) per-sample DLA log likelihoods.
+      log_likelihoods_dla: (N,) total DLA log evidence per spectrum.
+      offset_samples, log_nhi_samples: (S,) the QMC prior samples.
+      snrs: (N,) signal-to-noise ratios (optional; None disables cuts).
+      pixel_noise: optional list of per-spectrum normalized pixel noise
+        arrays spanning [min_z, max_z] (enables noisy-pixel excision).
+    """
+
+    def __init__(
+        self,
+        p_dla,
+        min_z_dlas,
+        max_z_dlas,
+        sample_log_likelihoods,
+        log_likelihoods_dla,
+        offset_samples,
+        log_nhi_samples,
+        snrs=None,
+        pixel_noise=None,
+        snr_thresh: float = -2.0,
+        lowzcut: bool = False,
+        omega_m: float = OMEGA_M_WMAP9,
+    ):
+        self.p_dla = np.asarray(p_dla, np.float64)
+        self._z_min = np.asarray(min_z_dlas, np.float64)
+        self._z_max = np.asarray(max_z_dlas, np.float64)
+        n, s = np.shape(sample_log_likelihoods)
+
+        # thresholds (calc_cddf.py:42-56)
+        self.p_thresh_spec = 5e-2
+        self.p_thresh_sample = 1e-4
+        self.p_switch = 0.25          # Le Cam 1960
+        self.bins_per_z = 6
+        self.lowzcut = lowzcut
+        self.proximity_zone = 0.1
+        self.noise_thresh = 0.5**2
+        self.snr_thresh = snr_thresh
+        self.tophat_prior = False
+
+        # normalized per-sample probabilities: sum_s exp(lnl) == 1
+        # (calc_cddf.py:87-99)
+        sll = np.asarray(sample_log_likelihoods, np.float64)
+        self.log_norm_like = (
+            sll - np.asarray(log_likelihoods_dla)[:, None] - np.log(s)
+        )
+        keep = self.p_dla > self.p_thresh_spec
+        check = np.exp(self.log_norm_like[keep]).sum(axis=1)
+        assert np.all((check > 0.95) & (check < 1.05)), "sample probs unnormalized"
+
+        self.z_offsets = np.asarray(offset_samples, np.float64)
+        self.lnhi_vals = np.asarray(log_nhi_samples, np.float64)
+        self.snrs = None if snrs is None else np.asarray(snrs, np.float64)
+        self.pixel_noise = pixel_noise
+        self.filter_noisy_pixels = pixel_noise is not None
+        self.condition = np.ones(n, dtype=bool)
+
+        self._path = AbsorptionPath(omega_m)
+        self.do_resample = False
+        self._resample = None
+        self._rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_run(
+        cls, workdir: str | Path, test_set_name: str = "dr12q", **kwargs
+    ) -> "DLACatalogue":
+        """Load from pipeline.py stage artifacts."""
+        workdir = Path(workdir)
+        with np.load(workdir / f"processed_qsos_{test_set_name}.npz") as f:
+            results = {k: f[k] for k in f.files}
+        with np.load(workdir / "dla_samples.npz") as f:
+            offsets = f["offset_samples"]
+            lnhi = f["log_nhi_samples"]
+        snrs_path = workdir / "snrs.npz"
+        snrs = None
+        if snrs_path.exists():
+            with np.load(snrs_path) as f:
+                snrs = f["snrs"]
+        return cls(
+            results["p_dlas"],
+            results["min_z_dlas"],
+            results["max_z_dlas"],
+            results["sample_log_likelihoods_dla"],
+            results["log_likelihoods_dla"],
+            offsets,
+            lnhi,
+            snrs=snrs,
+            **kwargs,
+        )
+
+    # --- resampling (calc_cddf.py:126-184) ----------------------------
+
+    def resample(self, do_it: bool = True, nspec: int = 0, seed=None) -> None:
+        """Bootstrap: draw a new spectrum sample with replacement,
+        stratified in z_max so rare high-z quasars keep representation."""
+        self.do_resample = do_it
+        if not do_it:
+            return
+        if seed is not None:
+            self._rng = np.random.default_rng(seed)
+        n = np.size(self.p_dla)
+        if nspec == 0:
+            nspec = n
+        z_max = self._z_max
+        newmax = np.max(z_max) - 0.2
+        while newmax > np.min(z_max) and np.sum(z_max > newmax) * nspec / n < 10:
+            newmax -= 0.2
+        newmin = np.min(self._z_min) + 0.2
+        # (bounded, unlike calc_cddf.py:146-148: degenerate z
+        # distributions would loop forever there)
+        while newmin < np.max(self._z_min) and (
+            np.sum(self._z_min > newmin) * nspec / n < 10
+        ):
+            newmin += 0.2
+        newmin = min(newmin, newmax - 1e-3)
+        z_bins = np.linspace(newmin, newmax, 10)
+        z_bins[0] = np.min(self._z_min)
+        z_bins[-1] = np.max(z_max)
+        out = np.empty(nspec, dtype=int)
+        total = 0
+        for zm, zp in zip(z_bins[:-1], z_bins[1:]):
+            ii = np.flatnonzero((z_max > zm) & (z_max <= zp))
+            nthis = min(int(np.floor(ii.size / n * nspec)), nspec - total)
+            if nthis <= 0:
+                continue
+            out[total : total + nthis] = ii[self._rng.integers(0, ii.size, nthis)]
+            total += nthis
+        # fill any remainder (rounding) uniformly
+        if total < nspec:
+            out[total:] = self._rng.integers(0, n, nspec - total)
+        self._resample = out
+
+    def _view(self, arr):
+        return arr[self._resample] if self.do_resample else arr
+
+    def z_min(self, spec=None):
+        z = self._view(self._z_min)
+        return z if spec is None else z[spec]
+
+    def z_max(self, spec=None):
+        z = self._view(self._z_max)
+        return z if spec is None else z[spec]
+
+    def _log_norm_like(self, spec):
+        return self._view(self.log_norm_like)[spec]
+
+    def _p_dla(self):
+        return self._view(self.p_dla)
+
+    # --- filters (calc_cddf.py:283-299) -------------------------------
+
+    def _filter_snr_spectra(self):
+        cond = self._view(self.condition)
+        if self.snrs is None:
+            return cond
+        return (self._view(self.snrs) > self.snr_thresh) & cond
+
+    def filter_dla_spectra(self):
+        return np.flatnonzero(
+            (self._p_dla() > self.p_thresh_spec) & self._filter_snr_spectra()
+        )
+
+    def proximity(self, zqso):
+        return zqso - self.proximity_zone
+
+    def lymanbeta(self, zqso):
+        return (1.0 + zqso) * LYB_OVER_LYA - 1.0
+
+    # --- path length (calc_cddf.py:334-438) ---------------------------
+
+    def path_length(self, z_min: float, z_max: float) -> float:
+        """Total absorption path dX searched within [z_min, z_max]."""
+        assert z_min < z_max
+        keep = self._filter_snr_spectra()
+        max_z = self.z_max()[keep]
+        min_z = self.z_min()[keep]
+        if self.lowzcut:
+            max_z = np.maximum(np.minimum(max_z, self.proximity(max_z)), min_z)
+
+        if not self.filter_noisy_pixels:
+            return self._path.total_path(min_z, max_z, z_min, z_max)
+
+        # noisy-pixel excision: integrate only contiguous good regions
+        pixel_noise = [
+            pn for pn, k in zip(self.pixel_noise, keep) if k
+        ] if not self.do_resample else [
+            self.pixel_noise[i] for i, k in zip(self._resample, keep) if k
+        ]
+        total = 0.0
+        for zmin_s, zmax_s, pn in zip(min_z, max_z, pixel_noise):
+            lo, hi = max(zmin_s, z_min), min(zmax_s, z_max)
+            if hi <= lo:
+                continue
+            pn = np.asarray(pn)
+            if pn.size == 0 or np.all(pn < self.noise_thresh):
+                total += float(self._path(lo, hi))
+                continue
+            zzs = zmin_s + (zmax_s - zmin_s) * np.arange(pn.size) / (pn.size - 1)
+            good = (pn < self.noise_thresh) & (zzs >= lo) & (zzs <= hi)
+            if not good.any():
+                continue
+            # contiguous runs of good pixels
+            edges = np.diff(good.astype(int))
+            starts = np.flatnonzero(edges == 1) + 1
+            ends = np.flatnonzero(edges == -1) + 1
+            if good[0]:
+                starts = np.concatenate([[0], starts])
+            if good[-1]:
+                ends = np.concatenate([ends, [pn.size]])
+            for s_, e_ in zip(starts, ends):
+                total += float(self._path(zzs[s_], zzs[e_ - 1]))
+        return total
+
+    # --- sample bookkeeping (calc_cddf.py:683-692, 724-780) ------------
+
+    def _get_sample_params(self, spec):
+        redshifts = self.z_min(spec) + (
+            self.z_max(spec) - self.z_min(spec)
+        ) * self.z_offsets
+        return self.lnhi_vals, redshifts
+
+    def _split_distributions(
+        self, q_bins, lred, ured, lnhi_min=20.3, lnhi_max=23.0, nhi=False
+    ):
+        """Per bin: exact-list probabilities (p >= p_switch) and the
+        Poisson mean of the small-p tail (calc_cddf.py:724-780)."""
+        nbins = len(q_bins) - 1
+        probs = [[] for _ in range(nbins)]
+        poisson_lists = [[] for _ in range(nbins)]
+        p_dla_all = self._p_dla()
+
+        for spec in self.filter_dla_spectra():
+            lnhi_vals, redshifts = self._get_sample_params(spec)
+            upper_z = ured
+            if self.lowzcut:
+                upper_z = min(self.proximity(self.z_max(spec)), ured)
+            desired = (
+                (lnhi_vals > lnhi_min)
+                & (lnhi_vals < lnhi_max)
+                & (redshifts > lred)
+                & (redshifts < upper_z)
+            )
+            if self.filter_noisy_pixels:
+                pn = np.asarray(
+                    self.pixel_noise[
+                        self._resample[spec] if self.do_resample else spec
+                    ]
+                )
+                if pn.size:
+                    pind = np.clip(
+                        (
+                            (redshifts - self.z_min(spec))
+                            / (self.z_max(spec) - self.z_min(spec))
+                            * pn.size
+                        ).astype(int),
+                        0,
+                        pn.size - 1,
+                    )
+                    desired &= pn[pind] < self.noise_thresh
+            idx = np.flatnonzero(desired)
+            if idx.size == 0:
+                continue
+            p_each = np.exp(self._log_norm_like(spec)[idx]) * p_dla_all[spec]
+            big_enough = p_each > self.p_thresh_sample
+            if not big_enough.any():
+                continue
+            quantity = (lnhi_vals if nhi else redshifts)[idx]
+            for b in range(nbins):
+                sel = (
+                    big_enough
+                    & (quantity > q_bins[b])
+                    & (quantity < q_bins[b + 1])
+                )
+                if not sel.any():
+                    continue
+                p_here = p_each[sel]
+                small = p_here < self.p_switch
+                if small.any():
+                    poisson_lists[b].append(math.fsum(p_here[small]))
+                if (~small).any():
+                    probs[b].append(p_here[~small])
+        poissons = np.array([math.fsum(pl) for pl in poisson_lists])
+        return probs, poissons
+
+    def _get_confidence_intervals(
+        self, q_bins, lred, ured, lnhi_min=20.3, lnhi_max=23.0, nhi=False
+    ):
+        """MAP count + 68/95% intervals per bin (calc_cddf.py:800-827)."""
+        probs, poissons = self._split_distributions(
+            q_bins, lred, ured, lnhi_min=lnhi_min, lnhi_max=lnhi_max, nhi=nhi
+        )
+        maxlikes, levels68, levels95 = [], [], []
+        for pp, pmean in zip(probs, poissons):
+            pdf = poisson_binomial_pdf(pp)
+            pdf_comb, offset = combine_with_poisson(pdf, pmean)
+            maxlike, ll68, ll95 = pdf_confidence(pdf_comb, offset)
+            maxlikes.append(maxlike)
+            levels68.append(ll68)
+            levels95.append(ll95)
+        return maxlikes, levels68, levels95
+
+    # --- the headline statistics --------------------------------------
+
+    def column_density_function(
+        self, z_min=1.0, z_max=6.0, lnhi_nbins=30, lnhi_min=20.0, lnhi_max=23.0
+    ):
+        """f(N) = n_DLA / ΔN / ΔX in log-N bins (calc_cddf.py:440-464).
+
+        Returns (log10 N centers, cddf, cddf68 (nbins, 2), cddf95, xerrs).
+        """
+        l_nhi = np.linspace(lnhi_min, lnhi_max, num=lnhi_nbins + 1)
+        ndlas, l68, l95 = self._get_confidence_intervals(
+            l_nhi, z_min, z_max, lnhi_min=lnhi_min, nhi=True
+        )
+        dX = self.path_length(z_min, z_max)
+        if dX == 0.0:  # no searched path in this z range
+            dX = np.inf
+        dN = 10.0 ** l_nhi[1:] - 10.0 ** l_nhi[:-1]
+        cddf = np.array(ndlas) / dX / dN
+        cddf68 = np.array(l68) / dX / dN[:, None]
+        cddf95 = np.array(l95) / dX / dN[:, None]
+        l_cent = 0.5 * (l_nhi[1:] + l_nhi[:-1])
+        xerrs = (10.0**l_cent - 10.0 ** l_nhi[:-1], 10.0 ** l_nhi[1:] - 10.0**l_cent)
+        return l_cent, cddf, cddf68, cddf95, xerrs
+
+    def line_density(self, z_min=2.0, z_max=4.0):
+        """dN/dX in z bins for N > 10^20.3 (calc_cddf.py:490-507)."""
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        maxlike, l68, l95 = self._get_confidence_intervals(
+            z_bins, z_min, z_max, lnhi_min=20.3, nhi=False
+        )
+        dX = np.array(
+            [self.path_length(zm, zx) for zm, zx in zip(z_bins[:-1], z_bins[1:])]
+        )
+        ii = dX > 0
+        dNdX = np.array(maxlike)[ii] / dX[ii]
+        dndx68 = np.array(l68)[ii] / dX[ii][:, None]
+        dndx95 = np.array(l95)[ii] / dX[ii][:, None]
+        z_cent = 0.5 * (z_bins[1:] + z_bins[:-1])
+        xerrs = (z_cent[ii] - z_bins[:-1][ii], z_bins[1:][ii] - z_cent[ii])
+        return z_cent[ii], dNdX, dndx68, dndx95, xerrs
+
+    def _get_omega_confidence_intervals(
+        self, lnhi_bins, lred, ured, tailprob=5e-4
+    ):
+        """Distribution of total N_HI in a z bin by convolving per-N-bin
+        count PDFs scaled by bin-center N (calc_cddf.py:562-636)."""
+        probs, poissons = self._split_distributions(
+            lnhi_bins, lred, ured, lnhi_min=lnhi_bins[0],
+            lnhi_max=lnhi_bins[-1], nhi=True,
+        )
+        pdf_comb = np.ones(1)
+        nhi_comb = np.zeros(1)
+        nhi_cent = 10.0 ** (0.5 * (lnhi_bins[1:] + lnhi_bins[:-1]))
+        for pp, pmean, nhi_cc in zip(probs, poissons, nhi_cent):
+            pdf = poisson_binomial_pdf(pp)
+            pdf_one, offset_one = combine_with_poisson(pdf, pmean)
+            dlow, dhigh = interval(np.cumsum(pdf_one), 1 - 1e-4)
+            maxr = min(dhigh + 1, np.size(pdf_one))
+            counts = np.arange(dlow, maxr)
+            # outer product: every (existing total, count in this bin) pair
+            pdf_comb = np.ravel(pdf_comb[:, None] * pdf_one[dlow:maxr][None, :])
+            nhi_comb = np.ravel(
+                nhi_comb[:, None] + (offset_one + counts)[None, :] * nhi_cc
+            )
+            order = np.argsort(nhi_comb)
+            nhi_comb = nhi_comb[order]
+            pdf_comb = pdf_comb[order]
+
+            # prune tails below tailprob into single boundary masses
+            cdf = np.cumsum(pdf_comb)
+            t2 = np.flatnonzero(cdf > 1 - tailprob)
+            if t2.size:
+                pdf_comb = np.append(pdf_comb[: t2[0]], math.fsum(pdf_comb[t2]))
+                nhi_comb = np.append(nhi_comb[: t2[0]], np.min(nhi_comb[t2]))
+            t1 = np.flatnonzero(np.cumsum(pdf_comb) < tailprob)
+            if t1.size:
+                pdf_comb = np.insert(
+                    pdf_comb[t1[-1] + 1 :], 0, math.fsum(pdf_comb[t1])
+                )
+                nhi_comb = np.insert(
+                    nhi_comb[t1[-1] + 1 :], 0, np.max(nhi_comb[t1])
+                )
+
+            # merge totals within 0.1% of each other
+            if nhi_comb.size > 2:
+                new_pdf = [pdf_comb[0]]
+                new_nhi = [nhi_comb[0]]
+                i = 1
+                while i < nhi_comb.size - 1:
+                    group = [i]
+                    j = i + 1
+                    while (
+                        j < nhi_comb.size - 1
+                        and nhi_comb[j] / nhi_comb[i] < 1 + 1e-3
+                    ):
+                        group.append(j)
+                        j += 1
+                    new_pdf.append(math.fsum(pdf_comb[group]))
+                    new_nhi.append(float(np.median(nhi_comb[group])))
+                    i = j
+                new_pdf.append(pdf_comb[-1])
+                new_nhi.append(nhi_comb[-1])
+                pdf_comb = np.array(new_pdf)
+                nhi_comb = np.array(new_nhi)
+            total = math.fsum(pdf_comb)
+            assert 0.99 < total < 1.01
+            pdf_comb = pdf_comb / total
+
+        maxlike, l68, l95 = pdf_confidence(pdf_comb, 0)
+        hi95 = min(l95[1], np.size(nhi_comb) - 1)
+        hi68 = min(l68[1], np.size(nhi_comb) - 1)
+        return (
+            nhi_comb[maxlike],
+            (nhi_comb[l68[0]], nhi_comb[hi68]),
+            (nhi_comb[l95[0]], nhi_comb[hi95]),
+        )
+
+    def omega_dla_cddf(self, z_min=2.0, z_max=4.0, hubble=0.7, lnhi_nbins=30):
+        """Omega_DLA(z) by summing the CDDF with full Bayesian errors
+        (calc_cddf.py:521-560)."""
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        conversion = (
+            PROTON_MASS / LIGHT_CMS * H100_PER_S * hubble / rho_crit(hubble)
+        )
+        lnhi_bins = np.linspace(20.3, 23.0, num=int(lnhi_nbins) + 1)
+        omega, om68, om95, z_cent, xerrs = [], [], [], [], []
+        for zz in range(nbins):
+            dX = self.path_length(z_bins[zz], z_bins[zz + 1])
+            if dX == 0.0:
+                continue
+            nhi_like, nhi_68, nhi_95 = self._get_omega_confidence_intervals(
+                lnhi_bins, z_bins[zz], z_bins[zz + 1]
+            )
+            assert nhi_95[0] <= nhi_68[0] <= nhi_like
+            assert nhi_95[1] >= nhi_68[1] >= nhi_like
+            omega.append(conversion * nhi_like / dX)
+            om68.append(np.array(nhi_68) * conversion / dX)
+            om95.append(np.array(nhi_95) * conversion / dX)
+            z_c = 0.5 * (z_bins[zz] + z_bins[zz + 1])
+            z_cent.append(z_c)
+            xerrs.append((z_c - z_bins[zz], z_bins[zz + 1] - z_c))
+        return (
+            np.array(z_cent),
+            np.array(omega),
+            np.array(om68).reshape(-1, 2),
+            np.array(om95).reshape(-1, 2),
+            np.array(xerrs).reshape(-1, 2).T,
+        )
+
+    def _get_z_nhi_hist(
+        self, q_bins, lred, ured, lnhi_min=20.3, lnhi_max=23.0,
+        nhi=False, moment=False,
+    ):
+        """Mean + binomial variance of the (weighted) DLA count per bin
+        (calc_cddf.py:829-870)."""
+        means = np.zeros(np.size(q_bins) - 1)
+        variances = np.zeros_like(means)
+        p_dla_all = self._p_dla()
+        for spec in self.filter_dla_spectra():
+            lnhi_vals, redshifts = self._get_sample_params(spec)
+            idx = np.flatnonzero(
+                (lnhi_vals > lnhi_min)
+                & (lnhi_vals < lnhi_max)
+                & (redshifts > lred)
+                & (redshifts < ured)
+            )
+            if idx.size == 0:
+                continue
+            p_each = np.exp(self._log_norm_like(spec)[idx]) * p_dla_all[spec]
+            weight = 10.0 ** lnhi_vals[idx] if moment else 1.0
+            quantity = (lnhi_vals if nhi else redshifts)[idx]
+            t_hist, _ = np.histogram(quantity, bins=q_bins, weights=weight * p_each)
+            means += t_hist
+            t_var, _ = np.histogram(
+                quantity, bins=q_bins,
+                weights=weight * weight * (1 - p_each) * p_each,
+            )
+            variances += t_var
+        variances += means  # Poisson sampling term (calc_cddf.py:863-869)
+        return means, variances
+
+    def omega_dla(self, z_min=2.0, z_max=4.0, hubble=0.7,
+                  lnhi_max=23.0, lnhi_min=20.3):
+        """Omega_DLA(z) by direct first-moment summation
+        (calc_cddf.py:638-662)."""
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        mean, variance = self._get_z_nhi_hist(
+            z_bins, z_min, z_max, lnhi_min=lnhi_min, lnhi_max=lnhi_max,
+            nhi=False, moment=True,
+        )
+        dX = np.array(
+            [self.path_length(zm, zx) for zm, zx in zip(z_bins[:-1], z_bins[1:])]
+        )
+        conversion = PROTON_MASS * H100_PER_S * hubble / LIGHT_CMS / dX / rho_crit(hubble)
+        omega = mean * conversion
+        err = np.sqrt(variance) * conversion
+        z_cent = 0.5 * (z_bins[1:] + z_bins[:-1])
+        return z_cent, omega, err, z_bins
+
+    def get_sample_errors(self, z_min=2.0, z_max=5.0, nsample=5, seed=0):
+        """Bootstrap error bars on dN/dX and Omega_DLA
+        (calc_cddf.py:186-209)."""
+        dndx_sample, om_sample = [], []
+        for i in range(nsample):
+            self.resample(True, seed=seed + i)
+            _, dNdX, _, _, _ = self.line_density(z_min=z_min, z_max=z_max)
+            _, omega, _, _, _ = self.omega_dla_cddf(
+                z_min=z_min, z_max=z_max, lnhi_nbins=15
+            )
+            dndx_sample.append(dNdX)
+            om_sample.append(1000 * omega)
+        self.resample(False)
+        dndx_sample = np.array(dndx_sample)
+        om_sample = np.array(om_sample)
+        out = {
+            "dndx_median": np.median(dndx_sample, axis=0),
+            "dndx_68": np.array(
+                [np.percentile(dndx_sample, 16, axis=0),
+                 np.percentile(dndx_sample, 84, axis=0)]
+            ),
+            "omega_median": np.median(om_sample, axis=0),
+            "omega_68": np.array(
+                [np.percentile(om_sample, 16, axis=0),
+                 np.percentile(om_sample, 84, axis=0)]
+            ),
+        }
+        return out
+
+    # --- per-spectrum diagnostics (calc_cddf.py:872-903) ---------------
+
+    def find_delta_nhi(self, spec):
+        likes = self._log_norm_like(spec)
+        nvals = self.lnhi_vals[likes > np.max(likes) - 2]
+        return np.max(nvals) - np.min(nvals)
+
+    def find_delta_z(self, spec):
+        likes = self._log_norm_like(spec)
+        zvals = (
+            self.z_min(spec)
+            + (self.z_max(spec) - self.z_min(spec)) * self.z_offsets
+        )[likes > np.max(likes) - 2]
+        return np.max(zvals) - np.min(zvals)
+
+    def find_max_like(self, spec):
+        likes = self._log_norm_like(spec)
+        m = int(np.argmax(likes))
+        lnhi_vals, redshifts = self._get_sample_params(spec)
+        return lnhi_vals[m], redshifts[m]
+
+
+def compute_all_snrs(spectra, indices, min_z_dlas, max_z_dlas) -> np.ndarray:
+    """SNR per processed spectrum (calc_cddf.py:906-934, 957-976).
+
+    Median flux/noise ratio over pixels redward of the Lyα search range
+    (wavelength > 1215.67 (1 + max_z)), with normalized flux floored at
+    0.1 to avoid absorber-driven underestimates.
+
+    Note: the reference floors at ``flux/norm < 0.1 -> norm*0.1``
+    although the stored flux is already normalized (calc_cddf.py:921-923)
+    — a unit quirk; we floor the normalized flux at 0.1 (the behaviour
+    of the reference's own KeyError fallback, :925-926).
+    """
+    snrs = np.empty(len(indices))
+    for row, i in enumerate(indices):
+        w, flux, noise_var, _ = spectra.row(int(i))
+        ipix = w > 1215.67 * (1 + max_z_dlas[row])
+        f = np.array(flux[ipix])
+        nv = np.asarray(noise_var[ipix])
+        if f.size == 0:
+            snrs[row] = -1.0
+            continue
+        f[f < 0.1] = 0.1
+        good = np.isfinite(nv) & (nv > 0)
+        if not good.any():
+            snrs[row] = -1.0
+            continue
+        snrs[row] = 1.0 / np.median(np.sqrt(nv[good]) / np.abs(f[good]))
+    return snrs

@@ -1,0 +1,270 @@
+"""Figure + table-data drivers (CDDF_analysis/make_plots.py rebuild).
+
+Produces the paper figures and the plain-text tables (cddf_*.txt,
+dndx_all.txt, omega_dla_all.txt) that analysis/tables.py turns into
+LaTeX, plus the robustness-check sweeps (p-threshold, SNR cuts, low-z
+proximity cut, z_QSO and path-length splits, bootstrap resampling).
+
+The reference imports two external modules that are not part of its
+repository (``dla_data`` with literature measurements and
+``save_figure``; make_plots.py:9-10).  Overlay data here is injected via
+the ``literature`` argument: a dict mapping label -> (x, y[, yerr])
+arrays, plotted alongside each statistic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "plot_cddf",
+    "plot_line_density",
+    "plot_omega_dla",
+    "do_data_plots",
+    "do_check_p_thresh",
+    "do_snr_check",
+    "do_lowzcut_check",
+    "do_qso_split",
+    "do_length_split",
+]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _overlay(plt, literature):
+    for label, data in (literature or {}).items():
+        if len(data) == 3:
+            plt.errorbar(data[0], data[1], yerr=data[2], fmt="s", label=label)
+        else:
+            plt.plot(data[0], data[1], "--", label=label)
+
+
+def plot_cddf(cat, zmin=1.0, zmax=6.0, label="GP", color=None, moment=False,
+              twosigma=True, literature=None):
+    """Plot f(N) with 68/95% bands (make_plots.py:14-21, calc_cddf.py:466-488)."""
+    plt = _plt()
+    l_N, cddf, cddf68, cddf95, xerrs = cat.column_density_function(
+        z_min=zmin, z_max=zmax
+    )
+    scale = 10.0**l_N if moment else np.ones_like(l_N)
+    if twosigma:
+        plt.fill_between(
+            10.0**l_N, scale * cddf95[:, 0], scale * cddf95[:, 1],
+            color="grey", alpha=0.5,
+        )
+    yerr = (scale * (cddf - cddf68[:, 0]), scale * (cddf68[:, 1] - cddf))
+    ii = cddf68[:, 0] > 0
+    if ii.any():
+        plt.errorbar(
+            10.0 ** l_N[ii], (scale * cddf)[ii],
+            yerr=(yerr[0][ii], yerr[1][ii]),
+            xerr=(xerrs[0][ii], xerrs[1][ii]),
+            fmt="o", label=label, color=color,
+        )
+    i2 = cddf68[:, 0] == 0
+    if i2.any():
+        plt.errorbar(
+            10.0 ** l_N[i2], (scale * cddf)[i2] + yerr[1][i2],
+            yerr=yerr[1][i2] / 2.0, xerr=(xerrs[0][i2], xerrs[1][i2]),
+            fmt="o", uplims=True, color=color, lw=2,
+        )
+    _overlay(plt, literature)
+    plt.xscale("log")
+    plt.yscale("log")
+    plt.xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+    plt.ylabel(r"$f(N_\mathrm{HI})$")
+    return l_N, cddf, cddf68, cddf95
+
+
+def plot_line_density(cat, zmin=2.0, zmax=4.0, label="GP", literature=None):
+    """Plot dN/dX(z) (make_plots.py:46-52, calc_cddf.py:509-519)."""
+    plt = _plt()
+    z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(z_min=zmin, z_max=zmax)
+    fill_x = z_cent.copy()
+    if fill_x.size:
+        fill_x[0] -= xerrs[0][0]
+        fill_x[-1] += xerrs[1][-1]
+        plt.fill_between(fill_x, dndx95[:, 0], dndx95[:, 1], color="grey", alpha=0.5)
+    plt.errorbar(
+        z_cent, dNdX,
+        yerr=(dNdX - dndx68[:, 0], dndx68[:, 1] - dNdX),
+        xerr=xerrs, fmt="o", label=label,
+    )
+    _overlay(plt, literature)
+    plt.xlabel("z")
+    plt.ylabel("dN/dX")
+    plt.xlim(zmin, zmax)
+    return z_cent, dNdX, dndx68, dndx95
+
+
+def plot_omega_dla(cat, zmin=2.0, zmax=4.0, label="GP", twosigma=True,
+                   literature=None):
+    """Plot 10^3 Omega_DLA(z) (make_plots.py:55-67, calc_cddf.py:664-681)."""
+    plt = _plt()
+    z_cent, omega, om68, om95, xerrs = cat.omega_dla_cddf(z_min=zmin, z_max=zmax)
+    fill_x = z_cent.copy()
+    if fill_x.size and twosigma:
+        fill_x[0] -= xerrs[0][0]
+        fill_x[-1] += xerrs[1][-1]
+        plt.fill_between(
+            fill_x, 1000 * om95[:, 0], 1000 * om95[:, 1], color="grey", alpha=0.5
+        )
+    plt.errorbar(
+        z_cent, 1000 * omega,
+        yerr=(1000 * (omega - om68[:, 0]), 1000 * (om68[:, 1] - omega)),
+        xerr=xerrs, fmt="s", label=label,
+    )
+    _overlay(plt, literature)
+    plt.xlabel("z")
+    plt.ylabel(r"$10^3 \times \Omega_\mathrm{DLA}$")
+    plt.xlim(zmin, zmax)
+    return z_cent, 1000 * omega, om68, om95
+
+
+def do_data_plots(cat, subdir, literature=None) -> None:
+    """The main figure/table set (make_plots.py:12-67): all-z CDDF, CDDF
+    moment, per-z-bin CDDF, dN/dX, Omega_DLA; writes the .txt tables."""
+    plt = _plt()
+    subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
+
+    l_N, cddf, cddf68, cddf95 = plot_cddf(cat, zmax=5, literature=literature)
+    np.savetxt(
+        subdir / "cddf_all.txt",
+        (l_N, cddf, cddf68[:, 0], cddf68[:, 1], cddf95[:, 0], cddf95[:, 1]),
+    )
+    plt.xlim(1e20, 1e23)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "cddf_gp.pdf")
+    plt.clf()
+
+    plot_cddf(cat, zmax=5, moment=True)
+    plt.xlim(1e20, 1e23)
+    plt.savefig(subdir / "cddf_moment_gp.pdf")
+    plt.clf()
+
+    for (zlo, zhi, tag) in [(4, 5, "z45"), (3, 4, "z34"),
+                            (2.5, 3, "z253"), (2, 2.5, "z225")]:
+        l_N, cddf, cddf68, cddf95 = plot_cddf(
+            cat, zlo, zhi, label=f"{zlo}-{zhi}"
+        )
+        np.savetxt(
+            subdir / f"cddf_{tag}.txt",
+            (l_N, cddf, cddf68[:, 0], cddf68[:, 1], cddf95[:, 0], cddf95[:, 1]),
+        )
+    plt.xlim(1e20, 1e23)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "cddf_zz_gp.pdf")
+    plt.clf()
+
+    z_cent, dNdX, dndx68, dndx95 = plot_line_density(
+        cat, zmax=5, literature=literature
+    )
+    np.savetxt(
+        subdir / "dndx_all.txt",
+        (z_cent, dNdX, dndx68[:, 0], dndx68[:, 1], dndx95[:, 0], dndx95[:, 1]),
+    )
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp.pdf")
+    plt.clf()
+
+    z_cent, omega_k, om68, om95 = plot_omega_dla(
+        cat, zmax=5, literature=literature
+    )
+    np.savetxt(
+        subdir / "omega_dla_all.txt",
+        (z_cent, omega_k / 1000.0, om68[:, 0], om68[:, 1], om95[:, 0], om95[:, 1]),
+    )
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_gp.pdf")
+    plt.clf()
+
+
+# --- robustness sweeps (make_plots.py:83-168) --------------------------
+
+
+def do_check_p_thresh(cat, subdir) -> None:
+    """Sweep the spectrum p_DLA threshold (make_plots.py:83-94)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    old = cat.p_thresh_spec
+    for thresh in (old, 0.1):
+        cat.p_thresh_spec = thresh
+        plot_line_density(cat, zmax=5, label=f"p > {thresh}")
+    cat.p_thresh_spec = old
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_pthresh.pdf")
+    plt.clf()
+
+
+def do_snr_check(cat, subdir) -> None:
+    """Sweep SNR cuts (make_plots.py:121-147)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    first = cat.snr_thresh
+    for snr in (-2, 2, 4):
+        cat.snr_thresh = snr
+        plot_omega_dla(cat, zmax=5, label=f"SNR > {snr}", twosigma=(snr == -2))
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_gp_snr.pdf")
+    plt.clf()
+    for snr in (-2, 2, 4):
+        cat.snr_thresh = snr
+        plot_line_density(cat, zmax=5, label=f"SNR > {snr}")
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_snr.pdf")
+    plt.clf()
+    cat.snr_thresh = first
+
+
+def do_lowzcut_check(cat, subdir) -> None:
+    """Proximity-zone cut on/off (make_plots.py:149-168)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    old = cat.lowzcut
+    for cut in (True, False):
+        cat.lowzcut = cut
+        plot_omega_dla(cat, zmax=5, label=f"lowzcut={cut}", twosigma=not cut)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_gp_lowz.pdf")
+    plt.clf()
+    cat.lowzcut = old
+
+
+def do_qso_split(cat, subdir, splits=(2.0, 3.0, 3.5, 6.0)) -> None:
+    """Split by quasar redshift via the condition mask
+    (make_plots.py:199-220)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    old = cat.condition.copy()
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        cat.condition = old & (cat._z_max > lo) & (cat._z_max < hi)
+        plot_line_density(cat, zmax=5, label=f"{lo} < z_qso < {hi}")
+    cat.condition = old
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_zqso.pdf")
+    plt.clf()
+
+
+def do_length_split(cat, subdir, splits=(0.0, 0.5, 1.0, 5.0)) -> None:
+    """Split by searched path length (make_plots.py:223-245)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    old = cat.condition.copy()
+    z_diff = cat._z_max - cat._z_min
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        cat.condition = old & (z_diff > lo) & (z_diff < hi)
+        plot_line_density(cat, zmax=5, label=f"{lo} < dz < {hi}")
+    cat.condition = old
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_length.pdf")
+    plt.clf()

@@ -193,6 +193,25 @@ class Pipeline:
         np.savez_compressed(self.workdir / "test_mask.npz", test_mask=test_mask)
         return results
 
+    def run_snrs(
+        self, spectra: RaggedSpectra, results: InferenceResults, test_mask,
+        force: bool = False,
+    ) -> np.ndarray:
+        """SNR per processed spectrum for the analysis layer's cuts
+        (calc_cddf.py compute_all_snrs equivalent)."""
+        path = self.workdir / "snrs.npz"
+        if path.exists() and not force:
+            with np.load(path) as f:
+                return f["snrs"]
+        from .analysis.cddf import compute_all_snrs
+
+        idx = np.flatnonzero(test_mask)
+        snrs = compute_all_snrs(
+            spectra, idx, results.min_z_dlas, results.max_z_dlas
+        )
+        np.savez_compressed(path, snrs=snrs)
+        return snrs
+
     def run_ascii(self, catalog, samples, results, test_mask) -> dict:
         return write_ascii_catalog(
             self.workdir,
@@ -210,6 +229,7 @@ class Pipeline:
         samples = self.run_samples(catalog)
         test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
         results = self.run_inference(catalog, spectra, model, samples, test_mask)
+        self.run_snrs(spectra, results, test_mask)
         paths = self.run_ascii(catalog, samples, results, test_mask)
         summary = {
             "num_quasars": int(len(catalog)),

@@ -1,0 +1,209 @@
+"""Analysis layer: Poisson-binomial machinery vs brute force, path
+lengths vs scipy quadrature, and catalogue statistics on a synthetic
+posterior with known ground truth."""
+
+import itertools
+
+import numpy as np
+import pytest
+from scipy.integrate import quad
+from scipy.stats import poisson
+
+from gp_dla_detection_tpu.analysis.cddf import DLACatalogue
+from gp_dla_detection_tpu.analysis.cosmology import (
+    AbsorptionPath,
+    path_length_integrand,
+    rho_crit,
+)
+from gp_dla_detection_tpu.analysis.pb import (
+    combine_with_poisson,
+    interval,
+    pdf_confidence,
+    poisson_binomial_pdf,
+)
+
+
+def brute_force_pb(p):
+    """Exact Poisson-binomial PDF by enumeration (n <= 20)."""
+    n = len(p)
+    pdf = np.zeros(n + 1)
+    for bits in itertools.product([0, 1], repeat=n):
+        prob = 1.0
+        for b, pi in zip(bits, p):
+            prob *= pi if b else (1 - pi)
+        pdf[sum(bits)] += prob
+    return pdf
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 12])
+def test_poisson_binomial_vs_brute_force(n):
+    rng = np.random.default_rng(n)
+    p = rng.uniform(0.05, 0.95, n)
+    ours = poisson_binomial_pdf(p)
+    exact = brute_force_pb(p)
+    np.testing.assert_allclose(ours, exact, atol=1e-12)
+
+
+def test_poisson_binomial_accepts_list_of_arrays():
+    pdf = poisson_binomial_pdf([np.array([0.5, 0.6]), np.array([0.7])])
+    exact = brute_force_pb([0.5, 0.6, 0.7])
+    np.testing.assert_allclose(pdf, exact, atol=1e-12)
+    np.testing.assert_allclose(poisson_binomial_pdf([]), [1.0])
+
+
+def test_combine_with_poisson_matches_direct_convolution():
+    p = [0.4, 0.8, 0.9]
+    pdf_pb = poisson_binomial_pdf(p)
+    lam = 2.5
+    pdf_comb, offset = combine_with_poisson(pdf_pb, lam)
+    # direct dense convolution
+    N = 60
+    direct = np.zeros(N)
+    for i, pb in enumerate(pdf_pb):
+        direct[i : i + 40] += pb * poisson(lam).pmf(np.arange(40))
+    ours = np.zeros(N)
+    ours[offset : offset + len(pdf_comb)] = pdf_comb
+    np.testing.assert_allclose(ours, direct[:N], atol=2e-4)
+
+
+def test_pdf_confidence_gaussian_like():
+    x = np.arange(101)
+    pdf = np.exp(-0.5 * ((x - 50) / 5.0) ** 2)
+    pdf /= pdf.sum()
+    maxlike, l68, l95 = pdf_confidence(pdf, offset=0)
+    assert abs(maxlike - 50) <= 1
+    assert 4 <= (l68[1] - l68[0]) / 2 <= 7       # ~1 sigma
+    assert 8 <= (l95[1] - l95[0]) / 2 <= 12      # ~2 sigma
+
+
+def test_interval_point_mass():
+    assert interval(np.array([1.0]), 0.68, offset=3) == (3, 3)
+
+
+def test_absorption_path_vs_quad():
+    path = AbsorptionPath()
+    for z1, z2 in [(2.0, 2.5), (0.1, 5.0), (3.3, 3.31)]:
+        exact, _ = quad(path_length_integrand, z1, z2)
+        assert abs(path(z1, z2) - exact) < 1e-8 * max(exact, 1.0)
+    # vectorized total with clamping
+    total = path.total_path([1.0, 2.0], [3.0, 4.0], 2.5, 3.5)
+    e1, _ = quad(path_length_integrand, 2.5, 3.0)
+    e2, _ = quad(path_length_integrand, 2.5, 3.5)
+    assert abs(total - (e1 + e2)) < 1e-8
+
+
+def test_rho_crit_value():
+    # ~9.2e-30 g/cm^3 for h=0.7
+    assert 9e-30 < rho_crit(0.7) < 9.5e-30
+
+
+def make_synthetic_catalogue(
+    n_certain=30, n_empty=200, n_weak=50, p_weak=0.1, S=400, seed=0
+):
+    """Spectra with posteriors concentrated at known (z, logN) samples.
+
+    - n_certain spectra with p_dla = 1 and posterior mass on a single
+      sample at logN = 20.85, z mid-range.
+    - n_weak spectra with p_dla = p_weak (same sample).
+    - n_empty spectra with p_dla ~ 0.
+    Expected DLA count = n_certain + n_weak * p_weak.
+    """
+    rng = np.random.default_rng(seed)
+    n = n_certain + n_empty + n_weak
+    z_min = np.full(n, 2.0)
+    z_max = np.full(n, 3.0)
+    offsets = rng.uniform(size=S)
+    lnhi = rng.uniform(20.0, 22.5, S)
+    # target sample: force sample 0 to (offset 0.5 -> z=2.5, logN 20.8)
+    offsets[0] = 0.55  # z = 2.55 (off bin edges)
+    lnhi[0] = 20.85  # off CDDF bin edges
+
+    # log likelihoods: concentrated on sample 0
+    sll = np.full((n, S), -200.0)
+    sll[:, 0] = 0.0
+    # log evidence consistent with normalization: sum_s exp(sll - ll - logS) = 1
+    ll_dla = np.log(np.sum(np.exp(sll - np.log(S)), axis=1))
+
+    p_dla = np.concatenate(
+        [
+            np.ones(n_certain) * 0.999999,
+            np.full(n_empty, 1e-8),
+            np.full(n_weak, p_weak),
+        ]
+    )
+    return DLACatalogue(
+        p_dla, z_min, z_max, sll, ll_dla, offsets, lnhi, snrs=None
+    )
+
+
+def test_line_density_recovers_expected_count():
+    cat = make_synthetic_catalogue()
+    # all mass at z=2.55, logN=20.85 -> expected 30 + 50*0.1 = 35 DLAs
+    z_cent, dNdX, dndx68, dndx95, _ = cat.line_density(z_min=2.0, z_max=3.0)
+    # find the bin containing z=2.5
+    path = AbsorptionPath()
+    nbins = len(z_cent)
+    z_bins = np.linspace(2.0, 3.0, nbins + 1)
+    b = np.searchsorted(z_bins, 2.55) - 1
+    dX_bin = 280 * path(max(z_bins[b], 2.0), min(z_bins[b + 1], 3.0))
+    expected = 35.0 / dX_bin
+    assert abs(dNdX[b] - expected) / expected < 0.1
+    # other bins are empty
+    for j in range(nbins):
+        if j != b:
+            assert dNdX[j] == 0.0
+    # intervals bracket the estimate
+    assert dndx95[b, 0] <= dNdX[b] <= dndx95[b, 1]
+
+
+def test_cddf_mass_in_right_bin():
+    cat = make_synthetic_catalogue()
+    l_cent, cddf, cddf68, cddf95, _ = cat.column_density_function(
+        z_min=2.0, z_max=3.0, lnhi_nbins=30, lnhi_min=20.0, lnhi_max=23.0
+    )
+    b = np.argmin(np.abs(l_cent - 20.85))
+    assert cddf[b] > 0
+    off_bins = np.flatnonzero(np.abs(l_cent - 20.85) > 0.2)
+    assert np.all(cddf[off_bins] == 0)
+
+
+def test_omega_estimators_agree():
+    cat = make_synthetic_catalogue()
+    z_c1, om_cddf, om68, om95, _ = cat.omega_dla_cddf(z_min=2.0, z_max=3.0)
+    z_c2, om_direct, err, _ = cat.omega_dla(z_min=2.0, z_max=3.0)
+    b = np.argmin(np.abs(z_c1 - 2.55))
+    b2 = np.argmin(np.abs(z_c2 - 2.55))
+    assert om_cddf[b] > 0 and om_direct[b2] > 0
+    # the CDDF-summed and direct-moment estimates agree to ~bin effects
+    assert abs(om_cddf[b] - om_direct[b2]) / om_direct[b2] < 0.2
+    assert om95[b, 0] <= om_cddf[b] <= om95[b, 1]
+
+
+def test_snr_filter_and_condition():
+    cat = make_synthetic_catalogue()
+    cat.snrs = np.full(cat.p_dla.size, 10.0)
+    cat.snrs[:10] = 0.5  # kill 10 of the certain spectra
+    cat.snr_thresh = 1.0
+    z_cent, dNdX, _, _, _ = cat.line_density(z_min=2.0, z_max=3.0)
+    b = np.argmax(dNdX)
+    # expected count drops from 35 to 25
+    path = AbsorptionPath()
+    nbins = len(z_cent)
+    z_bins = np.linspace(2.0, 3.0, nbins + 1)
+    dX_bin = 270 * path(z_bins[b], z_bins[b + 1])  # 280 - 10 sightlines
+    assert abs(dNdX[b] - 25.0 / dX_bin) / (25.0 / dX_bin) < 0.1
+
+
+def test_bootstrap_runs():
+    cat = make_synthetic_catalogue(n_certain=20, n_empty=100, n_weak=20)
+    out = cat.get_sample_errors(z_min=2.0, z_max=3.0, nsample=3, seed=1)
+    assert out["dndx_median"].shape == out["dndx_68"].shape[1:]
+    assert np.all(out["omega_68"][0] <= out["omega_68"][1] + 1e-12)
+
+
+def test_find_max_like_and_deltas():
+    cat = make_synthetic_catalogue()
+    lnhi, z = cat.find_max_like(0)
+    assert abs(lnhi - 20.85) < 1e-12 and abs(z - 2.55) < 1e-12
+    assert cat.find_delta_nhi(0) == 0.0
+    assert cat.find_delta_z(0) == 0.0

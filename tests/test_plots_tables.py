@@ -1,0 +1,62 @@
+"""Plot/table drivers run end-to-end on the synthetic catalogue."""
+
+import numpy as np
+
+from gp_dla_detection_tpu.analysis.plots import (
+    do_check_p_thresh,
+    do_data_plots,
+    do_qso_split,
+    do_snr_check,
+)
+from gp_dla_detection_tpu.analysis.tables import (
+    format_latex_num,
+    format_latex_two_num,
+    print_all_tables,
+)
+
+from test_analysis import make_synthetic_catalogue
+
+
+def test_do_data_plots_writes_tables(tmp_path, capsys):
+    cat = make_synthetic_catalogue(n_certain=15, n_empty=80, n_weak=20)
+    do_data_plots(cat, tmp_path)
+
+    for name in (
+        "cddf_all.txt", "cddf_z225.txt", "cddf_z253.txt", "cddf_z34.txt",
+        "cddf_z45.txt", "dndx_all.txt", "omega_dla_all.txt",
+        "cddf_gp.pdf", "dndx_gp.pdf", "omega_gp.pdf", "cddf_zz_gp.pdf",
+        "cddf_moment_gp.pdf",
+    ):
+        assert (tmp_path / name).exists(), name
+
+    cddf = np.loadtxt(tmp_path / "cddf_all.txt")
+    assert cddf.shape[0] == 6  # x, value, 68lo, 68hi, 95lo, 95hi
+    dndx = np.loadtxt(tmp_path / "dndx_all.txt")
+    assert np.all(dndx[4] <= dndx[2] + 1e-30)  # 95lo <= 68lo
+
+    # LaTeX tables from the txt files
+    text = print_all_tables(tmp_path)
+    capsys.readouterr()
+    assert "\\begin{table*}" in text
+    assert "dN/dX" in text and "Omega" in text
+    assert text.count("\\end{table*}") >= 3
+
+
+def test_robustness_sweeps_run(tmp_path):
+    cat = make_synthetic_catalogue(n_certain=10, n_empty=60, n_weak=10)
+    cat.snrs = np.full(cat.p_dla.size, 5.0)
+    do_check_p_thresh(cat, tmp_path)
+    do_snr_check(cat, tmp_path)
+    do_qso_split(cat, tmp_path, splits=(2.5, 3.5))
+    assert (tmp_path / "dndx_gp_pthresh.pdf").exists()
+    assert (tmp_path / "omega_gp_snr.pdf").exists()
+    assert (tmp_path / "dndx_gp_zqso.pdf").exists()
+
+
+def test_latex_formatting():
+    assert format_latex_num(0.0) == "$0$"
+    assert "10^{ 4 }" in format_latex_num(31000.0)
+    assert format_latex_num(0.5, prec=2) == "$ 0.50 $"
+    s = format_latex_two_num(1e-22, 3e-22)
+    assert "10^{ -22 }" in s
+    assert format_latex_two_num(1.0, 2.0, prec=1) == "$ 1.0 - 2.0 $"
