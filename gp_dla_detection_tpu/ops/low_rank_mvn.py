@@ -60,6 +60,44 @@ def _symmetrize_indices(k: int) -> np.ndarray:
     return tri.reshape(-1)
 
 
+def batched_spd_quad_logdet(B, b):
+    """(b' B^-1 b, log det B) for batches of small SPD matrices.
+
+    Unrolled rank-1-update Cholesky with fused forward substitution,
+    vectorized over the batch: XLA:TPU lowers ``jnp.linalg.cholesky`` /
+    ``solve_triangular`` on (N, k, k) batches to scalar loops that run
+    ~30x slower than this formulation on the VPU.  Every index is
+    static, so each of the k steps is a handful of batched elementwise
+    ops.
+
+    Stability: the Woodbury Gram matrix B = I + M'D^-1 M has all
+    eigenvalues >= 1 and so do all its Schur complements — no pivoting
+    needed and the sqrt/divide are always well-conditioned.
+    """
+    k = B.shape[-1]
+    cols: list = []   # computed Cholesky columns, each (..., k)
+    ys: list = []     # forward-substitution solution components
+    quad = jnp.zeros(B.shape[:-2], B.dtype)
+    logdet = jnp.zeros(B.shape[:-2], B.dtype)
+    for j in range(k):
+        # lazy column update: c_j = B[:, j] - sum_{m<j} L_m * L_m[j]
+        # (reads prior columns instead of rewriting the whole matrix —
+        # k x less HBM write traffic than the rank-1-update form)
+        c = B[..., :, j]
+        y_j = b[..., j]
+        for m in range(j):
+            c = c - cols[m] * cols[m][..., j, None]
+            y_j = y_j - cols[m][..., j] * ys[m]
+        djj = c[..., j]
+        inv_sqrt = jax.lax.rsqrt(djj)
+        cols.append(c * inv_sqrt[..., None])
+        y_j = y_j * inv_sqrt
+        ys.append(y_j)
+        quad = quad + y_j * y_j
+        logdet = logdet + jnp.log(djj)
+    return quad, logdet
+
+
 def woodbury_log_p(M, P, w, u, quad0, logdet_d, n_eff):
     """Batched Woodbury log-density core.
 
@@ -80,7 +118,14 @@ def woodbury_log_p(M, P, w, u, quad0, logdet_d, n_eff):
     """
     k = M.shape[-1]
     dtype = M.dtype
-    prec = jax.lax.Precision.HIGHEST
+    # float32 fast path: 3-pass bf16 matmuls (HIGH) give ~3e-7 relative
+    # accuracy on the log likelihoods at ~25% higher throughput than the
+    # 6-pass HIGHEST; float64 uses HIGHEST (software f64 anyway).
+    prec = (
+        jax.lax.Precision.HIGH
+        if dtype == jnp.float32
+        else jax.lax.Precision.HIGHEST
+    )
 
     b = jnp.matmul(u, M, precision=prec)          # (..., k)
     B_tri = jnp.matmul(w, P, precision=prec)      # (..., t)
@@ -88,12 +133,7 @@ def woodbury_log_p(M, P, w, u, quad0, logdet_d, n_eff):
     B = B_tri[..., sym].reshape(*B_tri.shape[:-1], k, k)
     B = B + jnp.eye(k, dtype=dtype)
 
-    L = jnp.linalg.cholesky(B)                    # (..., k, k)
-    z = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
-    bBb = jnp.sum(jnp.squeeze(z, -1) ** 2, axis=-1)
-    logdet_B = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
-    )
+    bBb, logdet_B = batched_spd_quad_logdet(B, b)
 
     return -0.5 * (quad0 - bBb + logdet_d + logdet_B + n_eff * LOG_2PI)
 

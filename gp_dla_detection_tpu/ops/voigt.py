@@ -57,6 +57,7 @@ def voigt_absorption(
     num_lines: int = 3,
     instrument: InstrumentParams | None = None,
     broaden: bool = True,
+    fast: bool | None = None,
 ):
     """Absorption profile(s) of DLA(s) at (z_dla, nhi).
 
@@ -70,6 +71,9 @@ def voigt_absorption(
       instrument: BOSS instrument model; default :class:`InstrumentParams`.
       broaden: apply instrumental broadening (and drop 2*width edge
         pixels) as the reference always does.
+      fast: use the ~6x cheaper small-y Faddeeva fast path (~6e-6 rel
+        accuracy).  Default (None): fast for float32 inputs (where fp32
+        roundoff dominates anyway), accurate for float64.
 
     Returns:
       (n - 2*width,) for scalar samples, else (S, n - 2*width).
@@ -93,7 +97,11 @@ def voigt_absorption(
 
     # Accumulate -tau/N over the (static) line loop; the sample and pixel
     # axes broadcast, so each line adds one fused elementwise pass.
-    from .faddeeva import wofz_real
+    from .faddeeva import wofz_real, wofz_real_fast
+
+    if fast is None:
+        fast = dtype == jnp.float32
+    wofz_fn = wofz_real_fast if fast else wofz_real
 
     total = jnp.zeros((z.shape[0], wavelengths.shape[-1]), dtype)
     for j in range(num_lines):
@@ -106,7 +114,7 @@ def voigt_absorption(
         velocity = wavelengths[None, :] * multiplier - c
         x = velocity * inv_sqrt2_sigma
         y = gamma_j * inv_sqrt2_sigma
-        total = total - (lead_j * voigt_norm) * wofz_real(
+        total = total - (lead_j * voigt_norm) * wofz_fn(
             x, jnp.broadcast_to(y, x.shape)
         )
 

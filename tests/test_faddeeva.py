@@ -60,3 +60,28 @@ def test_float32_mode_reasonable():
     assert ours.dtype == np.float32
     exact = wofz(x.astype(np.float64) + 1j * float(LINE_YS[0])).real
     assert rel_err(ours.astype(np.float64), exact) < 5e-4
+
+
+def test_wofz_real_fast_accuracy():
+    """Fast path: <1e-5 relative at all Lyman-series y values (f64 eval)."""
+    from gp_dla_detection_tpu.ops.faddeeva import wofz_real_fast
+
+    x = np.concatenate(
+        [np.linspace(0.0, 10.0, 20001), 10 ** np.linspace(1.0, 4.2, 3001)]
+    )
+    for y in LINE_YS[[0, 1, 2, 30]]:
+        exact = wofz(x + 1j * y).real
+        ours = np.asarray(wofz_real_fast(x, np.full_like(x, y)))
+        assert rel_err(ours, exact) < 1e-5
+
+
+def test_voigt_absorption_fast_close_to_accurate():
+    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+
+    lam = 10 ** (np.log10(3500.0) + 1e-4 * np.arange(900))
+    rng = np.random.default_rng(3)
+    z = rng.uniform(1.9, 2.4, 6)
+    nhi = 10 ** rng.uniform(20, 22.5, 6)
+    acc = np.asarray(voigt_absorption(lam, z, nhi, fast=False))
+    fastp = np.asarray(voigt_absorption(lam, z, nhi, fast=True))
+    assert np.max(np.abs(acc - fastp)) < 2e-5
