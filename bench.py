@@ -24,7 +24,8 @@ BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
 def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
-         k: int = 20, sample_chunk: int = 2500, iters: int = 3) -> None:
+         k: int = 20, sample_chunk: int = 2500, iters: int = 3,
+         backend: str = "xla") -> None:
     import jax
 
     from gp_dla_detection_tpu.inference import batch_log_likelihoods
@@ -93,5 +94,7 @@ if __name__ == "__main__":
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--sample-chunk", type=int, default=2500)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     a = p.parse_args()
-    main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters)
+    main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters,
+         a.backend)

@@ -210,6 +210,15 @@ def spectrum_log_likelihoods(
     )
 
     num_samples = offsets.shape[0]
+    if num_samples == 0:
+        # prep-only mode (the pallas backend computes sample evidences
+        # itself): skip the sample loop entirely
+        return {
+            "log_likelihood_no_dla": log_likelihood_no_dla,
+            "sample_log_likelihoods_dla": jnp.zeros((0,), dtype),
+            "min_z_dla": min_z_dla,
+            "max_z_dla": max_z_dla,
+        }
     pad = (-num_samples) % sample_chunk
     z_pad = jnp.concatenate([z_dlas, jnp.full((pad,), z_dlas[0], dtype)])
     n_pad = jnp.concatenate([nhis, jnp.full((pad,), nhis[0], dtype)])
@@ -243,7 +252,7 @@ def spectrum_log_likelihoods(
 
 @partial(
     jax.jit,
-    static_argnames=("params", "sample_chunk"),
+    static_argnames=("params", "sample_chunk", "backend"),
 )
 def batch_log_likelihoods(
     wavelengths,
@@ -263,27 +272,113 @@ def batch_log_likelihoods(
     *,
     params: Parameters,
     sample_chunk: int = 1000,
+    backend: str = "xla",
 ):
-    """vmapped batch version of :func:`spectrum_log_likelihoods`."""
-    fn = lambda w, f, n, m, z: spectrum_log_likelihoods(
-        w,
-        f,
-        n,
-        m,
-        z,
-        model_grid,
-        model_mu,
-        model_M,
-        model_log_omega,
-        log_c_0,
-        log_tau_0,
-        log_beta,
-        offset_samples,
-        nhi_samples,
-        params,
-        sample_chunk,
+    """vmapped batch version of :func:`spectrum_log_likelihoods`.
+
+    backend="xla": lax.map over sample chunks (any dtype, any device).
+    backend="pallas": the fused TPU kernel in ops/evidence_pallas.py for
+    the per-sample evidences (float32); null model and search ranges
+    still go through the XLA path.
+    """
+    if backend == "xla":
+        fn = lambda w, f, n, m, z: spectrum_log_likelihoods(
+            w,
+            f,
+            n,
+            m,
+            z,
+            model_grid,
+            model_mu,
+            model_M,
+            model_log_omega,
+            log_c_0,
+            log_tau_0,
+            log_beta,
+            offset_samples,
+            nhi_samples,
+            params,
+            sample_chunk,
+        )
+        return jax.vmap(fn)(wavelengths, flux, noise_variance, mask, z_qso)
+
+    if backend not in ("pallas", "pallas_interpret"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    from .ops.evidence_pallas import pallas_sample_log_likelihoods
+
+    def prepare(w, f, n, m, z):
+        out = spectrum_log_likelihoods(
+            w, f, n, m, z,
+            model_grid, model_mu, model_M, model_log_omega,
+            log_c_0, log_tau_0, log_beta,
+            # skip the sample loop: evaluate zero samples in XLA
+            offset_samples[:0], nhi_samples[:0],
+            params, 1,
+        )
+        dtype = f.dtype
+        rest = w.astype(dtype) / (1.0 + z)
+        from .ops.interp import interp1, interp_columns
+
+        grid = jnp.asarray(model_grid, dtype)
+        mu = interp1(grid, jnp.asarray(model_mu, dtype), rest)
+        M = interp_columns(grid, jnp.asarray(model_M, dtype), rest)
+        log_omega = interp1(grid, jnp.asarray(model_log_omega, dtype), rest)
+        lya_zs = (w - LYA_WAVELENGTH) / LYA_WAVELENGTH
+        tau_0 = jnp.exp(jnp.asarray(log_tau_0, dtype))
+        beta = jnp.exp(jnp.asarray(log_beta, dtype))
+        c_0 = jnp.exp(jnp.asarray(log_c_0, dtype))
+        scaling = 1.0 - jnp.exp(-tau_0 * (1.0 + lya_zs) ** beta) + c_0
+        omega2 = jnp.exp(2.0 * log_omega) * scaling**2
+        nm = params.null_model
+        valid = m & (rest >= nm.min_lambda) & (rest <= nm.max_lambda)
+        ext = _extend_wavelengths(
+            w.astype(dtype),
+            params.instrument.width,
+            params.instrument.pixel_spacing,
+        )
+        z_dlas = out["min_z_dla"] + (
+            out["max_z_dla"] - out["min_z_dla"]
+        ) * jnp.asarray(offset_samples, dtype)
+        return (
+            out["log_likelihood_no_dla"],
+            out["min_z_dla"],
+            out["max_z_dla"],
+            mu,
+            M,
+            omega2,
+            valid,
+            ext,
+            z_dlas,
+        )
+
+    (null_ll, min_z, max_z, mu_b, M_b, omega2_b, valid_b, ext_b, z_b) = (
+        jax.vmap(prepare)(wavelengths, flux, noise_variance, mask, z_qso)
     )
-    return jax.vmap(fn)(wavelengths, flux, noise_variance, mask, z_qso)
+    nhi_b = jnp.broadcast_to(
+        jnp.asarray(nhi_samples, flux.dtype)[None, :],
+        (flux.shape[0], len(nhi_samples)),
+    )
+    sample_lls = pallas_sample_log_likelihoods(
+        ext_b,
+        flux,
+        mu_b,
+        M_b,
+        omega2_b,
+        noise_variance,
+        valid_b,
+        z_b,
+        nhi_b,
+        num_lines=params.num_lines,
+        instrument=params.instrument,
+        interpret=(backend == "pallas_interpret"),
+    )
+    return {
+        "log_likelihood_no_dla": null_ll,
+        "sample_log_likelihoods_dla": sample_lls,
+        "min_z_dla": min_z,
+        "max_z_dla": max_z,
+    }
 
 
 # ---------------------------------------------------------------------------

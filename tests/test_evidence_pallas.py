@@ -1,0 +1,96 @@
+"""Fused Pallas evidence kernel vs the XLA reference path (interpret
+mode on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gp_dla_detection_tpu.inference import PaddedSpectra, batch_log_likelihoods
+from gp_dla_detection_tpu.models.qso_model import GPModel
+from gp_dla_detection_tpu.params import NullModelParams, Parameters
+
+
+def make_problem(B=2, P=384, S=160, k=5, seed=0):
+    rng = np.random.default_rng(seed)
+    params = Parameters(null_model=NullModelParams(k=k))
+    grid = params.null_model.rest_wavelengths()
+    model = GPModel(
+        rest_wavelengths=grid,
+        mu=1.0 + 0.1 * np.sin(grid / 40),
+        M=rng.normal(size=(grid.size, k)) * 0.08,
+        log_omega=np.log(0.2 + 0 * grid),
+        log_c_0=np.log(0.1),
+        log_tau_0=np.log(0.0023),
+        log_beta=np.log(3.65),
+    )
+    z = rng.uniform(2.6, 3.2, B)
+    lam = np.stack(
+        [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(P)) for zz in z]
+    )
+    mask = rng.uniform(size=(B, P)) > 0.05
+    spectra = PaddedSpectra(
+        lam,
+        rng.normal(1, 0.3, (B, P)),
+        rng.uniform(0.05, 0.2, (B, P)),
+        mask,
+        z,
+    )
+    offsets = rng.uniform(size=S)
+    nhis = 10 ** rng.uniform(20, 22, S)
+    return params, model, spectra, offsets, nhis
+
+
+def run(backend, params, model, spectra, offsets, nhis, dtype=np.float32):
+    args = (
+        jnp.asarray(spectra.wavelengths, dtype),
+        jnp.asarray(spectra.flux, dtype),
+        jnp.asarray(spectra.noise_variance, dtype),
+        jnp.asarray(spectra.mask),
+        jnp.asarray(spectra.z_qso, dtype),
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets, dtype),
+        jnp.asarray(nhis, dtype),
+    )
+    return batch_log_likelihoods(
+        *args, params=params, sample_chunk=32, backend=backend
+    )
+
+
+def test_pallas_matches_xla_f32():
+    prob = make_problem()
+    out_xla = run("xla", *prob)
+    out_pl = run("pallas_interpret", *prob)
+
+    a = np.asarray(out_xla["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(out_pl["sample_log_likelihoods_dla"], np.float64)
+    assert a.shape == b.shape
+    # both are float32 paths; differences are fp32 accumulation order
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-5
+
+    np.testing.assert_allclose(
+        np.asarray(out_pl["log_likelihood_no_dla"]),
+        np.asarray(out_xla["log_likelihood_no_dla"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl["min_z_dla"]), np.asarray(out_xla["min_z_dla"])
+    )
+
+
+def test_pallas_nondivisible_sample_count():
+    # S=160 is not a multiple of the 128-lane tile: padding must not
+    # corrupt results (compare against a directly padded run)
+    prob = make_problem(S=130)
+    out_xla = run("xla", *prob)
+    out_pl = run("pallas_interpret", *prob)
+    a = np.asarray(out_xla["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(out_pl["sample_log_likelihoods_dla"], np.float64)
+    assert b.shape == (2, 130)
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-5
