@@ -1,0 +1,113 @@
+"""ctypes bindings for the native C++ bulk FITS loader.
+
+The reference's preload stage is a sequential MATLAB loop over ~162k
+FITS files (preload_qsos.m:18-71) — pure host I/O.  native/gpdla_io.cc
+replaces it with a multithreaded C++ parser; this module loads (and, if
+necessary, builds) the shared library and exposes
+:func:`read_spec_batch`.  Everything degrades gracefully to the pure
+numpy reader in io/fits.py when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["native_available", "read_spec_batch", "load_library"]
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libgpdla_io.so"
+_lib = None
+_lib_error: str | None = None
+
+
+def load_library(rebuild: bool = False):
+    """Load (building on first use) the native library; None on failure."""
+    global _lib, _lib_error
+    if _lib is not None and not rebuild:
+        return _lib
+    try:
+        if rebuild or not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True, text=True,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.gpdla_read_spec_batch.restype = ctypes.c_int
+        lib.gpdla_read_spec_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.gpdla_version.restype = ctypes.c_char_p
+        _lib = lib
+        _lib_error = None
+    except (OSError, subprocess.CalledProcessError) as e:
+        _lib = None
+        _lib_error = str(e)
+    return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def read_spec_batch(
+    paths: list[str | Path],
+    max_pixels: int = 8192,
+    n_threads: int = 0,
+):
+    """Read many speclite FITS files in parallel (read_spec semantics).
+
+    Returns (wavelengths, flux, noise_variance, pixel_mask, lengths):
+    (N, max_pixels) float64/bool arrays + (N,) int32 valid pixel counts
+    (< 0 where a file failed to parse).
+    """
+    lib = load_library()
+    n = len(paths)
+    wavelengths = np.empty((n, max_pixels), np.float64)
+    flux = np.empty((n, max_pixels), np.float64)
+    noise = np.empty((n, max_pixels), np.float64)
+    mask = np.empty((n, max_pixels), np.uint8)
+    lengths = np.empty(n, np.int32)
+
+    if lib is None:
+        # pure-python fallback
+        from ..spectra import read_spec
+
+        for i, p in enumerate(paths):
+            try:
+                w, f, nv, pm = read_spec(p)
+                m = min(len(w), max_pixels)
+                wavelengths[i, :m] = w[:m]
+                flux[i, :m] = f[:m]
+                noise[i, :m] = nv[:m]
+                mask[i, :m] = pm[:m]
+                lengths[i] = m
+            except Exception:
+                lengths[i] = -1
+        return wavelengths, flux, noise, mask.astype(bool), lengths
+
+    encoded = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    lib.gpdla_read_spec_batch(
+        arr,
+        n,
+        max_pixels,
+        n_threads,
+        wavelengths.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flux.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        noise.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return wavelengths, flux, noise, mask.astype(bool), lengths

@@ -187,6 +187,8 @@ def preload_qsos(
     params: Parameters | None = None,
     file_loader=None,
     progress: bool = False,
+    use_native: bool = True,
+    max_pixels: int = 8192,
 ) -> RaggedSpectra:
     """Load, normalize, filter, and truncate all catalog spectra
     (preload_qsos.m:18-83).
@@ -203,11 +205,44 @@ def preload_qsos(
     if params is None:
         params = Parameters()
 
+    native_loader = None
     if file_loader is None:
         base = params.spectra_directory("dr12q")
 
-        def file_loader(plate, mjd, fiber_id):
-            return read_spec(base / f"spec-{plate}-{mjd}-{fiber_id:04d}.fits")
+        if use_native:
+            # bulk-parse every needed file up front with the
+            # multithreaded C++ loader (native/gpdla_io.cc), replacing
+            # the reference's sequential 162k-file loop; read_spec_batch
+            # falls back to the numpy reader when no compiler exists
+            from .io.native import read_spec_batch
+
+            todo = np.flatnonzero(np.asarray(catalog.filter_flags) == 0)
+            paths = [
+                base
+                / (
+                    f"spec-{catalog.plates[i]}-{catalog.mjds[i]}"
+                    f"-{catalog.fiber_ids[i]:04d}.fits"
+                )
+                for i in todo
+            ]
+            w_b, f_b, n_b, m_b, len_b = read_spec_batch(
+                paths, max_pixels=max_pixels
+            )
+            row_of = {int(q): r for r, q in enumerate(todo)}
+
+            def native_loader(i):
+                r = row_of[i]
+                L = int(len_b[r])
+                if L < 0:
+                    raise FileNotFoundError(paths[r])
+                return w_b[r, :L], f_b[r, :L], n_b[r, :L], m_b[r, :L]
+
+        else:
+
+            def file_loader(plate, mjd, fiber_id):
+                return read_spec(
+                    base / f"spec-{plate}-{mjd}-{fiber_id:04d}.fits"
+                )
 
     num_quasars = len(catalog.z_qsos)
     waves, fluxes, noises, masks = [], [], [], []
@@ -221,9 +256,12 @@ def preload_qsos(
             masks.append(np.empty(0, bool))
             continue
 
-        wavelengths, flux, noise_variance, pixel_mask = file_loader(
-            catalog.plates[i], catalog.mjds[i], catalog.fiber_ids[i]
-        )
+        if native_loader is not None:
+            wavelengths, flux, noise_variance, pixel_mask = native_loader(i)
+        else:
+            wavelengths, flux, noise_variance, pixel_mask = file_loader(
+                catalog.plates[i], catalog.mjds[i], catalog.fiber_ids[i]
+            )
         rest = emitted_wavelengths(wavelengths, catalog.z_qsos[i])
 
         # normalize by median flux in the normalization range
