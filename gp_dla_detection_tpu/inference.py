@@ -532,6 +532,17 @@ def process_spectra(
             print(f"processed {stop}/{n} spectra", flush=True)
 
     post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
+    from .utils import debug_print
+
+    for i in range(n):  # fprintf_debug equivalents (process_qsos.m:134-217)
+        debug_print(
+            "quasar %d: log p(D|no DLA) = %0.2f, log p(D|DLA) = %0.2f, "
+            "p(DLA|D) = %0.4f",
+            i,
+            out_null[i],
+            post["log_likelihoods_dla"][i],
+            post["p_dlas"][i],
+        )
     return InferenceResults(
         min_z_dlas=out_min_z,
         max_z_dlas=out_max_z,

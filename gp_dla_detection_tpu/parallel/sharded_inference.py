@@ -128,6 +128,9 @@ def process_spectra_sharded(
     out_min_z = np.empty(n)
     out_max_z = np.empty(n)
 
+    from ..utils import ProgressMeter
+
+    meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
     for bi, start in enumerate(batch_starts):
         stop = min(start + super_batch, n)
@@ -180,8 +183,8 @@ def process_spectra_sharded(
                     }
                 )
             )
-        if progress:
-            print(f"[sharded] batch {bi + 1}/{len(batch_starts)} done", flush=True)
+        if meter is not None:
+            meter.update(stop - start)
 
     post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
     return InferenceResults(
