@@ -25,10 +25,13 @@ BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
          k: int = 20, sample_chunk: int = 2500, iters: int = 3,
-         backend: str = "xla") -> None:
+         backend: str = "xla", windowed: bool = False) -> None:
     import jax
 
-    from gp_dla_detection_tpu.inference import batch_log_likelihoods
+    from gp_dla_detection_tpu.inference import (
+        batch_log_likelihoods,
+        compute_sample_window,
+    )
     from gp_dla_detection_tpu.params import NullModelParams, Parameters
 
     rng = np.random.default_rng(0)
@@ -95,6 +98,7 @@ if __name__ == "__main__":
     p.add_argument("--sample-chunk", type=int, default=2500)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--windowed", action="store_true")
     a = p.parse_args()
     main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters,
-         a.backend)
+         a.backend, a.windowed)

@@ -136,6 +136,24 @@ def _extend_wavelengths(wavelengths, width: int, pixel_spacing: float):
     return jnp.concatenate([left, wavelengths, right])
 
 
+def compute_sample_window(offset_samples, sample_chunk: int, num_pixels: int):
+    """Static window size (pixels) for the windowed Voigt fast path.
+
+    The line-center spread of a z-sorted chunk of samples is bounded by
+    the chunk's offset spread times the full pixel span; adds margin for
+    the Doppler core, branch radius, and convolution reach.  Returns
+    None when windowing would not help (window >= grid).
+    """
+    off = np.sort(np.asarray(offset_samples))
+    m = min(sample_chunk, len(off))
+    if m <= 1 or len(off) == 0:
+        return None
+    spread = float(np.max(off[m - 1 :] - off[: len(off) - m + 1]))
+    window = int(np.ceil(spread * num_pixels)) + 72
+    window = -(-window // 8) * 8
+    return window if window < num_pixels else None
+
+
 def spectrum_log_likelihoods(
     wavelengths,
     flux,
@@ -153,6 +171,7 @@ def spectrum_log_likelihoods(
     nhi_samples,
     params: Parameters,
     sample_chunk: int = 1000,
+    sample_window: int | None = None,
 ):
     """Null + per-sample DLA log likelihoods for one padded spectrum.
 
@@ -202,8 +221,16 @@ def spectrum_log_likelihoods(
     )
 
     offsets = jnp.asarray(offset_samples, dtype)
-    z_dlas = min_z_dla + (max_z_dla - min_z_dla) * offsets
     nhis = jnp.asarray(nhi_samples, dtype)
+    windowed = sample_window is not None and dtype == jnp.float32
+    if windowed:
+        # z-sort the samples so each chunk spans a narrow pixel window
+        # (undone after the chunked evaluation)
+        order = jnp.argsort(offsets)
+        offsets = offsets[order]
+        nhis = nhis[order]
+        unsort = jnp.argsort(order)
+    z_dlas = min_z_dla + (max_z_dla - min_z_dla) * offsets
 
     padded_wavelengths = _extend_wavelengths(
         wavelengths, params.instrument.width, params.instrument.pixel_spacing
@@ -227,13 +254,25 @@ def spectrum_log_likelihoods(
 
     def one_chunk(args):
         z_c, n_c = args
-        absorption = voigt_absorption(
-            padded_wavelengths,
-            z_c,
-            n_c,
-            num_lines=params.num_lines,
-            instrument=params.instrument,
-        )
+        if windowed:
+            from .ops.voigt import voigt_absorption_windowed
+
+            absorption = voigt_absorption_windowed(
+                padded_wavelengths,
+                z_c,
+                n_c,
+                num_lines=params.num_lines,
+                instrument=params.instrument,
+                window=sample_window,
+            )
+        else:
+            absorption = voigt_absorption(
+                padded_wavelengths,
+                z_c,
+                n_c,
+                num_lines=params.num_lines,
+                instrument=params.instrument,
+            )
         return batched_dla_log_likelihoods(
             flux, mu, M, omega2, noise_variance, valid, absorption
         )
@@ -241,6 +280,8 @@ def spectrum_log_likelihoods(
     sample_lls = jax.lax.map(one_chunk, (z_chunks, n_chunks)).reshape(-1)[
         :num_samples
     ]
+    if windowed:
+        sample_lls = sample_lls[unsort]
 
     return {
         "log_likelihood_no_dla": log_likelihood_no_dla,
@@ -252,7 +293,7 @@ def spectrum_log_likelihoods(
 
 @partial(
     jax.jit,
-    static_argnames=("params", "sample_chunk", "backend"),
+    static_argnames=("params", "sample_chunk", "backend", "sample_window"),
 )
 def batch_log_likelihoods(
     wavelengths,
@@ -273,6 +314,7 @@ def batch_log_likelihoods(
     params: Parameters,
     sample_chunk: int = 1000,
     backend: str = "xla",
+    sample_window: int | None = None,
 ):
     """vmapped batch version of :func:`spectrum_log_likelihoods`.
 
@@ -299,6 +341,7 @@ def batch_log_likelihoods(
             nhi_samples,
             params,
             sample_chunk,
+            sample_window,
         )
         return jax.vmap(fn)(wavelengths, flux, noise_variance, mask, z_qso)
 

@@ -206,6 +206,7 @@ def learn_gp_model(
     prior_in_value: bool = True,
     callback=None,
     mesh=None,
+    checkpoint_path=None,
 ) -> tuple[GPModel, LBFGSResult]:
     """Fit the GP null model by L-BFGS (learn_qso_model.m:100-123).
 
@@ -261,6 +262,7 @@ def learn_gp_model(
         max_iterations=opt.max_iterations,
         max_fun_evals=opt.max_fun_evals,
         callback=callback,
+        checkpoint_path=checkpoint_path,
     )
 
     fitted = unravel(jnp.asarray(result.x, dtype))

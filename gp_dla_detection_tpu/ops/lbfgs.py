@@ -118,11 +118,19 @@ def minimize_lbfgs(
     c1: float = 1e-4,
     c2: float = 0.9,
     callback=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 50,
 ) -> LBFGSResult:
     """Minimize f(x) with L-BFGS.
 
     value_and_grad_fn: x (np.float64 (n,)) -> (f, g); typically wraps a
     jitted jax.value_and_grad (arrays converted at the boundary).
+
+    checkpoint_path: optional .npz path; the optimizer state (iterate +
+    curvature history + counters) is saved every ``checkpoint_every``
+    iterations and restored automatically when the file exists — the
+    reference has no intra-training checkpointing at all (a crash loses
+    the whole minFunc run, learn_qso_model.m:100).
     """
 
     def fg(x):
@@ -130,14 +138,51 @@ def minimize_lbfgs(
         return float(f), np.asarray(g, np.float64)
 
     x = np.asarray(x0, np.float64).copy()
-    f, g = fg(x)
-    evals = 1
     s_hist: list[np.ndarray] = []
     y_hist: list[np.ndarray] = []
     rho_hist: list[float] = []
+    start_iter = 0
+    evals = 0
     message = "MaxIter"
 
-    for it in range(max_iterations):
+    from pathlib import Path
+
+    if checkpoint_path is not None and Path(checkpoint_path).exists():
+        with np.load(checkpoint_path) as ck:
+            if ck["x"].shape == x.shape:
+                x = ck["x"]
+                start_iter = int(ck["iteration"])
+                evals = int(ck["fun_evals"])
+                n_hist = int(ck["n_hist"])
+                s_hist = [ck[f"s{i}"] for i in range(n_hist)]
+                y_hist = [ck[f"y{i}"] for i in range(n_hist)]
+                rho_hist = list(ck["rho"][:n_hist])
+
+    def save_checkpoint(it):
+        if checkpoint_path is None:
+            return
+        payload = {
+            "x": x,
+            "iteration": it,
+            "fun_evals": evals,
+            "n_hist": len(s_hist),
+            "rho": np.asarray(rho_hist),
+        }
+        for i, (s, yv) in enumerate(zip(s_hist, y_hist)):
+            payload[f"s{i}"] = s
+            payload[f"y{i}"] = yv
+        tmp = str(checkpoint_path) + ".tmp.npz"
+        np.savez(tmp, **payload)
+        Path(tmp).replace(checkpoint_path)
+
+    f, g = fg(x)
+    evals += 1
+
+    for it in range(start_iter, max_iterations):
+        if checkpoint_path is not None and it > start_iter and (
+            it % checkpoint_every == 0
+        ):
+            save_checkpoint(it)
         gnorm = np.max(np.abs(g))
         if gnorm <= opt_tol:
             message = "optTol"

@@ -27,6 +27,7 @@ from ..inference import (
     InferenceResults,
     PaddedSpectra,
     batch_log_likelihoods,
+    compute_sample_window,
     dla_rate_priors,
     finalize_posteriors,
 )
@@ -43,6 +44,9 @@ class ShardedRunConfig:
     sample_chunk: int = 2500
     dtype: str = "float32"
     checkpoint_dir: str | None = None
+    # opt-in z-sorted windowed Voigt (see ops/voigt.voigt_absorption_windowed);
+    # on current v5e + XLA the plain fused path is at least as fast
+    windowed_voigt: bool = False
 
 
 def _pad_batch(batch: PaddedSpectra, to: int) -> PaddedSpectra:
@@ -130,6 +134,15 @@ def process_spectra_sharded(
 
     from ..utils import ProgressMeter
 
+    sample_window = (
+        compute_sample_window(
+            offset_samples,
+            config.sample_chunk,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+        )
+        if config.windowed_voigt and dtype == np.float32
+        else None
+    )
     meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
     for bi, start in enumerate(batch_starts):
@@ -153,6 +166,7 @@ def process_spectra_sharded(
             *model_args,
             params=params,
             sample_chunk=config.sample_chunk,
+            sample_window=sample_window,
         )
         keep = stop - start
         null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]

@@ -123,7 +123,12 @@ class Pipeline:
             catalog.z_qsos[idx],
             self.params,
         )
-        model, result = learn_gp_model(data, self.params, mesh=self.mesh)
+        model, result = learn_gp_model(
+            data,
+            self.params,
+            mesh=self.mesh,
+            checkpoint_path=self.workdir / "training_ckpt.npz",
+        )
         model.save(self.model_path)
         return model
 

@@ -225,3 +225,44 @@ def test_batching_invariance(setup):
             r_one.log_likelihoods_no_dla[0],
             rtol=1e-12,
         )
+
+
+def test_windowed_fast_path_matches(setup):
+    """The z-sorted windowed Voigt fast path must agree with the plain
+    f32 path to fp32 accumulation accuracy."""
+    import jax.numpy as jnp
+    from gp_dla_detection_tpu.inference import (
+        batch_log_likelihoods,
+        compute_sample_window,
+    )
+
+    params, model, spec, offsets, nhis = setup
+    dtype = np.float32
+    args = (
+        jnp.asarray(spec.wavelengths, dtype),
+        jnp.asarray(spec.flux, dtype),
+        jnp.asarray(spec.noise_variance, dtype),
+        jnp.asarray(spec.mask),
+        jnp.asarray(spec.z_qso, dtype),
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets, dtype),
+        jnp.asarray(nhis, dtype),
+    )
+    plain = batch_log_likelihoods(
+        *args, params=params, sample_chunk=8, sample_window=None
+    )
+    window = compute_sample_window(offsets, 8, spec.wavelengths.shape[1] + 6)
+    assert window is not None
+    windowed = batch_log_likelihoods(
+        *args, params=params, sample_chunk=8, sample_window=window
+    )
+    a = np.asarray(plain["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(windowed["sample_log_likelihoods_dla"], np.float64)
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-5

@@ -270,3 +270,39 @@ def dataclassesreplace_opt():
     from gp_dla_detection_tpu.params import OptimizationParams
 
     return OptimizationParams(max_iterations=150, max_fun_evals=300)
+
+
+def test_lbfgs_checkpoint_resume(tmp_path):
+    """A resumed run must continue from the checkpoint, not restart."""
+    calls = {"n": 0}
+
+    def fg(x):
+        calls["n"] += 1
+        a, b = 1.0, 100.0
+        f = (a - x[0]) ** 2 + b * (x[1] - x[0] ** 2) ** 2
+        g = np.array(
+            [
+                -2 * (a - x[0]) - 4 * b * x[0] * (x[1] - x[0] ** 2),
+                2 * b * (x[1] - x[0] ** 2),
+            ]
+        )
+        return f, g
+
+    ckpt = tmp_path / "lbfgs.npz"
+    full = minimize_lbfgs(fg, np.array([-1.2, 1.0]), max_iterations=200)
+
+    # run with a tiny budget, checkpointing every iteration
+    partial = minimize_lbfgs(
+        fg, np.array([-1.2, 1.0]), max_iterations=10,
+        checkpoint_path=ckpt, checkpoint_every=2,
+    )
+    assert ckpt.exists() and partial.f > full.f
+
+    calls_before_resume = calls["n"]
+    resumed = minimize_lbfgs(
+        fg, np.array([-1.2, 1.0]), max_iterations=200,
+        checkpoint_path=ckpt, checkpoint_every=50,
+    )
+    assert resumed.f < 1e-9
+    # resume skipped the first ~8 checkpointed iterations of work
+    assert calls["n"] - calls_before_resume < full.fun_evals
