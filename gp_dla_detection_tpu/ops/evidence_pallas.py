@@ -54,24 +54,30 @@ def _evidence_kernel(
     noise_ref,    # (1, P)
     maskf_ref,    # (1, P)    1.0 = valid pixel
     mt_ref,       # (1, k, P) M transposed
-    ptri_ref,     # (1, k*k, P) full pair products M_i * M_j
-    z_ref,        # (1, T)    absorber redshifts
-    nhi_ref,      # (1, T)    column densities
-    out_ref,      # (1, T)    log likelihoods
+    ptri_ref,     # (1, k(k+1)/2, P) lower-triangle pair products,
+                  # column-major: rows [off_j, off_j + k - j) hold
+                  # M_i * M_j for i = j..k-1, off_j = j*k - j(j-1)/2
+    z_ref,        # (1, 1, T) absorber redshifts
+    nhi_ref,      # (1, 1, T) column densities
+    out_ref,      # (1, 1, T) log likelihoods
+    total_ref,    # (P6, T)   VMEM scratch: accumulated -tau/N_HI
     *,
     num_lines: int,
     taps: tuple,
     k: int,
+    window: int | None,
+    pixel_spacing: float,
 ):
     dtype = flux_ref.dtype
     P6 = lam_ref.shape[-1]
     P = flux_ref.shape[-1]
     T = z_ref.shape[-1]
+    # refs arrive as (1, 1, X) blocks: leading dims are the grid axes
     width = (len(taps) - 1) // 2
 
-    lam = lam_ref[0].reshape(P6, 1)
-    z = z_ref[0].reshape(1, T)
-    nhi = nhi_ref[0].reshape(1, T)
+    lam = lam_ref[0, 0].reshape(P6, 1)
+    z = z_ref[0, 0].reshape(1, T)
+    nhi = nhi_ref[0, 0].reshape(1, T)
 
     c_cgs = jnp.asarray(lines.C_CGS, dtype)
     inv_sqrt2_sigma = jnp.asarray(
@@ -80,7 +86,16 @@ def _evidence_kernel(
     voigt_norm = 1.0 / (lines.DOPPLER_SIGMA * _SQRT_2PI)
 
     # ---- Voigt optical depth over the extended grid (voigt.c:277-291)
-    total = jnp.zeros((P6, T), dtype)
+    from .faddeeva import _SQRT_PI, _WING_DFACT
+
+    def wing_g(x):
+        u = 0.5 / jnp.maximum(x * x, 49.0)
+        g = jnp.zeros_like(u)
+        for cm in _WING_DFACT[::-1]:
+            g = (g + cm) * u
+        return g
+
+    total_ref[...] = jnp.zeros((P6, T), dtype)
     for j in range(num_lines):
         lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
         gamma_j = float(lines.LORENTZIAN_WIDTHS[j])
@@ -89,10 +104,39 @@ def _evidence_kernel(
         velocity = lam * mult - c_cgs                       # (P6, T)
         x = velocity * inv_sqrt2_sigma
         y = jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma
-        h = wofz_real_fast(x, jnp.full_like(x, y))
-        total = total - (lead_j * voigt_norm) * h
+        if window is None:
+            h = wofz_real_fast(x, jnp.full_like(x, y))
+            total_ref[...] = total_ref[...] - (lead_j * voigt_norm) * h
+        else:
+            # z-sorted tile: inner Faddeeva branch only within a
+            # `window`-pixel slice around the tile's line centers;
+            # cheap asymptotic wing everywhere else.  Dynamic-slice
+            # access goes through the VMEM scratch ref (Mosaic has no
+            # dynamic_slice on values).
+            # Mosaic requires dynamic lane indices to be 128-aligned:
+            # round the window start down to a lane boundary and widen
+            # the (static) window size by one extra lane group
+            W = min(-(-(min(window, P6) + 128) // 128) * 128, P6)
+            h_wing = (2.0 / _SQRT_PI) * y * wing_g(x)
+            total_ref[...] = total_ref[...] - (lead_j * voigt_norm) * h_wing
+            center = jnp.log10(lambda_t * 1e8 * (1.0 + z_ref[0, 0, 0]))
+            log_lam0 = jnp.log10(lam_ref[0, 0, 0])
+            start_raw = jnp.floor(
+                (center - log_lam0) / pixel_spacing
+            ).astype(jnp.int32) - (window // 4)
+            start = jnp.clip(
+                (start_raw // 128) * 128, 0, max(P6 - W, 0)
+            )
+            start = pl.multiple_of(start, 128)
+            lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
+            x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
+            h_full = wofz_real_fast(x_win, jnp.full_like(x_win, y))
+            corr = h_full - (2.0 / _SQRT_PI) * y * wing_g(x_win)
+            total_ref[pl.ds(start, W), :] = (
+                total_ref[pl.ds(start, W), :] - (lead_j * voigt_norm) * corr
+            )
 
-    raw = jnp.exp(nhi * total)                              # (P6, T)
+    raw = jnp.exp(nhi * total_ref[...])                     # (P6, T)
 
     # ---- instrumental broadening, 'valid' (voigt.c:294-299)
     absorption = jnp.zeros((P, T), dtype)
@@ -100,11 +144,11 @@ def _evidence_kernel(
         absorption = absorption + jnp.asarray(tap, dtype) * raw[m : m + P, :]
 
     # ---- per-sample weights (log_mvnpdf_low_rank.m semantics, masked)
-    flux = flux_ref[0].reshape(P, 1)
-    mu = mu_ref[0].reshape(P, 1)
-    omega2 = omega2_ref[0].reshape(P, 1)
-    noise = noise_ref[0].reshape(P, 1)
-    maskf = maskf_ref[0].reshape(P, 1)
+    flux = flux_ref[0, 0].reshape(P, 1)
+    mu = mu_ref[0, 0].reshape(P, 1)
+    omega2 = omega2_ref[0, 0].reshape(P, 1)
+    noise = noise_ref[0, 0].reshape(P, 1)
+    maskf = maskf_ref[0, 0].reshape(P, 1)
 
     a = absorption
     d = omega2 * a * a + noise
@@ -117,33 +161,36 @@ def _evidence_kernel(
     logdet_d = jnp.sum(maskf * jnp.log(d_safe), axis=0, keepdims=True)
     n_eff = jnp.sum(maskf)
 
-    # ---- MXU: Gram matrix and projected residual
-    prec = jax.lax.Precision.HIGH
-    bfull = jax.lax.dot_general(
+    # ---- MXU: Gram matrix (lower triangle only) and projected residual
+    prec = jax.lax.Precision.HIGHEST  # Mosaic dots support DEFAULT/HIGHEST only
+    btri = jax.lax.dot_general(
         ptri_ref[0], w_, (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=dtype,
-    )                                                       # (k*k, T)
+    )                                                       # (k(k+1)/2, T)
     b = jax.lax.dot_general(
         mt_ref[0], u_, (((1,), (0,)), ((), ())),
         precision=prec, preferred_element_type=dtype,
     )                                                       # (k, T)
 
-    # ---- unrolled lazy column-Crout Cholesky + forward solve
-    # (see low_rank_mvn.batched_spd_quad_logdet; sample axis on lanes)
+    # ---- unrolled lazy column-Crout Cholesky + forward solve on the
+    # packed lower triangle (see low_rank_mvn.batched_spd_quad_logdet;
+    # sample axis on lanes; cols[m] holds L[m:, m], length k - m)
     cols: list = []
     ys: list = []
     quad = jnp.zeros((1, T), dtype)
     logdet = jnp.zeros((1, T), dtype)
+    off = 0
     for j in range(k):
-        c = bfull[j * k : (j + 1) * k, :]                   # column j
+        c = btri[off : off + (k - j), :]                    # B[j:, j]
+        off += k - j
         y_j = b[j : j + 1, :]
         for m in range(j):
-            c = c - cols[m] * cols[m][j : j + 1, :]
-            y_j = y_j - cols[m][j : j + 1, :] * ys[m]
-        djj = c[j : j + 1, :] + 1.0                         # + I
-        c = c + jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == j, 1.0, 0.0
-        )
+            lmj = cols[m][j - m : j - m + 1, :]             # L[j, m]
+            c = c - cols[m][j - m :, :] * lmj
+            y_j = y_j - lmj * ys[m]
+        djj = c[0:1, :] + 1.0                               # + I
+        # (avoid a zero-size slice at the last column — Mosaic rejects it)
+        c = jnp.concatenate([djj, c[1:, :]], axis=0) if k - j > 1 else djj
         inv_sqrt = jax.lax.rsqrt(djj)
         cols.append(c * inv_sqrt)
         y_j = y_j * inv_sqrt
@@ -152,12 +199,12 @@ def _evidence_kernel(
         logdet = logdet + jnp.log(djj)
 
     out = -0.5 * (quad0 - quad + logdet_d + logdet + n_eff * LOG_2PI)
-    out_ref[0, :] = out[0]
+    out_ref[0, 0, :] = out[0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_lines", "instrument", "tile", "interpret"),
+    static_argnames=("num_lines", "instrument", "tile", "interpret", "window"),
 )
 def pallas_sample_log_likelihoods(
     ext_wavelengths,   # (B, P+2*width)
@@ -173,8 +220,15 @@ def pallas_sample_log_likelihoods(
     instrument: InstrumentParams | None = None,
     tile: int = SAMPLE_TILE,
     interpret: bool = False,
+    window: int | None = None,
 ):
-    """Fused per-sample DLA log likelihoods, (B, S).  float32 only."""
+    """Fused per-sample DLA log likelihoods, (B, S).  float32 only.
+
+    With ``window`` set, z_dlas must be ascending along the sample axis
+    (the engine sorts and unsorts) and ``window`` must bound each
+    tile's line-center pixel spread plus margin (compute_sample_window
+    with the TILE as chunk size).
+    """
     if instrument is None:
         instrument = InstrumentParams()
     taps = tuple(float(t) for t in instrument.profile())
@@ -196,9 +250,15 @@ def pallas_sample_log_likelihoods(
     S_pad = S + pad
 
     maskf = mask.astype(dtype)
+    # leading singleton dims keep every block's trailing two dims equal
+    # to the array's (the Mosaic tiling constraint for (1, X) blocks)
+    expand = lambda a: a[:, None, :]
     mt = jnp.swapaxes(M, -1, -2)                       # (B, k, P)
-    ptri = (M[..., :, None] * M[..., None, :]).reshape(B, P, k * k)
-    ptri = jnp.swapaxes(ptri, -1, -2)                  # (B, k*k, P)
+    # lower-triangle pair products, column-major packing
+    li = np.concatenate([np.arange(j, k) for j in range(k)])
+    lj = np.concatenate([np.full(k - j, j) for j in range(k)])
+    ptri = M[..., li] * M[..., lj]                     # (B, P, k(k+1)/2)
+    ptri = jnp.swapaxes(ptri, -1, -2)                  # (B, k(k+1)/2, P)
 
     grid = (B, S_pad // tile)
     spec_block = lambda shape: pl.BlockSpec(
@@ -206,31 +266,34 @@ def pallas_sample_log_likelihoods(
         memory_space=pltpu.VMEM,
     )
     tile_block = pl.BlockSpec(
-        (1, tile), lambda i, t: (i, t), memory_space=pltpu.VMEM
+        (1, 1, tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
     )
 
     out = pl.pallas_call(
         functools.partial(
-            _evidence_kernel, num_lines=num_lines, taps=taps, k=k
+            _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
+            window=window, pixel_spacing=instrument.pixel_spacing,
         ),
         grid=grid,
         in_specs=[
-            spec_block((P6,)),
-            spec_block((P,)),
-            spec_block((P,)),
-            spec_block((P,)),
-            spec_block((P,)),
-            spec_block((P,)),
+            spec_block((1, P6)),
+            spec_block((1, P)),
+            spec_block((1, P)),
+            spec_block((1, P)),
+            spec_block((1, P)),
+            spec_block((1, P)),
             spec_block((k, P)),
-            spec_block((k * k, P)),
+            spec_block((k * (k + 1) // 2, P)),
             tile_block,
             tile_block,
         ],
         out_specs=tile_block,
-        out_shape=jax.ShapeDtypeStruct((B, S_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 1, S_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
         interpret=interpret,
     )(
-        ext_wavelengths, flux, mu, omega2, noise_variance, maskf,
-        mt, ptri, z_dlas, nhi,
+        expand(ext_wavelengths), expand(flux), expand(mu), expand(omega2),
+        expand(noise_variance), expand(maskf),
+        mt, ptri, expand(z_dlas), expand(nhi),
     )
-    return out[:, :S]
+    return out[:, 0, :S]

@@ -47,6 +47,9 @@ class ShardedRunConfig:
     # opt-in z-sorted windowed Voigt (see ops/voigt.voigt_absorption_windowed);
     # on current v5e + XLA the plain fused path is at least as fast
     windowed_voigt: bool = False
+    # "xla" | "pallas": "pallas" uses the fused evidence kernel with the
+    # z-sorted windowed Voigt (fastest verified config on v5e)
+    backend: str = "xla"
 
 
 def _pad_batch(batch: PaddedSpectra, to: int) -> PaddedSpectra:
@@ -134,13 +137,20 @@ def process_spectra_sharded(
 
     from ..utils import ProgressMeter
 
+    use_window = (
+        config.windowed_voigt or config.backend == "pallas"
+    ) and dtype == np.float32
+    if config.backend == "pallas":
+        from ..ops.evidence_pallas import SAMPLE_TILE as _window_chunk
+    else:
+        _window_chunk = config.sample_chunk
     sample_window = (
         compute_sample_window(
             offset_samples,
-            config.sample_chunk,
+            _window_chunk,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
-        if config.windowed_voigt and dtype == np.float32
+        if use_window
         else None
     )
     meter = ProgressMeter(n, unit="spectra") if progress else None
@@ -167,6 +177,7 @@ def process_spectra_sharded(
             params=params,
             sample_chunk=config.sample_chunk,
             sample_window=sample_window,
+            backend=config.backend,
         )
         keep = stop - start
         null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]

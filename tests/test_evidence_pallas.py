@@ -94,3 +94,49 @@ def test_pallas_nondivisible_sample_count():
     assert b.shape == (2, 130)
     scale = np.maximum(np.abs(a), 1.0)
     assert np.max(np.abs(a - b) / scale) < 5e-5
+
+
+def test_pallas_windowed_matches_xla():
+    from gp_dla_detection_tpu.inference import compute_sample_window
+
+    prob = make_problem(S=300)
+    params, model, spectra, offsets, nhis = prob
+    out_xla = run("xla", *prob)
+
+    window = compute_sample_window(
+        offsets, 128, spectra.wavelengths.shape[1] + 6
+    )
+    import jax.numpy as jnp
+
+    dtype = np.float32
+    args = (
+        jnp.asarray(spectra.wavelengths, dtype),
+        jnp.asarray(spectra.flux, dtype),
+        jnp.asarray(spectra.noise_variance, dtype),
+        jnp.asarray(spectra.mask),
+        jnp.asarray(spectra.z_qso, dtype),
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets, dtype),
+        jnp.asarray(nhis, dtype),
+    )
+    from gp_dla_detection_tpu.inference import batch_log_likelihoods
+    import gp_dla_detection_tpu.ops.evidence_pallas as ep
+
+    orig_tile = ep.SAMPLE_TILE
+    try:
+        out_pl = batch_log_likelihoods(
+            *args, params=params, sample_chunk=32,
+            backend="pallas_interpret", sample_window=window,
+        )
+    finally:
+        ep.SAMPLE_TILE = orig_tile
+    a = np.asarray(out_xla["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(out_pl["sample_log_likelihoods_dla"], np.float64)
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-5
