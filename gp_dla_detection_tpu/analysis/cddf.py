@@ -51,6 +51,12 @@ class DLACatalogue:
       snrs: (N,) signal-to-noise ratios (optional; None disables cuts).
       pixel_noise: optional list of per-spectrum normalized pixel noise
         arrays spanning [min_z, max_z] (enables noisy-pixel excision).
+      sample_log_likelihoods_2, base_sample_inds, p_dla_2: optional
+        second-DLA posterior (the multi-DLA output format of later
+        pipeline versions, calc_cddf.py:40,102-116,248-277): per-sample
+        log likelihoods of the two-DLA model, the index of the second
+        DLA's (z, logN) sample for each first-DLA sample, and
+        P(exactly 2 DLAs) per spectrum.
     """
 
     def __init__(
@@ -67,6 +73,9 @@ class DLACatalogue:
         snr_thresh: float = -2.0,
         lowzcut: bool = False,
         omega_m: float = OMEGA_M_WMAP9,
+        sample_log_likelihoods_2=None,
+        base_sample_inds=None,
+        p_dla_2=None,
     ):
         self.p_dla = np.asarray(p_dla, np.float64)
         self._z_min = np.asarray(min_z_dlas, np.float64)
@@ -100,6 +109,22 @@ class DLACatalogue:
         self.pixel_noise = pixel_noise
         self.filter_noisy_pixels = pixel_noise is not None
         self.condition = np.ones(n, dtype=bool)
+
+        # optional second-DLA posterior (calc_cddf.py:102-116, with the
+        # reference's np.logaddexp normalization bug replaced by a real
+        # logsumexp, and its NaN masking kept: NaN samples are absorber
+        # pairs that were too close to evaluate)
+        self.second_dla = sample_log_likelihoods_2 is not None
+        if self.second_dla:
+            from scipy.special import logsumexp as _lse
+
+            ll2 = np.array(sample_log_likelihoods_2, np.float64)
+            ll2[~np.isfinite(ll2)] = -1e30
+            combined = ll2 + self.log_norm_like
+            combined -= _lse(combined, axis=1, keepdims=True)
+            self.log_norm_like_2 = combined
+            self.base_sample_inds = np.asarray(base_sample_inds, np.int64)
+            self.p_dla_2 = np.asarray(p_dla_2, np.float64)
 
         self._path = AbsorptionPath(omega_m)
         self.do_resample = False
@@ -140,6 +165,11 @@ class DLACatalogue:
     def resample(self, do_it: bool = True, nspec: int = 0, seed=None) -> None:
         """Bootstrap: draw a new spectrum sample with replacement,
         stratified in z_max so rare high-z quasars keep representation."""
+        if do_it and self.second_dla:
+            raise NotImplementedError(
+                "bootstrap resampling with the second-DLA posterior is "
+                "not implemented (as in calc_cddf.py:128)"
+            )
         self.do_resample = do_it
         if not do_it:
             return
@@ -188,10 +218,14 @@ class DLACatalogue:
         z = self._view(self._z_max)
         return z if spec is None else z[spec]
 
-    def _log_norm_like(self, spec):
+    def _log_norm_like(self, spec, second=False):
+        if second:
+            return self.log_norm_like_2[spec]
         return self._view(self.log_norm_like)[spec]
 
-    def _p_dla(self):
+    def _p_dla(self, second=False):
+        if second:
+            return self.p_dla_2
         return self._view(self.p_dla)
 
     # --- filters (calc_cddf.py:283-299) -------------------------------
@@ -202,9 +236,10 @@ class DLACatalogue:
             return cond
         return (self._view(self.snrs) > self.snr_thresh) & cond
 
-    def filter_dla_spectra(self):
+    def filter_dla_spectra(self, second=False):
         return np.flatnonzero(
-            (self._p_dla() > self.p_thresh_spec) & self._filter_snr_spectra()
+            (self._p_dla(second=second) > self.p_thresh_spec)
+            & self._filter_snr_spectra()
         )
 
     def proximity(self, zqso):
@@ -260,24 +295,49 @@ class DLACatalogue:
 
     # --- sample bookkeeping (calc_cddf.py:683-692, 724-780) ------------
 
-    def _get_sample_params(self, spec):
+    def _get_sample_params(self, spec, second=False):
         redshifts = self.z_min(spec) + (
             self.z_max(spec) - self.z_min(spec)
         ) * self.z_offsets
-        return self.lnhi_vals, redshifts
+        lnhi_vals = self.lnhi_vals
+        if second:
+            # the second DLA's parameters for (first-DLA) sample j live
+            # at sample index base_sample_inds[spec, j]
+            # (calc_cddf.py:683-692)
+            base = self.base_sample_inds[spec]
+            lnhi_vals = lnhi_vals[base]
+            redshifts = redshifts[base]
+        return lnhi_vals, redshifts
 
     def _split_distributions(
         self, q_bins, lred, ured, lnhi_min=20.3, lnhi_max=23.0, nhi=False
+    ):
+        """Combine first- and (optional) second-DLA contributions
+        (calc_cddf.py:664-681)."""
+        probs, poissons = self._split_distributions_single(
+            q_bins, lred, ured, lnhi_min, lnhi_max, nhi, second=False
+        )
+        if self.second_dla:
+            probs2, poissons2 = self._split_distributions_single(
+                q_bins, lred, ured, lnhi_min, lnhi_max, nhi, second=True
+            )
+            probs = [a + b for a, b in zip(probs, probs2)]
+            poissons = poissons + poissons2
+        return probs, poissons
+
+    def _split_distributions_single(
+        self, q_bins, lred, ured, lnhi_min=20.3, lnhi_max=23.0, nhi=False,
+        second=False,
     ):
         """Per bin: exact-list probabilities (p >= p_switch) and the
         Poisson mean of the small-p tail (calc_cddf.py:724-780)."""
         nbins = len(q_bins) - 1
         probs = [[] for _ in range(nbins)]
         poisson_lists = [[] for _ in range(nbins)]
-        p_dla_all = self._p_dla()
+        p_dla_all = self._p_dla(second=second)
 
-        for spec in self.filter_dla_spectra():
-            lnhi_vals, redshifts = self._get_sample_params(spec)
+        for spec in self.filter_dla_spectra(second=second):
+            lnhi_vals, redshifts = self._get_sample_params(spec, second=second)
             upper_z = ured
             if self.lowzcut:
                 upper_z = min(self.proximity(self.z_max(spec)), ured)
@@ -307,7 +367,10 @@ class DLACatalogue:
             idx = np.flatnonzero(desired)
             if idx.size == 0:
                 continue
-            p_each = np.exp(self._log_norm_like(spec)[idx]) * p_dla_all[spec]
+            p_each = (
+                np.exp(self._log_norm_like(spec, second=second)[idx])
+                * p_dla_all[spec]
+            )
             big_enough = p_each > self.p_thresh_sample
             if not big_enough.any():
                 continue
@@ -592,10 +655,10 @@ class DLACatalogue:
         )[likes > np.max(likes) - 2]
         return np.max(zvals) - np.min(zvals)
 
-    def find_max_like(self, spec):
-        likes = self._log_norm_like(spec)
+    def find_max_like(self, spec, second=False):
+        likes = self._log_norm_like(spec, second=second)
         m = int(np.argmax(likes))
-        lnhi_vals, redshifts = self._get_sample_params(spec)
+        lnhi_vals, redshifts = self._get_sample_params(spec, second=second)
         return lnhi_vals[m], redshifts[m]
 
 

@@ -207,3 +207,76 @@ def test_find_max_like_and_deltas():
     assert abs(lnhi - 20.85) < 1e-12 and abs(z - 2.55) < 1e-12
     assert cat.find_delta_nhi(0) == 0.0
     assert cat.find_delta_z(0) == 0.0
+
+
+def make_two_dla_catalogue(n_certain=20, n_empty=150, S=400, seed=2):
+    """Spectra whose first DLA sits at (z=2.55, logN=20.85) and whose
+    second DLA (p = 0.5 of exactly-two) sits at (z=2.15, logN=21.45)."""
+    rng = np.random.default_rng(seed)
+    n = n_certain + n_empty
+    z_min = np.full(n, 2.0)
+    z_max = np.full(n, 3.0)
+    offsets = rng.uniform(size=S)
+    lnhi = rng.uniform(20.0, 22.5, S)
+    offsets[0] = 0.55
+    lnhi[0] = 20.85
+    offsets[5] = 0.15  # z = 2.15: the second DLA's parameters
+    lnhi[5] = 21.45
+
+    sll = np.full((n, S), -200.0)
+    sll[:, 0] = 0.0
+    ll_dla = np.log(np.sum(np.exp(sll - np.log(S)), axis=1))
+    p_dla = np.concatenate(
+        [np.full(n_certain, 0.999999), np.full(n_empty, 1e-8)]
+    )
+
+    # second-DLA posterior: all mass on first-DLA sample 0, whose
+    # second absorber is sample index 5
+    sll2 = np.full((n, S), -200.0)
+    sll2[:, 0] = 0.0
+    sll2[:, 7] = np.nan  # NaN samples (too-close pairs) must be ignored
+    base = np.full((n, S), 3, dtype=np.int64)
+    base[:, 0] = 5
+    p_dla_2 = np.concatenate(
+        [np.full(n_certain, 0.5), np.full(n_empty, 1e-9)]
+    )
+    return DLACatalogue(
+        p_dla, z_min, z_max, sll, ll_dla, offsets, lnhi,
+        sample_log_likelihoods_2=sll2, base_sample_inds=base,
+        p_dla_2=p_dla_2,
+    )
+
+
+def test_second_dla_counts():
+    cat = make_two_dla_catalogue()
+    assert cat.second_dla
+    # line density must now include both absorbers: 20 DLAs at z=2.55
+    # plus 20 * 0.5 second DLAs at z=2.15
+    z_cent, dNdX, _, _, _ = cat.line_density(z_min=2.0, z_max=3.0)
+    path = AbsorptionPath()
+    nbins = len(z_cent)
+    z_bins = np.linspace(2.0, 3.0, nbins + 1)
+    b1 = np.searchsorted(z_bins, 2.55) - 1
+    b2 = np.searchsorted(z_bins, 2.15) - 1
+    n_sightlines = 170
+    dX1 = n_sightlines * path(z_bins[b1], z_bins[b1 + 1])
+    dX2 = n_sightlines * path(z_bins[b2], z_bins[b2 + 1])
+    assert abs(dNdX[b1] - 20.0 / dX1) / (20.0 / dX1) < 0.1
+    assert abs(dNdX[b2] - 10.0 / dX2) / (10.0 / dX2) < 0.15
+
+    # CDDF: mass in both logN bins
+    l_cent, cddf, _, _, _ = cat.column_density_function(
+        z_min=2.0, z_max=3.0, lnhi_nbins=30, lnhi_min=20.0, lnhi_max=23.0
+    )
+    assert cddf[np.argmin(np.abs(l_cent - 20.85))] > 0
+    assert cddf[np.argmin(np.abs(l_cent - 21.45))] > 0
+
+    # second-DLA MAP diagnostics
+    lnhi_map, z_map = cat.find_max_like(0, second=True)
+    assert abs(lnhi_map - 21.45) < 1e-12 and abs(z_map - 2.15) < 1e-12
+
+    # resampling with second DLA is explicitly unimplemented
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        cat.resample(True)
