@@ -11,7 +11,6 @@ predicates: selections are expressed as boolean-mask helper methods.
 from __future__ import annotations
 
 import dataclasses
-import json
 from dataclasses import dataclass, field
 from pathlib import Path
 

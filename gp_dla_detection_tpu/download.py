@@ -20,7 +20,6 @@ import tarfile
 from dataclasses import dataclass
 from pathlib import Path
 
-import numpy as np
 
 from .params import Parameters
 

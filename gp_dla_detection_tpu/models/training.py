@@ -245,14 +245,18 @@ def learn_gp_model(
         sharding = NamedSharding(mesh, P(DATA_AXIS, None))
         args = tuple(jax.device_put(a, sharding) for a in args)
 
+    # data must be jit *arguments*, not closed-over constants — closures
+    # bake the (N, R) training matrices into the HLO as literals
     grad_fn = jax.jit(
         jax.value_and_grad(
-            lambda flat: objective(unravel(flat), *args, prior_in_value=prior_in_value)
+            lambda flat, *d: objective(
+                unravel(flat), *d, prior_in_value=prior_in_value
+            )
         )
     )
 
     def value_and_grad(x):
-        f, g = grad_fn(jnp.asarray(x, dtype))
+        f, g = grad_fn(jnp.asarray(x, dtype), *args)
         return float(f), np.asarray(g, np.float64)
 
     opt = params.optimization

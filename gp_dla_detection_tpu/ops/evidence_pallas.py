@@ -73,7 +73,6 @@ def _evidence_kernel(
     P = flux_ref.shape[-1]
     T = z_ref.shape[-1]
     # refs arrive as (1, 1, X) blocks: leading dims are the grid axes
-    width = (len(taps) - 1) // 2
 
     lam = lam_ref[0, 0].reshape(P6, 1)
     z = z_ref[0, 0].reshape(1, T)
