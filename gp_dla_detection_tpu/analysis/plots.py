@@ -268,3 +268,80 @@ def do_length_split(cat, subdir, splits=(0.0, 0.5, 1.0, 5.0)) -> None:
     plt.legend(loc=0)
     plt.savefig(subdir / "dndx_gp_length.pdf")
     plt.clf()
+
+
+def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
+    """Bootstrap-resampling overlay plots (make_plots.py:69-81,
+    calc_cddf.py:186-218)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    out = cat.get_sample_errors(z_min=2.0, z_max=5.0, nsample=nsample)
+
+    z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(z_min=2, z_max=5)
+    plot_line_density(cat, zmin=2, zmax=5, label="Total")
+    plt.errorbar(
+        z_cent, out["dndx_median"],
+        yerr=(out["dndx_median"] - out["dndx_68"][0],
+              out["dndx_68"][1] - out["dndx_median"]),
+        fmt="o", label="Resampled",
+    )
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_resample.pdf")
+    plt.clf()
+
+    z_cent, omega_k, om68, om95 = plot_omega_dla(cat, zmin=2, zmax=5,
+                                                 label="Total")
+    plt.errorbar(
+        z_cent, out["omega_median"],
+        yerr=(out["omega_median"] - out["omega_68"][0],
+              out["omega_68"][1] - out["omega_median"]),
+        fmt="o", label="Resampled",
+    )
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_gp_resample.pdf")
+    plt.clf()
+
+
+def do_2dla_plots(cat, subdir) -> None:
+    """First-DLA-only vs first+second overlay (make_plots.py:170-197).
+    Requires a catalogue constructed with the second-DLA posterior."""
+    plt = _plt()
+    subdir = Path(subdir)
+    assert cat.second_dla, "catalogue has no second-DLA posterior"
+    plot_cddf(cat, zmax=5, label="2 DLA")
+    cat.second_dla = False
+    plot_cddf(cat, zmax=5, label="1 DLA")
+    cat.second_dla = True
+    plt.xlim(1e20, 1e23)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "cddf_gp_2dla.pdf")
+    plt.clf()
+    plot_line_density(cat, zmax=5, label="2 DLA")
+    cat.second_dla = False
+    plot_line_density(cat, zmax=5, label="1 DLA")
+    cat.second_dla = True
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_2dla.pdf")
+    plt.clf()
+
+
+def do_compare_plots(cat_a, cat_b, subdir, labels=("A", "B")) -> None:
+    """Overlay two catalogues' statistics (make_plots.py:246-270)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    plot_cddf(cat_a, zmax=5, label=labels[0])
+    plot_cddf(cat_b, zmax=5, label=labels[1], twosigma=False)
+    plt.xlim(1e20, 1e23)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "cddf_compare.pdf")
+    plt.clf()
+    plot_line_density(cat_a, zmax=5, label=labels[0])
+    plot_line_density(cat_b, zmax=5, label=labels[1])
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_compare.pdf")
+    plt.clf()
+    plot_omega_dla(cat_a, zmax=5, label=labels[0])
+    plot_omega_dla(cat_b, zmax=5, label=labels[1], twosigma=False)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_compare.pdf")
+    plt.clf()

@@ -14,7 +14,7 @@ from gp_dla_detection_tpu.analysis.tables import (
     print_all_tables,
 )
 
-from test_analysis import make_synthetic_catalogue
+from test_analysis import make_synthetic_catalogue  # noqa: E402
 
 
 def test_do_data_plots_writes_tables(tmp_path, capsys):
@@ -60,3 +60,23 @@ def test_latex_formatting():
     s = format_latex_two_num(1e-22, 3e-22)
     assert "10^{ -22 }" in s
     assert format_latex_two_num(1.0, 2.0, prec=1) == "$ 1.0 - 2.0 $"
+
+
+def test_extended_plot_drivers(tmp_path):
+    from test_analysis import make_two_dla_catalogue
+    from gp_dla_detection_tpu.analysis.plots import (
+        do_2dla_plots,
+        do_compare_plots,
+        do_sample_error_check,
+    )
+
+    cat = make_synthetic_catalogue(n_certain=10, n_empty=60, n_weak=10)
+    cat_b = make_synthetic_catalogue(n_certain=8, n_empty=60, n_weak=10, seed=3)
+    do_sample_error_check(cat, tmp_path, nsample=2)
+    do_compare_plots(cat, cat_b, tmp_path, labels=("X", "Y"))
+    cat2 = make_two_dla_catalogue()
+    do_2dla_plots(cat2, tmp_path)
+    for f in ("dndx_gp_resample.pdf", "omega_gp_resample.pdf",
+              "cddf_compare.pdf", "dndx_compare.pdf", "omega_compare.pdf",
+              "cddf_gp_2dla.pdf", "dndx_gp_2dla.pdf"):
+        assert (tmp_path / f).exists(), f
