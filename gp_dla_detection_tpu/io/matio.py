@@ -1,0 +1,192 @@
+"""MATLAB v7.3 (.mat = HDF5) interoperability.
+
+The reference's stage ABI is .mat v7.3 files (SURVEY.md section 1), and
+its Python analysis layer reads them with h5py using MATLAB's
+column-major dataset orientation (calc_cddf.py:59-124: ``p_dlas[0]``,
+``sample_log_likelihoods_dla[:, spec]``, ``offset_samples[:, 0]`` ...).
+
+This module provides both directions of interop:
+
+  - exporters that write our inference/sampler outputs in exactly that
+    layout (including the 512-byte MATLAB userblock, so MATLAB itself
+    can ``load`` them) — the reference's own CDDF_analysis code can
+    consume results produced by this framework;
+  - importers that read reference-produced processed_qsos / dla_samples
+    / snrs .mat files into this framework's analysis layer
+    (:func:`load_catalogue_from_matlab`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "write_mat",
+    "read_mat",
+    "write_processed_mat",
+    "write_dla_samples_mat",
+    "write_snrs_mat",
+    "load_catalogue_from_matlab",
+]
+
+_USERBLOCK = 512
+
+
+def _matlab_header() -> bytes:
+    text = (
+        "MATLAB 7.3 MAT-file, Platform: GLNXA64, "
+        "Created by: gp_dla_detection_tpu"
+    ).encode()
+    header = text[:116].ljust(116, b" ")
+    header += b"\x00" * 8        # subsystem data offset
+    header += (0x0200).to_bytes(2, "little")   # version
+    header += b"IM"              # endianness indicator
+    return header.ljust(_USERBLOCK, b"\x00")
+
+
+def write_mat(path: str | Path, arrays: dict) -> None:
+    """Write arrays as a MATLAB-v7.3-compatible HDF5 file.
+
+    Values are written transposed (MATLAB is column-major, h5py row
+    major), matching how the reference's Python layer indexes them.
+    """
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w", userblock_size=_USERBLOCK) as f:
+        for name, value in arrays.items():
+            value = np.asarray(value)
+            if value.ndim == 0:
+                value = value.reshape(1, 1)
+            elif value.ndim == 1:
+                value = value.reshape(1, -1)  # MATLAB row vector
+            ds = f.create_dataset(name, data=value.T)
+            ds.attrs["MATLAB_class"] = np.bytes_(
+                "logical" if value.dtype == bool else "double"
+            )
+    with open(path, "r+b") as f:
+        f.write(_matlab_header())
+
+
+def read_mat(path: str | Path) -> dict:
+    """Read a v7.3 .mat (or plain HDF5) file; arrays in MATLAB
+    orientation exactly as h5py exposes them (the reference's view)."""
+    import h5py
+
+    out = {}
+    with h5py.File(Path(path), "r") as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name] = np.asarray(obj)
+        f.visititems(visit)
+    return out
+
+
+def write_processed_mat(results, test_ind, path: str | Path) -> None:
+    """Export InferenceResults as processed_qsos_*.mat
+    (process_qsos.m:235-249 fields, in the orientation
+    calc_cddf.py:59-99 reads: per-spectrum axis last)."""
+    S = results.sample_log_likelihoods_dla.shape[1]
+    col = lambda a: np.asarray(a).reshape(-1, 1)  # MATLAB column vector:
+    # process_qsos.m:74-86 allocates per-quasar results as (N, 1), which
+    # h5py then exposes as (1, N) — the reference reads field[0]
+    write_mat(
+        path,
+        {
+            "min_z_dlas": col(results.min_z_dlas),
+            "max_z_dlas": col(results.max_z_dlas),
+            "log_priors_no_dla": col(results.log_priors_no_dla),
+            "log_priors_dla": col(results.log_priors_dla),
+            "log_likelihoods_no_dla": col(results.log_likelihoods_no_dla),
+            "log_likelihoods_dla": col(results.log_likelihoods_dla),
+            # stored (N, S); write_mat transposes -> h5py sees (S, N),
+            # i.e. sample_log_likelihoods_dla[:, spec] per the reference
+            "sample_log_likelihoods_dla": results.sample_log_likelihoods_dla,
+            "log_posteriors_no_dla": col(results.log_posteriors_no_dla),
+            "log_posteriors_dla": col(results.log_posteriors_dla),
+            "model_posteriors": results.model_posteriors,
+            "p_no_dlas": col(results.p_no_dlas),
+            "p_dlas": col(results.p_dlas),
+            "test_ind": col(np.asarray(test_ind, np.float64)),
+            "num_dla_samples": np.float64(S),
+        },
+    )
+
+
+def write_dla_samples_mat(samples, path: str | Path) -> None:
+    """Export DLASamples as dla_samples.mat (generate_dla_samples.m:56-63).
+
+    The reference reads offset_samples[:, 0] (calc_cddf.py:119-123), so
+    the sample axis must be first in the h5py view — these are MATLAB
+    row vectors, which write_mat's transpose produces.
+    """
+    cfg = samples.config
+    write_mat(
+        path,
+        {
+            "offset_samples": samples.offset_samples,
+            "log_nhi_samples": samples.log_nhi_samples,
+            "nhi_samples": samples.nhi_samples,
+            "uniform_min_log_nhi": np.float64(cfg.uniform_min_log_nhi),
+            "uniform_max_log_nhi": np.float64(cfg.uniform_max_log_nhi),
+            "fit_min_log_nhi": np.float64(cfg.fit_min_log_nhi),
+            "fit_max_log_nhi": np.float64(cfg.fit_max_log_nhi),
+            "alpha": np.float64(cfg.alpha),
+        },
+    )
+
+
+def write_snrs_mat(snrs, path: str | Path) -> None:
+    """Export the SNR table (calc_cddf.py compute_all_snrs format)."""
+    write_mat(path, {"snrs": np.asarray(snrs, np.float64)})
+
+
+def load_catalogue_from_matlab(
+    processed_file: str | Path,
+    sample_file: str | Path,
+    snrs_file: str | Path | None = None,
+    **kwargs,
+):
+    """Build a DLACatalogue from reference-produced .mat v7.3 files.
+
+    Mirrors the reference's own h5py access pattern
+    (calc_cddf.py:59-124), including the 3-D multi-DLA
+    sample_log_likelihoods_dla format with base_sample_inds (the 1-based
+    indices become 0-based, calc_cddf.py:225-227).
+    """
+    from ..analysis.cddf import DLACatalogue
+
+    proc = read_mat(processed_file)
+    samp = read_mat(sample_file)
+
+    sll = np.asarray(proc["sample_log_likelihoods_dla"])
+    extra = {}
+    if sll.ndim == 3:  # multi-DLA format: (num_models, S, N)
+        sll2 = sll[1].T
+        sll = sll[0]
+        extra["sample_log_likelihoods_2"] = sll2
+        extra["base_sample_inds"] = (
+            np.asarray(proc["base_sample_inds"]).T.astype(np.int64) - 1
+        )
+        mp = np.asarray(proc["model_posteriors"])
+        extra["p_dla_2"] = mp[2] if mp.shape[0] >= 3 else mp[-1]
+    sll = sll.T  # -> (N, S)
+
+    snrs = None
+    if snrs_file is not None and Path(snrs_file).exists():
+        snrs = np.asarray(read_mat(snrs_file)["snrs"]).ravel()
+
+    return DLACatalogue(
+        np.asarray(proc["p_dlas"]).ravel(),
+        np.asarray(proc["min_z_dlas"]).ravel(),
+        np.asarray(proc["max_z_dlas"]).ravel(),
+        sll,
+        np.asarray(proc["log_likelihoods_dla"]).ravel(),
+        np.asarray(samp["offset_samples"]).ravel(),
+        np.asarray(samp["log_nhi_samples"]).ravel(),
+        snrs=snrs,
+        **{**extra, **kwargs},
+    )

@@ -42,6 +42,9 @@ class PipelineConfig:
     per_device_batch: int = 8
     sample_chunk: int = 2500
     dtype: str = "float32"
+    # also write .mat v7.3 copies of the stage artifacts so the
+    # reference's own CDDF_analysis code can read them (io/matio.py)
+    export_matlab: bool = False
 
 
 class Pipeline:
@@ -140,6 +143,10 @@ class Pipeline:
         ].all_log_nhis()
         samples = generate_dla_samples(observed, self.params)
         samples.save(self.samples_path)
+        if self.config.export_matlab:
+            from .io.matio import write_dla_samples_mat
+
+            write_dla_samples_mat(samples, self.workdir / "dla_samples.mat")
         return samples
 
     def run_inference(
@@ -196,6 +203,15 @@ class Pipeline:
         results.save(self.results_path)
         (self.workdir / "test_mask.npz").parent.mkdir(exist_ok=True)
         np.savez_compressed(self.workdir / "test_mask.npz", test_mask=test_mask)
+        if self.config.export_matlab:
+            from .io.matio import write_processed_mat
+
+            write_processed_mat(
+                results,
+                test_mask,
+                self.workdir
+                / f"processed_qsos_{self.config.test_set_name}.mat",
+            )
         return results
 
     def run_snrs(
@@ -215,6 +231,10 @@ class Pipeline:
             spectra, idx, results.min_z_dlas, results.max_z_dlas
         )
         np.savez_compressed(path, snrs=snrs)
+        if self.config.export_matlab:
+            from .io.matio import write_snrs_mat
+
+            write_snrs_mat(snrs, self.workdir / "snrs.mat")
         return snrs
 
     def run_ascii(self, catalog, samples, results, test_mask) -> dict:

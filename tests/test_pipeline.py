@@ -77,3 +77,33 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
     assert summary2["num_processed"] == 8
     for p, t in mtimes.items():
         assert p.stat().st_mtime_ns == t, f"{p} recomputed on resume"
+
+
+def test_pipeline_matlab_export(synthetic_release, tmp_path):
+    import h5py
+
+    params = small_params(synthetic_release)
+    config = PipelineConfig(
+        workdir=str(tmp_path / "run"),
+        per_device_batch=1,
+        sample_chunk=50,
+        dtype="float64",
+        export_matlab=True,
+    )
+    Pipeline(params, config).run_all()
+    wd = tmp_path / "run"
+    for name in ("processed_qsos_dr12q.mat", "dla_samples.mat", "snrs.mat"):
+        assert (wd / name).exists(), name
+        assert open(wd / name, "rb").read(20).startswith(b"MATLAB 7.3 MAT-file")
+    # reference access pattern works end to end
+    with h5py.File(wd / "processed_qsos_dr12q.mat", "r") as f:
+        assert f["p_dlas"][0].shape == (8,)
+        assert f["sample_log_likelihoods_dla"].shape == (100, 8)
+    # and our own matlab importer round-trips into the analysis layer
+    from gp_dla_detection_tpu.io.matio import load_catalogue_from_matlab
+
+    cat = load_catalogue_from_matlab(
+        wd / "processed_qsos_dr12q.mat", wd / "dla_samples.mat",
+        wd / "snrs.mat",
+    )
+    assert cat.p_dla.shape == (8,)
