@@ -140,8 +140,20 @@ def write_dla_samples_mat(samples, path: str | Path) -> None:
 
 
 def write_snrs_mat(snrs, path: str | Path) -> None:
-    """Export the SNR table (calc_cddf.py compute_all_snrs format)."""
-    write_mat(path, {"snrs": np.asarray(snrs, np.float64)})
+    """Export the SNR table (calc_cddf.py compute_all_snrs format).
+
+    Unlike the MATLAB-written stage files, the reference writes this one
+    from Python as a plain 1-D h5py dataset (calc_cddf.py:966) — keep
+    that exact shape so its broadcasting works.
+    """
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w", userblock_size=_USERBLOCK) as f:
+        f["snrs"] = np.asarray(snrs, np.float64)
+    with open(path, "r+b") as f:
+        f.write(_matlab_header())
 
 
 def load_catalogue_from_matlab(
