@@ -516,6 +516,7 @@ def process_spectra(
     sample_chunk: int = 1000,
     dtype=np.float64,
     progress: bool = False,
+    backend: str = "xla",
 ) -> InferenceResults:
     """Single-host inference driver over a set of spectra.
 
@@ -549,6 +550,16 @@ def process_spectra(
         jnp.asarray(nhi_samples, dtype),
     )
 
+    sample_window = None
+    if backend == "pallas" and np.dtype(dtype) == np.float32:
+        from .ops.evidence_pallas import SAMPLE_TILE
+
+        sample_window = compute_sample_window(
+            offset_samples,
+            SAMPLE_TILE,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+        )
+
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         batch = spectra.slice(slice(start, stop))
@@ -575,6 +586,8 @@ def process_spectra(
             *model_args,
             params=params,
             sample_chunk=sample_chunk,
+            backend=backend,
+            sample_window=sample_window,
         )
         keep = stop - start
         out_null[start:stop] = np.asarray(out["log_likelihood_no_dla"])[:keep]
