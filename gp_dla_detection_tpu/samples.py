@@ -130,6 +130,42 @@ class DLASamples:
         )
 
     @classmethod
+    def from_matlab(cls, path: str | Path) -> "DLASamples":
+        """Import a reference-produced dla_samples.mat (v7.3) — the
+        fixture route for bit-exact QMC parity with a MATLAB run
+        (MATLAB's internal 'rr2' scramble permutations are unpublished,
+        so regeneration cannot be bit-identical; see module docstring).
+        """
+        from .io.matio import read_mat
+
+        raw = read_mat(path)
+        get = lambda k: np.asarray(raw[k]).ravel()
+        cfg = DLASamplingParams(
+            num_dla_samples=int(get("offset_samples").size),
+            alpha=float(get("alpha")[0]) if "alpha" in raw else 0.9,
+            uniform_min_log_nhi=float(get("uniform_min_log_nhi")[0])
+            if "uniform_min_log_nhi" in raw
+            else 20.0,
+            uniform_max_log_nhi=float(get("uniform_max_log_nhi")[0])
+            if "uniform_max_log_nhi" in raw
+            else 23.0,
+            fit_min_log_nhi=float(get("fit_min_log_nhi")[0])
+            if "fit_min_log_nhi" in raw
+            else 20.0,
+            fit_max_log_nhi=float(get("fit_max_log_nhi")[0])
+            if "fit_max_log_nhi" in raw
+            else 22.0,
+        )
+        return cls(
+            offset_samples=get("offset_samples"),
+            log_nhi_samples=get("log_nhi_samples"),
+            nhi_samples=get("nhi_samples")
+            if "nhi_samples" in raw
+            else 10.0 ** get("log_nhi_samples"),
+            config=cfg,
+        )
+
+    @classmethod
     def load(cls, path: str | Path) -> "DLASamples":
         with np.load(Path(path)) as f:
             cfg = (

@@ -129,3 +129,26 @@ def test_import_reference_style_files(tmp_path):
     keep = cat.p_dla > cat.p_thresh_spec
     sums = np.exp(cat.log_norm_like[keep]).sum(axis=1)
     assert np.all((sums > 0.95) & (sums < 1.05))
+
+
+def test_dla_samples_from_matlab(tmp_path):
+    from gp_dla_detection_tpu.samples import DLASamples
+
+    class S:
+        offset_samples = np.linspace(0, 1, 30, endpoint=False)
+        log_nhi_samples = np.linspace(20, 23, 30)
+        nhi_samples = 10 ** np.linspace(20, 23, 30)
+
+        class config:
+            uniform_min_log_nhi = 20.0
+            uniform_max_log_nhi = 23.0
+            fit_min_log_nhi = 20.0
+            fit_max_log_nhi = 22.0
+            alpha = 0.9
+
+    write_dla_samples_mat(S, tmp_path / "dla_samples.mat")
+    imported = DLASamples.from_matlab(tmp_path / "dla_samples.mat")
+    np.testing.assert_allclose(imported.offset_samples, S.offset_samples)
+    np.testing.assert_allclose(imported.nhi_samples, S.nhi_samples)
+    assert imported.config.num_dla_samples == 30
+    assert imported.config.alpha == 0.9
