@@ -420,7 +420,8 @@ class DLACatalogue:
         """
         l_nhi = np.linspace(lnhi_min, lnhi_max, num=lnhi_nbins + 1)
         ndlas, l68, l95 = self._get_confidence_intervals(
-            l_nhi, z_min, z_max, lnhi_min=lnhi_min, nhi=True
+            l_nhi, z_min, z_max, lnhi_min=lnhi_min, lnhi_max=lnhi_max,
+            nhi=True,
         )
         dX = self.path_length(z_min, z_max)
         if dX == 0.0:  # no searched path in this z range
@@ -605,6 +606,8 @@ class DLACatalogue:
         dX = np.array(
             [self.path_length(zm, zx) for zm, zx in zip(z_bins[:-1], z_bins[1:])]
         )
+        # empty-path bins yield 0 (not inf/NaN), like the other statistics
+        dX = np.where(dX > 0, dX, np.inf)
         conversion = PROTON_MASS * H100_PER_S * hubble / LIGHT_CMS / dX / rho_crit(hubble)
         omega = mean * conversion
         err = np.sqrt(variance) * conversion

@@ -76,6 +76,25 @@ class PaddedSpectra:
             self.z_qso[sl],
         )
 
+    def pad_to(self, size: int) -> "PaddedSpectra":
+        """Pad the batch axis to ``size`` by repeating the final
+        spectrum (results for padded rows are discarded by callers)."""
+        pad = size - len(self)
+        if pad <= 0:
+            return self
+        return PaddedSpectra(
+            *(
+                np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                for a in (
+                    self.wavelengths,
+                    self.flux,
+                    self.noise_variance,
+                    self.mask,
+                    self.z_qso,
+                )
+            )
+        )
+
 
 # ---------------------------------------------------------------------------
 # model prior (process_qsos.m:4-27, 122-132)
@@ -140,21 +159,25 @@ def compute_sample_window(offset_samples, sample_chunk: int, num_pixels: int):
     """Static window size (pixels) for the windowed Voigt fast path.
 
     The line-center spread of a z-sorted chunk of samples is bounded by
-    the chunk's offset spread times the full pixel span; adds margin for
-    the Doppler core, branch radius, and convolution reach.  Returns
-    None when windowing would not help (window >= grid).
+    the chunk's offset spread times the full pixel span; WINDOW_MARGIN
+    pixels of slack are reserved on each side (consumers offset the
+    window start by exactly WINDOW_MARGIN, so coverage holds for any
+    window size).  Returns None when windowing would not help
+    (window >= grid).
     """
+    from .ops.voigt import WINDOW_MARGIN
+
     off = np.sort(np.asarray(offset_samples))
     m = min(sample_chunk, len(off))
     if m <= 1 or len(off) == 0:
         return None
     spread = float(np.max(off[m - 1 :] - off[: len(off) - m + 1]))
-    window = int(np.ceil(spread * num_pixels)) + 72
+    window = int(np.ceil(spread * num_pixels)) + 2 * WINDOW_MARGIN
     window = -(-window // 8) * 8
     return window if window < num_pixels else None
 
 
-def spectrum_log_likelihoods(
+def _prepare_spectrum(
     wavelengths,
     flux,
     noise_variance,
@@ -167,20 +190,12 @@ def spectrum_log_likelihoods(
     log_c_0,
     log_tau_0,
     log_beta,
-    offset_samples,
-    nhi_samples,
     params: Parameters,
-    sample_chunk: int = 1000,
-    sample_window: int | None = None,
 ):
-    """Null + per-sample DLA log likelihoods for one padded spectrum.
-
-    Pure jittable function of arrays; the sample axis is processed in
-    lax.map chunks of ``sample_chunk`` to bound the (S, P) working set.
-
-    Returns dict with log_likelihood_no_dla, sample_log_likelihoods_dla
-    (S,), min_z_dla, max_z_dla.
-    """
+    """Shared per-spectrum preparation: model interpolation, forest
+    scaling, validity mask, null evidence, z_DLA search range, and the
+    convolution-extended wavelength grid (process_qsos.m:102-177).
+    Used by both the XLA and Pallas evidence backends."""
     dtype = flux.dtype
     wavelengths = wavelengths.astype(dtype)
 
@@ -220,6 +235,57 @@ def spectrum_log_likelihoods(
         LYMAN_LIMIT * (1.0 + z_qso) / LYA_WAVELENGTH - 1.0 + params.min_z_cut,
     )
 
+    return {
+        "mu": mu,
+        "M": M,
+        "omega2": omega2,
+        "valid": valid,
+        "log_likelihood_no_dla": log_likelihood_no_dla,
+        "min_z_dla": min_z_dla,
+        "max_z_dla": max_z_dla,
+        "padded_wavelengths": _extend_wavelengths(
+            wavelengths, params.instrument.width, params.instrument.pixel_spacing
+        ),
+    }
+
+
+def spectrum_log_likelihoods(
+    wavelengths,
+    flux,
+    noise_variance,
+    mask,
+    z_qso,
+    model_grid,
+    model_mu,
+    model_M,
+    model_log_omega,
+    log_c_0,
+    log_tau_0,
+    log_beta,
+    offset_samples,
+    nhi_samples,
+    params: Parameters,
+    sample_chunk: int = 1000,
+    sample_window: int | None = None,
+):
+    """Null + per-sample DLA log likelihoods for one padded spectrum.
+
+    Pure jittable function of arrays; the sample axis is processed in
+    lax.map chunks of ``sample_chunk`` to bound the (S, P) working set.
+
+    Returns dict with log_likelihood_no_dla, sample_log_likelihoods_dla
+    (S,), min_z_dla, max_z_dla.
+    """
+    prep = _prepare_spectrum(
+        wavelengths, flux, noise_variance, mask, z_qso,
+        model_grid, model_mu, model_M, model_log_omega,
+        log_c_0, log_tau_0, log_beta, params,
+    )
+    dtype = flux.dtype
+    mu, M, omega2, valid = prep["mu"], prep["M"], prep["omega2"], prep["valid"]
+    log_likelihood_no_dla = prep["log_likelihood_no_dla"]
+    min_z_dla, max_z_dla = prep["min_z_dla"], prep["max_z_dla"]
+
     offsets = jnp.asarray(offset_samples, dtype)
     nhis = jnp.asarray(nhi_samples, dtype)
     windowed = sample_window is not None and dtype == jnp.float32
@@ -231,10 +297,7 @@ def spectrum_log_likelihoods(
         nhis = nhis[order]
         unsort = jnp.argsort(order)
     z_dlas = min_z_dla + (max_z_dla - min_z_dla) * offsets
-
-    padded_wavelengths = _extend_wavelengths(
-        wavelengths, params.instrument.width, params.instrument.pixel_spacing
-    )
+    padded_wavelengths = prep["padded_wavelengths"]
 
     num_samples = offsets.shape[0]
     if num_samples == 0:
@@ -351,47 +414,23 @@ def batch_log_likelihoods(
     from .ops.evidence_pallas import pallas_sample_log_likelihoods
 
     def prepare(w, f, n, m, z):
-        out = spectrum_log_likelihoods(
+        prep = _prepare_spectrum(
             w, f, n, m, z,
             model_grid, model_mu, model_M, model_log_omega,
-            log_c_0, log_tau_0, log_beta,
-            # skip the sample loop: evaluate zero samples in XLA
-            offset_samples[:0], nhi_samples[:0],
-            params, 1,
+            log_c_0, log_tau_0, log_beta, params,
         )
-        dtype = f.dtype
-        rest = w.astype(dtype) / (1.0 + z)
-        from .ops.interp import interp1, interp_columns
-
-        grid = jnp.asarray(model_grid, dtype)
-        mu = interp1(grid, jnp.asarray(model_mu, dtype), rest)
-        M = interp_columns(grid, jnp.asarray(model_M, dtype), rest)
-        log_omega = interp1(grid, jnp.asarray(model_log_omega, dtype), rest)
-        lya_zs = (w - LYA_WAVELENGTH) / LYA_WAVELENGTH
-        tau_0 = jnp.exp(jnp.asarray(log_tau_0, dtype))
-        beta = jnp.exp(jnp.asarray(log_beta, dtype))
-        c_0 = jnp.exp(jnp.asarray(log_c_0, dtype))
-        scaling = 1.0 - jnp.exp(-tau_0 * (1.0 + lya_zs) ** beta) + c_0
-        omega2 = jnp.exp(2.0 * log_omega) * scaling**2
-        nm = params.null_model
-        valid = m & (rest >= nm.min_lambda) & (rest <= nm.max_lambda)
-        ext = _extend_wavelengths(
-            w.astype(dtype),
-            params.instrument.width,
-            params.instrument.pixel_spacing,
-        )
-        z_dlas = out["min_z_dla"] + (
-            out["max_z_dla"] - out["min_z_dla"]
-        ) * jnp.asarray(offset_samples, dtype)
+        z_dlas = prep["min_z_dla"] + (
+            prep["max_z_dla"] - prep["min_z_dla"]
+        ) * jnp.asarray(offset_samples, f.dtype)
         return (
-            out["log_likelihood_no_dla"],
-            out["min_z_dla"],
-            out["max_z_dla"],
-            mu,
-            M,
-            omega2,
-            valid,
-            ext,
+            prep["log_likelihood_no_dla"],
+            prep["min_z_dla"],
+            prep["max_z_dla"],
+            prep["mu"],
+            prep["M"],
+            prep["omega2"],
+            prep["valid"],
+            prep["padded_wavelengths"],
             z_dlas,
         )
 
@@ -562,21 +601,7 @@ def process_spectra(
 
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
-        batch = spectra.slice(slice(start, stop))
-        pad = batch_size - (stop - start)
-        if pad:
-            batch = PaddedSpectra(
-                *(
-                    np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-                    for a in (
-                        batch.wavelengths,
-                        batch.flux,
-                        batch.noise_variance,
-                        batch.mask,
-                        batch.z_qso,
-                    )
-                )
-            )
+        batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
         out = batch_log_likelihoods(
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),

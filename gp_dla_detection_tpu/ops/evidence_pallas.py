@@ -85,14 +85,8 @@ def _evidence_kernel(
     voigt_norm = 1.0 / (lines.DOPPLER_SIGMA * _SQRT_2PI)
 
     # ---- Voigt optical depth over the extended grid (voigt.c:277-291)
-    from .faddeeva import _SQRT_PI, _WING_DFACT
-
-    def wing_g(x):
-        u = 0.5 / jnp.maximum(x * x, 49.0)
-        g = jnp.zeros_like(u)
-        for cm in _WING_DFACT[::-1]:
-            g = (g + cm) * u
-        return g
+    from .faddeeva import _SQRT_PI, wing_series
+    from .voigt import WINDOW_MARGIN
 
     total_ref[...] = jnp.zeros((P6, T), dtype)
     for j in range(num_lines):
@@ -113,24 +107,27 @@ def _evidence_kernel(
             # access goes through the VMEM scratch ref (Mosaic has no
             # dynamic_slice on values).
             # Mosaic requires dynamic lane indices to be 128-aligned:
-            # round the window start down to a lane boundary and widen
-            # the (static) window size by one extra lane group
+            # the start rounds DOWN to a lane boundary (losing at most
+            # 127 px of right coverage), so widen the static window by
+            # one extra lane group; the clip bound must itself stay
+            # 128-aligned or the pl.multiple_of promise is violated for
+            # near-red-edge windows
             W = min(-(-(min(window, P6) + 128) // 128) * 128, P6)
-            h_wing = (2.0 / _SQRT_PI) * y * wing_g(x)
+            h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
             total_ref[...] = total_ref[...] - (lead_j * voigt_norm) * h_wing
             center = jnp.log10(lambda_t * 1e8 * (1.0 + z_ref[0, 0, 0]))
             log_lam0 = jnp.log10(lam_ref[0, 0, 0])
             start_raw = jnp.floor(
                 (center - log_lam0) / pixel_spacing
-            ).astype(jnp.int32) - (window // 4)
+            ).astype(jnp.int32) - WINDOW_MARGIN
             start = jnp.clip(
-                (start_raw // 128) * 128, 0, max(P6 - W, 0)
+                (start_raw // 128) * 128, 0, max(((P6 - W) // 128) * 128, 0)
             )
             start = pl.multiple_of(start, 128)
             lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
             x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
             h_full = wofz_real_fast(x_win, jnp.full_like(x_win, y))
-            corr = h_full - (2.0 / _SQRT_PI) * y * wing_g(x_win)
+            corr = h_full - (2.0 / _SQRT_PI) * y * wing_series(x_win)
             total_ref[pl.ds(start, W), :] = (
                 total_ref[pl.ds(start, W), :] - (lead_j * voigt_norm) * corr
             )
@@ -237,6 +234,12 @@ def pallas_sample_log_likelihoods(
     P6 = ext_wavelengths.shape[-1]
     k = M.shape[-1]
     dtype = flux.dtype
+    if dtype != jnp.float32:
+        raise ValueError(
+            "the Pallas evidence kernel is float32-only (Mosaic has no "
+            f"f64 support); got {dtype}. Use backend='xla' for float64 "
+            "parity mode."
+        )
 
     pad = (-S) % tile
     if pad:
@@ -249,6 +252,12 @@ def pallas_sample_log_likelihoods(
     S_pad = S + pad
 
     maskf = mask.astype(dtype)
+    # neutralize masked pixels against non-finite flux/noise (NaN flux at
+    # ivar==0 pixels, inf noise variance): the kernel relies on maskf
+    # multiplication, but NaN*0 = NaN; the XLA path uses where() guards
+    flux = jnp.where(mask, flux, 0.0)
+    noise_variance = jnp.where(mask, noise_variance, 0.0)
+    mu = jnp.where(mask, mu, 0.0)
     # leading singleton dims keep every block's trailing two dims equal
     # to the array's (the Mosaic tiling constraint for (1, X) blocks)
     expand = lambda a: a[:, None, :]

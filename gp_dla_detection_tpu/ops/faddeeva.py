@@ -53,6 +53,7 @@ import numpy as np
 __all__ = [
     "wofz_real",
     "wofz_real_fast",
+    "wing_series",
     "voigt_function",
     "WEIDEMAN_N",
     "BRANCH_RADIUS",
@@ -230,6 +231,19 @@ FAST_MAX_Y = 1e-2  # validity bound of the first-order small-y expansion
 _WING_DFACT = (1.0, 3.0, 15.0, 105.0, 945.0, 10395.0, 135135.0, 2027025.0)
 
 
+def wing_series(x):
+    """G(x) = 2x F(x) - 1 by the 8-term asymptotic series, clamped to the
+    branch radius (valid/used for |x| >= BRANCH_RADIUS; elementwise,
+    Pallas-safe).  Single definition shared by the fast path and both
+    windowed Voigt implementations — the window correction
+    (full - wing) must cancel against exactly this series."""
+    u = 0.5 / jnp.maximum(x * x, BRANCH_RADIUS * BRANCH_RADIUS)
+    g = jnp.zeros_like(u)
+    for c in _WING_DFACT[::-1]:
+        g = (g + c) * u
+    return g
+
+
 def wofz_real_fast(x, y):
     """Fast-path Re w(x + iy) for SMALL y (y < ~1e-2) — the DLA regime.
 
@@ -259,10 +273,7 @@ def wofz_real_fast(x, y):
     g_inner = 2.0 * x_in * _dawson_clenshaw(x_in) - 1.0
 
     # outer: asymptotic series in u = 1/(2 x^2) (one division)
-    u = 0.5 / jnp.maximum(x2, BRANCH_RADIUS * BRANCH_RADIUS)
-    g_outer = jnp.zeros_like(u)
-    for c in _WING_DFACT[::-1]:
-        g_outer = (g_outer + c) * u
+    g_outer = wing_series(ax)
 
     g = jnp.where(outer, g_outer, g_inner)
     exp_mx2 = jnp.exp(-jnp.minimum(x2, 90.0))

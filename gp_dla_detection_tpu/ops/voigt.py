@@ -26,7 +26,14 @@ import numpy as np
 from ..params import InstrumentParams
 from . import lyman_series as lines
 
-__all__ = ["voigt_absorption", "instrumental_broadening"]
+__all__ = ["voigt_absorption", "instrumental_broadening", "WINDOW_MARGIN"]
+
+# Slack reserved on EACH side of a z-sorted chunk's line-center spread in
+# the windowed fast paths: covers the |x|<7 Doppler core (~2 px), the
+# instrumental convolution reach (3 px), floor/interp jitter, and QMC
+# non-uniformity.  compute_sample_window sizes windows as
+# spread + 2*WINDOW_MARGIN and consumers offset starts by WINDOW_MARGIN.
+WINDOW_MARGIN = 40
 
 _SQRT_2 = float(np.sqrt(2.0))
 _SQRT_2PI = float(np.sqrt(2.0 * np.pi))
@@ -149,13 +156,13 @@ def voigt_absorption_windowed(
     fast-path evaluation.
 
     Caller contract: z_dla_sorted ascending, and ``window`` at least the
-    chunk's center spread in pixels plus ~60 (see
-    inference._window_for_chunk).  float32 fast mode only.
+    chunk's center spread in pixels plus 2*WINDOW_MARGIN (see
+    inference.compute_sample_window).  float32 fast mode only.
     """
     if instrument is None:
         instrument = InstrumentParams()
 
-    from .faddeeva import _SQRT_PI, _WING_DFACT, wofz_real_fast
+    from .faddeeva import _SQRT_PI, wing_series, wofz_real_fast
 
     wavelengths = jnp.asarray(padded_wavelengths)
     dtype = wavelengths.dtype
@@ -183,18 +190,15 @@ def voigt_absorption_windowed(
         x = velocity * inv_sqrt2_sigma
         # wing-only evaluation everywhere (clamped below the branch
         # radius; those pixels are overwritten from the window)
-        x2 = jnp.maximum(x * x, 49.0)
-        u = 0.5 / x2
-        g = jnp.zeros_like(u)
-        for cm in _WING_DFACT[::-1]:
-            g = (g + cm) * u
-        h_wing = (2.0 / _SQRT_PI) * y * g
+        h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
 
-        # full fast path on the chunk's line-center window
+        # full fast path on the chunk's line-center window; the window
+        # size contract (compute_sample_window) reserves WINDOW_MARGIN
+        # pixels of slack on each side of the chunk's center spread
         center_lo = jnp.log10(lambda_t * 1e8 * (1.0 + z[0, 0]))
         start = jnp.clip(
             jnp.floor((center_lo - log_lam0) / dex).astype(jnp.int32)
-            - (W // 4),
+            - WINDOW_MARGIN,
             0,
             P6 - W,
         )

@@ -52,24 +52,6 @@ class ShardedRunConfig:
     backend: str = "xla"
 
 
-def _pad_batch(batch: PaddedSpectra, to: int) -> PaddedSpectra:
-    pad = to - len(batch)
-    if pad <= 0:
-        return batch
-    return PaddedSpectra(
-        *(
-            np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-            for a in (
-                batch.wavelengths,
-                batch.flux,
-                batch.noise_variance,
-                batch.mask,
-                batch.z_qso,
-            )
-        )
-    )
-
-
 def process_spectra_sharded(
     model: GPModel,
     offset_samples,
@@ -166,7 +148,7 @@ def process_spectra_sharded(
                 out_max_z[start:stop] = f["max_z_dla"]
             continue
 
-        batch = _pad_batch(spectra.slice(slice(start, stop)), super_batch)
+        batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
         out = batch_log_likelihoods(
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),

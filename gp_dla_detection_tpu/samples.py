@@ -14,8 +14,8 @@ Differences from the reference, by design:
     (RR2, Kocis & Whiten 1997) digit permutation that MATLAB's
     ``scramble(haltonset(2),'rr2')`` names; since MATLAB's internal
     permutation tables are not published, bit-exact sample parity with a
-    specific MATLAB run is obtained by loading a fixture with
-    :meth:`DLASamples.load` instead of regenerating.
+    specific MATLAB run is obtained by importing its dla_samples.mat
+    with :meth:`DLASamples.from_matlab` instead of regenerating.
   - The 10,000 per-sample ``fzero`` root-finds (generate_dla_samples.m:50-54)
     become one vectorized inverse-CDF interpolation on a dense
     Simpson-integrated grid (~1e-10 accurate).
@@ -140,21 +140,21 @@ class DLASamples:
 
         raw = read_mat(path)
         get = lambda k: np.asarray(raw[k]).ravel()
+        # only pass keys present in the file; DLASamplingParams supplies
+        # the defaults (single source of truth)
+        cfg_kwargs = {
+            name: float(get(name)[0])
+            for name in (
+                "alpha",
+                "uniform_min_log_nhi",
+                "uniform_max_log_nhi",
+                "fit_min_log_nhi",
+                "fit_max_log_nhi",
+            )
+            if name in raw
+        }
         cfg = DLASamplingParams(
-            num_dla_samples=int(get("offset_samples").size),
-            alpha=float(get("alpha")[0]) if "alpha" in raw else 0.9,
-            uniform_min_log_nhi=float(get("uniform_min_log_nhi")[0])
-            if "uniform_min_log_nhi" in raw
-            else 20.0,
-            uniform_max_log_nhi=float(get("uniform_max_log_nhi")[0])
-            if "uniform_max_log_nhi" in raw
-            else 23.0,
-            fit_min_log_nhi=float(get("fit_min_log_nhi")[0])
-            if "fit_min_log_nhi" in raw
-            else 20.0,
-            fit_max_log_nhi=float(get("fit_max_log_nhi")[0])
-            if "fit_max_log_nhi" in raw
-            else 22.0,
+            num_dla_samples=int(get("offset_samples").size), **cfg_kwargs
         )
         return cls(
             offset_samples=get("offset_samples"),

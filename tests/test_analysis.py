@@ -280,3 +280,26 @@ def test_second_dla_counts():
 
     with _pytest.raises(NotImplementedError):
         cat.resample(True)
+
+
+def test_cddf_lnhi_max_forwarded():
+    """Bins above the default 23.0 must still receive counts when a
+    larger lnhi_max is requested (regression: the filter previously
+    stayed at the default)."""
+    cat = make_synthetic_catalogue()
+    # move the posterior mass above the old hardcoded cap
+    cat.lnhi_vals = cat.lnhi_vals.copy()
+    cat.lnhi_vals[0] = 23.55
+    l_cent, cddf, _, _, _ = cat.column_density_function(
+        z_min=2.0, z_max=3.0, lnhi_nbins=40, lnhi_min=20.0, lnhi_max=24.0
+    )
+    b = np.argmin(np.abs(l_cent - 23.55))
+    assert cddf[b] > 0
+
+
+def test_omega_dla_empty_path_bins():
+    cat = make_synthetic_catalogue()
+    # z bins beyond every sightline's range have zero path
+    z_cent, omega, err, _ = cat.omega_dla(z_min=2.0, z_max=5.0)
+    assert np.all(np.isfinite(omega)) and np.all(np.isfinite(err))
+    assert np.all(omega[z_cent > 3.1] == 0)

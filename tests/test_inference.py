@@ -266,3 +266,55 @@ def test_windowed_fast_path_matches(setup):
     b = np.asarray(windowed["sample_log_likelihoods_dla"], np.float64)
     scale = np.maximum(np.abs(a), 1.0)
     assert np.max(np.abs(a - b) / scale) < 5e-5
+
+
+def test_windowed_large_window_coverage():
+    """Regression (code review): with the old window//4 offset, windows
+    above ~270 px failed to cover the highest-z samples of each chunk,
+    silently corrupting their likelihoods.  Exercise a large window
+    (big chunk -> wide spread) and demand agreement with the plain path."""
+    import jax.numpy as jnp
+    from gp_dla_detection_tpu.inference import (
+        batch_log_likelihoods,
+        compute_sample_window,
+    )
+
+    rng = np.random.default_rng(21)
+    params = Parameters()
+    model = make_model(rng, k=4)
+    spec = make_spectrum(rng, z_qso=3.0, P=1280, n_real=1270)
+    S = 800
+    offsets = rng.uniform(size=S)
+    nhis = 10 ** rng.uniform(20.0, 21.5, S)
+
+    dtype = np.float32
+    args = (
+        jnp.asarray(spec.wavelengths, dtype),
+        jnp.asarray(spec.flux, dtype),
+        jnp.asarray(spec.noise_variance, dtype),
+        jnp.asarray(spec.mask),
+        jnp.asarray(spec.z_qso, dtype),
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets, dtype),
+        jnp.asarray(nhis, dtype),
+    )
+    chunk = 400  # half the samples per chunk -> window ~ 0.5*1286 + 80
+    window = compute_sample_window(offsets, chunk, 1286)
+    assert window is not None and window > 300, window
+
+    plain = batch_log_likelihoods(
+        *args, params=params, sample_chunk=chunk, sample_window=None
+    )
+    windowed = batch_log_likelihoods(
+        *args, params=params, sample_chunk=chunk, sample_window=window
+    )
+    a = np.asarray(plain["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(windowed["sample_log_likelihoods_dla"], np.float64)
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-5

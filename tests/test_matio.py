@@ -149,6 +149,24 @@ def test_dla_samples_from_matlab(tmp_path):
     write_dla_samples_mat(S, tmp_path / "dla_samples.mat")
     imported = DLASamples.from_matlab(tmp_path / "dla_samples.mat")
     np.testing.assert_allclose(imported.offset_samples, S.offset_samples)
+    np.testing.assert_allclose(imported.log_nhi_samples, S.log_nhi_samples)
     np.testing.assert_allclose(imported.nhi_samples, S.nhi_samples)
     assert imported.config.num_dla_samples == 30
     assert imported.config.alpha == 0.9
+
+    # minimal file exercising the fallback branches: nhi derived from
+    # log_nhi, config defaults from DLASamplingParams
+    write_mat(
+        tmp_path / "minimal.mat",
+        {
+            "offset_samples": S.offset_samples,
+            "log_nhi_samples": S.log_nhi_samples,
+        },
+    )
+    minimal = DLASamples.from_matlab(tmp_path / "minimal.mat")
+    np.testing.assert_allclose(minimal.nhi_samples, 10.0**S.log_nhi_samples)
+    from gp_dla_detection_tpu.params import DLASamplingParams
+
+    defaults = DLASamplingParams()
+    assert minimal.config.alpha == defaults.alpha
+    assert minimal.config.fit_max_log_nhi == defaults.fit_max_log_nhi
