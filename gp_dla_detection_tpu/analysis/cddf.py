@@ -29,7 +29,7 @@ import numpy as np
 from .cosmology import OMEGA_M_WMAP9, AbsorptionPath, rho_crit
 from .pb import combine_with_poisson, interval, pdf_confidence, poisson_binomial_pdf
 
-__all__ = ["DLACatalogue", "compute_all_snrs"]
+__all__ = ["DLACatalogue", "compute_all_snrs", "compute_pixel_noise"]
 
 PROTON_MASS = 1.67262178e-24      # g (calc_cddf.py:535)
 H100_PER_S = 3.2407789e-18        # 100 km/s/Mpc in 1/s (calc_cddf.py:537)
@@ -663,6 +663,22 @@ class DLACatalogue:
         m = int(np.argmax(likes))
         lnhi_vals, redshifts = self._get_sample_params(spec, second=second)
         return lnhi_vals[m], redshifts[m]
+
+
+def compute_pixel_noise(spectra, indices, min_z_dlas, max_z_dlas) -> list:
+    """Per-spectrum normalized pixel noise over the DLA search range
+    (calc_cddf.py:937-955 find_pixel_noise): noise_variance at pixels
+    whose Lyα redshift lies in [min_z, max_z], already normalized by the
+    preload stage.  Feeds DLACatalogue(pixel_noise=...) for noisy-pixel
+    path excision."""
+    out = []
+    for row, i in enumerate(indices):
+        w, _, noise_var, _ = spectra.row(int(i))
+        ipix = (w > 1215.67 * (1 + min_z_dlas[row])) & (
+            w < 1215.67 * (1 + max_z_dlas[row])
+        )
+        out.append(np.asarray(noise_var[ipix], np.float64))
+    return out
 
 
 def compute_all_snrs(spectra, indices, min_z_dlas, max_z_dlas) -> np.ndarray:

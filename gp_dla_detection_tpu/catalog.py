@@ -97,8 +97,11 @@ class Catalog:
         )
 
     def prior_dr9_concordance(self) -> np.ndarray:
-        """The paper's prior selection (README.md:240-245)."""
-        return self.in_dr9 & self.los("dr9q_concordance")
+        """The paper's prior selection (README.md:240-245):
+        in_dr9 & los_inds & filter_flags == 0."""
+        return (
+            self.in_dr9 & self.los("dr9q_concordance") & self.unfiltered()
+        )
 
     # --- spectra file list (build_catalogs.m:101-119) ---
 

@@ -217,6 +217,18 @@ def learn_gp_model(
     if params is None:
         params = Parameters()
 
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "learn_gp_model(dtype=float64) requested but jax_enable_x64 "
+            "is off — JAX would silently truncate to float32. Training "
+            "in float32; enable x64 (jax.config.update('jax_enable_x64',"
+            " True)) for the double-precision path.",
+            stacklevel=2,
+        )
+        dtype = jnp.float32
+
     init = initialize_model_params(data, params)
     init = {k: jnp.asarray(v, dtype) for k, v in init.items()}
     flat0, unravel = flatten_util.ravel_pytree(init)

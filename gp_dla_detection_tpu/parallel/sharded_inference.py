@@ -108,7 +108,23 @@ def process_spectra_sharded(
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
     done: set[int] = set()
     if manifest_path and manifest_path.exists():
-        done = set(json.loads(manifest_path.read_text())["completed_batches"])
+        manifest = json.loads(manifest_path.read_text())
+        # only trust checkpoints from a run with the same shape: a model
+        # or test-set change must not silently resume stale likelihoods
+        if (
+            manifest.get("num_spectra") == n
+            and manifest.get("super_batch") == super_batch
+            and manifest.get("num_samples") == num_samples
+        ):
+            done = set(manifest["completed_batches"])
+        else:
+            import warnings
+
+            warnings.warn(
+                f"ignoring incompatible inference checkpoints in "
+                f"{ckpt_dir} (run shape changed)",
+                stacklevel=2,
+            )
     if ckpt_dir:
         ckpt_dir.mkdir(parents=True, exist_ok=True)
 
@@ -187,6 +203,7 @@ def process_spectra_sharded(
                         "total_batches": len(batch_starts),
                         "num_spectra": n,
                         "super_batch": super_batch,
+                        "num_samples": num_samples,
                     }
                 )
             )

@@ -92,9 +92,13 @@ class Pipeline:
             return Catalog.load(self.catalog_path)
         catalog = build_catalog(self.params)
         catalog.save(self.catalog_path)
-        (self.workdir / "file_list").write_text(
-            "\n".join(catalog.file_list()) + "\n"
-        )
+        file_list = "\n".join(catalog.file_list()) + "\n"
+        (self.workdir / "file_list").write_text(file_list)
+        # rsync (download.download_spectra_command) reads it from the
+        # release's spectra directory (download_spectra.sh:6-8)
+        spectra_dir = self.params.spectra_directory(self.config.release)
+        spectra_dir.mkdir(parents=True, exist_ok=True)
+        (spectra_dir / "file_list").write_text(file_list)
         return catalog
 
     def run_preload(self, catalog: Catalog, force: bool = False) -> RaggedSpectra:
@@ -161,8 +165,13 @@ class Pipeline:
     ) -> InferenceResults:
         if self.results_path.exists() and not force:
             return InferenceResults.load(self.results_path)
+        if force:
+            # stale per-batch checkpoints must not survive a forced rerun
+            import shutil
+
+            shutil.rmtree(self.workdir / "inference_ckpt", ignore_errors=True)
         if test_mask is None:
-            test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+            test_mask = self.default_test_mask(catalog, spectra)
         if prior_mask is None:
             prior_mask = catalog.prior_dr9_concordance()
 
@@ -214,6 +223,12 @@ class Pipeline:
             )
         return results
 
+    @staticmethod
+    def default_test_mask(catalog: Catalog, spectra: RaggedSpectra) -> np.ndarray:
+        """The default processing selection: unfiltered quasars with a
+        loaded spectrum (the reference's standard test_ind)."""
+        return catalog.unfiltered() & (spectra.lengths() > 0)
+
     def run_snrs(
         self, spectra: RaggedSpectra, results: InferenceResults, test_mask,
         force: bool = False,
@@ -252,7 +267,7 @@ class Pipeline:
         spectra = self.run_preload(catalog)
         model = self.run_learn(catalog, spectra)
         samples = self.run_samples(catalog)
-        test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+        test_mask = self.default_test_mask(catalog, spectra)
         results = self.run_inference(catalog, spectra, model, samples, test_mask)
         self.run_snrs(spectra, results, test_mask)
         paths = self.run_ascii(catalog, samples, results, test_mask)
@@ -298,7 +313,7 @@ def main() -> None:
         return
     model = pipe.run_learn(catalog, spectra)
     samples = pipe.run_samples(catalog)
-    test_mask = catalog.unfiltered() & (spectra.lengths() > 0)
+    test_mask = pipe.default_test_mask(catalog, spectra)
     results = pipe.run_inference(catalog, spectra, model, samples, test_mask)
     if args.stage == "ascii":
         pipe.run_ascii(catalog, samples, results, test_mask)

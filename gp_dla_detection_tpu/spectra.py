@@ -188,7 +188,7 @@ def preload_qsos(
     file_loader=None,
     progress: bool = False,
     use_native: bool = True,
-    max_pixels: int = 8192,
+    max_pixels: int = 4800,
 ) -> RaggedSpectra:
     """Load, normalize, filter, and truncate all catalog spectra
     (preload_qsos.m:18-83).
@@ -209,40 +209,51 @@ def preload_qsos(
     if file_loader is None:
         base = params.spectra_directory("dr12q")
 
+        def spec_path(plate, mjd, fiber_id):
+            # files land under a per-plate subdirectory, matching
+            # catalog.file_list()'s rsync layout and the reference's
+            # file_loader closure (README.md:102-108)
+            return base / str(plate) / f"spec-{plate}-{mjd}-{fiber_id:04d}.fits"
+
         if use_native:
-            # bulk-parse every needed file up front with the
+            # bulk-parse the needed files in bounded chunks with the
             # multithreaded C++ loader (native/gpdla_io.cc), replacing
             # the reference's sequential 162k-file loop; read_spec_batch
-            # falls back to the numpy reader when no compiler exists
+            # falls back to the numpy reader when no compiler exists.
+            # Chunking bounds peak memory (~chunk * max_pixels * 8B * 3).
             from .io.native import read_spec_batch
 
             todo = np.flatnonzero(np.asarray(catalog.filter_flags) == 0)
             paths = [
-                base
-                / (
-                    f"spec-{catalog.plates[i]}-{catalog.mjds[i]}"
-                    f"-{catalog.fiber_ids[i]:04d}.fits"
+                spec_path(
+                    catalog.plates[i], catalog.mjds[i], catalog.fiber_ids[i]
                 )
                 for i in todo
             ]
-            w_b, f_b, n_b, m_b, len_b = read_spec_batch(
-                paths, max_pixels=max_pixels
-            )
             row_of = {int(q): r for r, q in enumerate(todo)}
+            chunk_size = 4096
+            cache = {"lo": 0, "hi": 0, "data": None}
 
             def native_loader(i):
                 r = row_of[i]
-                L = int(len_b[r])
+                if not (cache["lo"] <= r < cache["hi"]):
+                    lo = (r // chunk_size) * chunk_size
+                    hi = min(lo + chunk_size, len(paths))
+                    cache["data"] = read_spec_batch(
+                        paths[lo:hi], max_pixels=max_pixels
+                    )
+                    cache["lo"], cache["hi"] = lo, hi
+                w_b, f_b, n_b, m_b, len_b = cache["data"]
+                rr = r - cache["lo"]
+                L = int(len_b[rr])
                 if L < 0:
                     raise FileNotFoundError(paths[r])
-                return w_b[r, :L], f_b[r, :L], n_b[r, :L], m_b[r, :L]
+                return w_b[rr, :L], f_b[rr, :L], n_b[rr, :L], m_b[rr, :L]
 
         else:
 
             def file_loader(plate, mjd, fiber_id):
-                return read_spec(
-                    base / f"spec-{plate}-{mjd}-{fiber_id:04d}.fits"
-                )
+                return read_spec(spec_path(plate, mjd, fiber_id))
 
     num_quasars = len(catalog.z_qsos)
     waves, fluxes, noises, masks = [], [], [], []

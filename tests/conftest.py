@@ -134,8 +134,10 @@ def synthetic_release(tmp_path):
         if i == 7:
             rest = 10.0**loglam / (1 + z)
             ivar[rest <= 1250.0] = 0.0
+        plate_dir = spec_dir / str(plates[i])
+        plate_dir.mkdir(exist_ok=True)
         write_spec_file(
-            spec_dir / f"spec-{plates[i]}-{mjds[i]}-{fibers[i]:04d}.fits",
+            plate_dir / f"spec-{plates[i]}-{mjds[i]}-{fibers[i]:04d}.fits",
             loglam,
             flux,
             ivar,

@@ -303,3 +303,51 @@ def test_omega_dla_empty_path_bins():
     z_cent, omega, err, _ = cat.omega_dla(z_min=2.0, z_max=5.0)
     assert np.all(np.isfinite(omega)) and np.all(np.isfinite(err))
     assert np.all(omega[z_cent > 3.1] == 0)
+
+
+def test_noisy_pixel_excision():
+    """Path length shrinks when noisy pixel stretches are excised."""
+    cat = make_synthetic_catalogue(n_certain=5, n_empty=20, n_weak=5)
+    n = cat.p_dla.size
+    # pixel noise arrays spanning each spectrum's [z_min, z_max]
+    pn = []
+    for i in range(n):
+        arr = np.full(100, 0.01)
+        if i % 2 == 0:
+            arr[40:60] = 1.0  # a noisy stretch above the 0.25 threshold
+        pn.append(arr)
+    cat.pixel_noise = pn
+    cat.filter_noisy_pixels = True
+    full = AbsorptionPath().total_path(cat._z_min, cat._z_max, 2.0, 3.0)
+    excised = cat.path_length(2.0, 3.0)
+    assert excised < full
+    # ~20% of path removed on half the sightlines -> ~10% reduction
+    assert 0.85 < excised / full < 0.95
+
+    # sample filtering also drops samples landing on the noisy stretch
+    probs, poissons = cat._split_distributions(
+        np.array([2.0, 3.0]), 2.0, 3.0, lnhi_min=20.0, lnhi_max=23.0
+    )
+    total_noisy = sum(float(np.sum(np.concatenate(p))) if p else 0.0 for p in probs) + poissons.sum()
+    cat.filter_noisy_pixels = False
+    probs2, poissons2 = cat._split_distributions(
+        np.array([2.0, 3.0]), 2.0, 3.0, lnhi_min=20.0, lnhi_max=23.0
+    )
+    total_all = sum(float(np.sum(np.concatenate(p))) if p else 0.0 for p in probs2) + poissons2.sum()
+    assert total_noisy <= total_all
+
+
+def test_compute_pixel_noise(synthetic_release):
+    from gp_dla_detection_tpu.analysis import compute_pixel_noise
+    from gp_dla_detection_tpu.catalog import build_catalog
+    from gp_dla_detection_tpu.spectra import preload_qsos
+
+    params = synthetic_release
+    cat = build_catalog(params)
+    spectra = preload_qsos(cat, params)
+    good = np.flatnonzero(cat.filter_flags == 0)
+    min_z = np.full(good.size, 2.0)
+    max_z = cat.z_qsos[good] - 0.1
+    pn = compute_pixel_noise(spectra, good, min_z, max_z)
+    assert len(pn) == good.size
+    assert all(np.all(np.isfinite(p)) and p.size > 0 for p in pn)
