@@ -76,10 +76,12 @@ def _read_header(buf: memoryview, offset: int) -> tuple[dict, int]:
                 continue
             value = card[10:]
             if "/" in value:
-                # strip comment (quoted strings handled below, crudely ok
-                # for the keys we need, which are numeric or short strings)
-                q = value.find("'")
-                if q != -1:
+                # strip the comment; the quoted-string branch applies
+                # only when the VALUE itself is a string (an apostrophe
+                # inside a numeric card's comment must not suppress it)
+                stripped = value.lstrip()
+                if stripped.startswith("'"):
+                    q = value.find("'")
                     q2 = value.find("'", q + 1)
                     value = value[: q2 + 1] if q2 != -1 else value
                 else:

@@ -29,6 +29,8 @@ def load_library(rebuild: bool = False):
     global _lib, _lib_error
     if _lib is not None and not rebuild:
         return _lib
+    if _lib_error is not None and not rebuild:
+        return None  # build already failed; don't re-spawn make per call
     try:
         if rebuild or not _LIB_PATH.exists():
             subprocess.run(

@@ -72,6 +72,10 @@ def _strong_wolfe(fg, x, f0, g0, p, t0, c1, c2, max_evals):
         t = min(2.0 * t, max_t)
         if evals >= max_evals:
             return t_prev, f_prev, g_prev, evals
+    else:
+        # bracketing exhausted without a bracket (nearly-linear descent):
+        # accept the best point found rather than crashing
+        return t_prev, f_prev, g_prev, evals
 
     # zoom phase
     lo_t, lo_f, lo_g, lo_d, hi_t, hi_f, hi_g, hi_d = bracket
@@ -222,6 +226,11 @@ def minimize_lbfgs(
 
         step = t * p
         x_new = x + step
+        if t == 0.0:
+            # the line search failed outright (budget exhausted or no
+            # acceptable point); not convergence
+            message = "LineSearchFailed"
+            break
         if np.max(np.abs(step)) <= prog_tol:
             x, f, g = x_new, f_new, g_new
             message = "progTol_step"

@@ -21,8 +21,11 @@
 // AND_MASK.
 
 #include <atomic>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <limits>
@@ -117,7 +120,7 @@ size_t data_size(const Header& hdr) {
   if (naxis == 0) return 0;
   size_t size = std::labs(bitpix) / 8;
   for (long i = 1; i <= naxis; i++) {
-    char key[16];
+    char key[32];
     std::snprintf(key, sizeof key, "NAXIS%ld", i);
     size *= static_cast<size_t>(hdr.get_long(key, 0));
   }
@@ -165,13 +168,14 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
   std::vector<Column> cols(static_cast<size_t>(tfields));
   size_t col_off = 0;
   for (long i = 0; i < tfields; i++) {
-    char key[16];
+    char key[32];
     std::snprintf(key, sizeof key, "TTYPE%ld", i + 1);
     cols[i].name = hdr.get_str(key);
     std::snprintf(key, sizeof key, "TFORM%ld", i + 1);
     std::string tform = hdr.get_str(key);
     size_t j = 0;
-    while (j < tform.size() && std::isdigit(tform[j])) j++;
+    while (j < tform.size() &&
+           std::isdigit(static_cast<unsigned char>(tform[j]))) j++;
     cols[i].repeat = j ? std::atoi(tform.substr(0, j).c_str()) : 1;
     cols[i].code = j < tform.size() ? tform[j] : 0;
     cols[i].offset = col_off;

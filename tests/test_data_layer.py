@@ -123,3 +123,21 @@ def test_build_catalog_and_preload(synthetic_release, tmp_path):
     assert batch.wavelengths.shape == (8, 1280)
     assert np.all(np.diff(batch.wavelengths, axis=1) > 0)
     assert batch.mask.sum(1).min() > 200
+
+
+def test_fits_header_comment_with_apostrophe(tmp_path):
+    """Regression (code review): an apostrophe inside a numeric card's
+    comment must not suppress comment stripping."""
+    from gp_dla_detection_tpu.io.fits import read_bintable, write_bintable
+
+    write_bintable(
+        tmp_path / "t.fits", ["A"], [np.arange(4.0).astype(np.float32)]
+    )
+    raw = bytearray((tmp_path / "t.fits").read_bytes())
+    # rewrite the extension's NAXIS2 card with an apostrophe-bearing comment
+    idx = raw.find(b"NAXIS2 ")
+    card = b"NAXIS2  =                    4 / table's row count"
+    raw[idx : idx + len(card)] = card.ljust(len(card))
+    (tmp_path / "t2.fits").write_bytes(bytes(raw))
+    table = read_bintable(tmp_path / "t2.fits")
+    np.testing.assert_allclose(table["A"], np.arange(4.0))

@@ -306,3 +306,32 @@ def test_lbfgs_checkpoint_resume(tmp_path):
     assert resumed.f < 1e-9
     # resume skipped the first ~8 checkpointed iterations of work
     assert calls["n"] - calls_before_resume < full.fun_evals
+
+
+def test_lbfgs_nearly_linear_descent_no_crash():
+    """Regression (code review): bracketing exhaustion on a nearly-linear
+    objective used to crash unpacking a None bracket."""
+    def fg(x):
+        f = -x[0] + x[0] ** 2 / 1e9
+        g = np.array([-1.0 + 2 * x[0] / 1e9])
+        return f, g
+
+    res = minimize_lbfgs(fg, np.zeros(1), max_iterations=50, max_fun_evals=200)
+    assert np.isfinite(res.f)
+    assert res.x[0] > 0  # made progress downhill
+
+
+def test_lbfgs_line_search_failure_not_converged():
+    """A line search that cannot move must not report convergence."""
+    calls = {"n": 0}
+
+    def fg(x):
+        calls["n"] += 1
+        # f decreases at x=0 (descent direction exists) but every trial
+        # point the line search can visit violates Armijo: a sharp wall
+        f = 1e6 * np.abs(x[0]) if x[0] != 0 else 0.0
+        g = np.array([-1.0]) if x[0] == 0 else np.array([1e6 * np.sign(x[0])])
+        return f, g
+
+    res = minimize_lbfgs(fg, np.zeros(1), max_iterations=5, max_fun_evals=100)
+    assert not res.converged or res.f <= 0.0
