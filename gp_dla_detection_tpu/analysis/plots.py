@@ -180,9 +180,11 @@ def do_data_plots(cat, subdir, literature=None) -> None:
     z_cent, omega_k, om68, om95 = plot_omega_dla(
         cat, zmax=5, literature=literature
     )
+    # reference format (make_plots.py:62): column 1 is 10^3 x Omega,
+    # the limit columns stay raw (load_table(omega=True) scales them)
     np.savetxt(
         subdir / "omega_dla_all.txt",
-        (z_cent, omega_k / 1000.0, om68[:, 0], om68[:, 1], om95[:, 0], om95[:, 1]),
+        (z_cent, omega_k, om68[:, 0], om68[:, 1], om95[:, 0], om95[:, 1]),
     )
     plt.legend(loc=0)
     plt.savefig(subdir / "omega_gp.pdf")
@@ -193,13 +195,20 @@ def do_data_plots(cat, subdir, literature=None) -> None:
 
 
 def do_check_p_thresh(cat, subdir) -> None:
-    """Sweep the spectrum p_DLA threshold (make_plots.py:83-94)."""
+    """Sweep the per-SAMPLE and per-spectrum probability thresholds
+    (make_plots.py:83-94 sweeps p_thresh_sample first)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
+    old_sample = cat.p_thresh_sample
+    for thresh in (old_sample, 1e-2):
+        cat.p_thresh_sample = thresh
+        plot_line_density(cat, zmax=5, label=f"p_sample > {thresh}")
+    cat.p_thresh_sample = old_sample
     old = cat.p_thresh_spec
-    for thresh in (old, 0.1):
+    for thresh in (0.1,):
         cat.p_thresh_spec = thresh
-        plot_line_density(cat, zmax=5, label=f"p > {thresh}")
+        plot_line_density(cat, zmax=5, label=f"p_spec > {thresh}")
     cat.p_thresh_spec = old
     plt.legend(loc=0)
     plt.savefig(subdir / "dndx_gp_pthresh.pdf")
@@ -210,6 +219,7 @@ def do_snr_check(cat, subdir) -> None:
     """Sweep SNR cuts (make_plots.py:121-147)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     first = cat.snr_thresh
     for snr in (-2, 2, 4):
         cat.snr_thresh = snr
@@ -230,6 +240,7 @@ def do_lowzcut_check(cat, subdir) -> None:
     """Proximity-zone cut on/off (make_plots.py:149-168)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     old = cat.lowzcut
     for cut in (True, False):
         cat.lowzcut = cut
@@ -245,6 +256,7 @@ def do_qso_split(cat, subdir, splits=(2.0, 3.0, 3.5, 6.0)) -> None:
     (make_plots.py:199-220)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     old = cat.condition.copy()
     for lo, hi in zip(splits[:-1], splits[1:]):
         cat.condition = old & (cat._z_max > lo) & (cat._z_max < hi)
@@ -259,6 +271,7 @@ def do_length_split(cat, subdir, splits=(0.0, 0.5, 1.0, 5.0)) -> None:
     """Split by searched path length (make_plots.py:223-245)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     old = cat.condition.copy()
     z_diff = cat._z_max - cat._z_min
     for lo, hi in zip(splits[:-1], splits[1:]):
@@ -275,6 +288,7 @@ def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
     calc_cddf.py:186-218)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     out = cat.get_sample_errors(z_min=2.0, z_max=5.0, nsample=nsample)
 
     z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(z_min=2, z_max=5)
@@ -307,6 +321,7 @@ def do_2dla_plots(cat, subdir) -> None:
     Requires a catalogue constructed with the second-DLA posterior."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     assert cat.second_dla, "catalogue has no second-DLA posterior"
     plot_cddf(cat, zmax=5, label="2 DLA")
     cat.second_dla = False
@@ -329,6 +344,7 @@ def do_compare_plots(cat_a, cat_b, subdir, labels=("A", "B")) -> None:
     """Overlay two catalogues' statistics (make_plots.py:246-270)."""
     plt = _plt()
     subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
     plot_cddf(cat_a, zmax=5, label=labels[0])
     plot_cddf(cat_b, zmax=5, label=labels[1], twosigma=False)
     plt.xlim(1e20, 1e23)

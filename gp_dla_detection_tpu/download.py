@@ -183,6 +183,20 @@ def extract_all_dla_catalogs(params: Parameters | None = None) -> None:
     for name, (filename, _) in DLA_CATALOG_SOURCES.items():
         dist = params.dla_catalog_directory(name).parent / "distfiles"
         src = dist / filename
+        if not src.exists():
+            # download_plan dedups shared archives (the Noterdaeme tgz
+            # serves two catalogs): fall back to any sibling catalog's
+            # copy of the same file
+            for other in DLA_CATALOG_SOURCES:
+                alt = (
+                    params.dla_catalog_directory(other).parent
+                    / "distfiles"
+                    / filename
+                )
+                if alt.exists():
+                    src = alt
+                    dist = alt.parent
+                    break
         if filename.endswith(".tgz") and src.exists():
             with tarfile.open(src) as tf:
                 tf.extractall(dist, filter="data")

@@ -225,15 +225,13 @@ def _prepare_spectrum(
         flux, mu, M, omega2 + noise_variance, mask=valid
     )
 
-    # z_DLA search range over unmasked modelled pixels (process_qsos.m:160-165)
+    # z_DLA search range over unmasked modelled pixels (process_qsos.m:160-165);
+    # the range policy itself lives on Parameters (set_parameters.m:65-73)
     big = jnp.asarray(np.inf, dtype)
     wmin = jnp.min(jnp.where(valid, wavelengths, big))
     wmax = jnp.max(jnp.where(valid, wavelengths, -big))
-    max_z_dla = (wmax / LYA_WAVELENGTH - 1.0) - params.max_z_cut
-    min_z_dla = jnp.maximum(
-        wmin / LYA_WAVELENGTH - 1.0,
-        LYMAN_LIMIT * (1.0 + z_qso) / LYA_WAVELENGTH - 1.0 + params.min_z_cut,
-    )
+    max_z_dla = params.max_z_dla_from_wmax(wmax)
+    min_z_dla = params.min_z_dla_from_wmin(wmin, z_qso)
 
     return {
         "mu": mu,

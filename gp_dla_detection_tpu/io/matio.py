@@ -59,13 +59,16 @@ def write_mat(path: str | Path, arrays: dict) -> None:
     with h5py.File(path, "w", userblock_size=_USERBLOCK) as f:
         for name, value in arrays.items():
             value = np.asarray(value)
+            is_bool = value.dtype == bool
+            if is_bool:
+                value = value.astype(np.uint8)  # MATLAB logicals are uint8
             if value.ndim == 0:
                 value = value.reshape(1, 1)
             elif value.ndim == 1:
                 value = value.reshape(1, -1)  # MATLAB row vector
             ds = f.create_dataset(name, data=value.T)
             ds.attrs["MATLAB_class"] = np.bytes_(
-                "logical" if value.dtype == bool else "double"
+                "logical" if is_bool else "double"
             )
     with open(path, "r+b") as f:
         f.write(_matlab_header())

@@ -59,7 +59,12 @@ class GPModel:
         """Interpolate (mu, M, log_omega) onto a spectrum's rest grid.
 
         Equivalent of the three griddedInterpolants in
-        process_qsos.m:65-71 + :138-143.  jit/vmap-friendly.
+        process_qsos.m:65-71 + :138-143.
+
+        Host-side / exploratory convenience: the inference engine does
+        NOT call this — it receives the model arrays as jit *arguments*
+        (inference._prepare_spectrum), because closing over ``self``'s
+        numpy arrays would bake them into the compiled HLO as constants.
         """
         grid = jnp.asarray(self.rest_wavelengths)
         mu = interp1(grid, jnp.asarray(self.mu), rest_wavelengths)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["interp1", "interp1_nan", "interp_columns"]
+__all__ = ["interp1", "interp_columns"]
 
 
 def _bracket(xp, x):
@@ -35,15 +35,6 @@ def interp1(xp, fp, x):
     end interval — the engine never queries outside)."""
     idx, t = _bracket(xp, x)
     return fp[idx] * (1.0 - t) + fp[idx + 1] * t
-
-
-def interp1_nan(xp, fp, x):
-    """MATLAB interp1 semantics: NaN outside [xp[0], xp[-1]]
-    (learn_qso_model.m:50-59 relies on this to mask out-of-range grid
-    points)."""
-    out = interp1(xp, fp, x)
-    oob = (x < xp[0]) | (x > xp[-1])
-    return jnp.where(oob, jnp.nan, out)
 
 
 def interp_columns(xp, columns, x):

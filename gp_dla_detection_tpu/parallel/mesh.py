@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "data_sharding",
+    "sample_sharding",
     "replicated",
     "shard_batch",
     "initialize_distributed",

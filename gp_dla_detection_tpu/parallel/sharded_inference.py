@@ -21,7 +21,6 @@ from pathlib import Path
 
 import jax
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..inference import (
     InferenceResults,
@@ -33,7 +32,13 @@ from ..inference import (
 )
 from ..models.qso_model import GPModel
 from ..params import Parameters
-from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh
+from .mesh import (
+    DATA_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+    sample_sharding,
+)
 
 __all__ = ["process_spectra_sharded", "ShardedRunConfig"]
 
@@ -87,10 +92,10 @@ def process_spectra_sharded(
         spectra.z_qso, prior_z_qsos, prior_dla_flags, params
     )
 
-    data_spec = NamedSharding(mesh, P(DATA_AXIS))
-    data_spec2 = NamedSharding(mesh, P(DATA_AXIS, None))
-    repl = NamedSharding(mesh, P())
-    sample_spec = NamedSharding(mesh, P(SAMPLE_AXIS))
+    data_spec = data_sharding(mesh)
+    data_spec2 = data_sharding(mesh, 1)
+    repl = replicated(mesh)
+    sample_spec = sample_sharding(mesh)
 
     model_args = (
         jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),

@@ -156,24 +156,41 @@ class Parameters:
     def min_z_cut(self) -> float:
         return kms_to_z(self.min_z_cut_kms)
 
-    def max_z_dla(self, wavelengths, z_qso):
-        """Maximum z_DLA to search: Lyα redshift of the reddest pixel
-        minus the 3000 km/s cut (set_parameters.m:66-68)."""
-        import numpy as _np
+    def max_z_dla_from_wmax(self, wmax):
+        """Maximum z_DLA given the reddest usable wavelength: its Lyα
+        redshift minus the 3000 km/s cut (set_parameters.m:66-68).
+        Works on scalars, numpy, or traced jax values — this is the
+        single policy definition the inference engine calls."""
+        return (wmax / LYA_WAVELENGTH - 1.0) - self.max_z_cut
 
-        return (_np.max(wavelengths) / LYA_WAVELENGTH - 1.0) - self.max_z_cut
-
-    def min_z_dla(self, wavelengths, z_qso):
-        """Minimum z_DLA to search: bluest pixel or the QSO's Lyman limit,
-        whichever is redder, plus the 3000 km/s cut (set_parameters.m:70-73)."""
-        import numpy as _np
-
-        return max(
-            _np.min(wavelengths) / LYA_WAVELENGTH - 1.0,
+    def min_z_dla_from_wmin(self, wmin, z_qso):
+        """Minimum z_DLA given the bluest usable wavelength: that pixel
+        or the QSO's Lyman limit, whichever is redder, plus the
+        3000 km/s cut (set_parameters.m:70-73).  jnp-compatible."""
+        lyman_limit_bound = (
             observed_wavelengths(LYMAN_LIMIT, z_qso) / LYA_WAVELENGTH
             - 1.0
-            + self.min_z_cut,
+            + self.min_z_cut
         )
+        blue_bound = wmin / LYA_WAVELENGTH - 1.0
+        try:  # works for python/numpy scalars and jax tracers alike
+            import jax.numpy as _jnp
+
+            return _jnp.maximum(blue_bound, lyman_limit_bound)
+        except ImportError:  # pragma: no cover
+            return max(blue_bound, lyman_limit_bound)
+
+    def max_z_dla(self, wavelengths, z_qso):
+        """Array convenience wrapper (set_parameters.m:65-68)."""
+        import numpy as _np
+
+        return self.max_z_dla_from_wmax(_np.max(wavelengths))
+
+    def min_z_dla(self, wavelengths, z_qso):
+        """Array convenience wrapper (set_parameters.m:70-73)."""
+        import numpy as _np
+
+        return self.min_z_dla_from_wmin(_np.min(wavelengths), z_qso)
 
     # --- directory layout (set_parameters.m:78-89) ---
 

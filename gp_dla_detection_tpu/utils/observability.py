@@ -105,11 +105,15 @@ class ProgressMeter:
 
 @contextlib.contextmanager
 def trace(name: str):
-    """jax.profiler trace annotation (no-op if profiling inactive)."""
+    """jax.profiler trace annotation (no-op if jax is unavailable).
+
+    Exceptions raised in the traced block propagate unchanged — only
+    the profiler import/setup is guarded."""
     try:
         import jax.profiler
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        annotation = jax.profiler.TraceAnnotation(name)
     except Exception:
+        annotation = contextlib.nullcontext()
+    with annotation:
         yield

@@ -318,3 +318,38 @@ def test_windowed_large_window_coverage():
     b = np.asarray(windowed["sample_log_likelihoods_dla"], np.float64)
     scale = np.maximum(np.abs(a), 1.0)
     assert np.max(np.abs(a - b) / scale) < 5e-5
+
+
+def test_gpmodel_interpolate_matches_engine_prep(setup):
+    """The convenience GPModel.interpolate must agree with the engine's
+    internal interpolation (same interp1/interp_columns kernels)."""
+    params, model, spec, _, _ = setup
+    rest = spec.wavelengths[0] / (1 + spec.z_qso[0])
+    mu, M, log_omega = model.interpolate(rest)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.interp(rest, model.rest_wavelengths, model.mu),
+        rtol=1e-12,
+    )
+    for j in (0, model.k - 1):
+        np.testing.assert_allclose(
+            np.asarray(M)[:, j],
+            np.interp(rest, model.rest_wavelengths, model.M[:, j]),
+            rtol=1e-12,
+        )
+
+
+def test_search_range_policy_methods():
+    """Parameters' z_DLA range policy (set_parameters.m:65-73) is the
+    single definition used by the engine."""
+    params = Parameters()
+    lam = np.linspace(4000.0, 5000.0, 100)
+    assert np.isclose(
+        params.max_z_dla(lam, 3.0),
+        5000.0 / LYA_WAVELENGTH - 1 - params.max_z_cut,
+    )
+    # Lyman-limit bound dominates for high z_qso
+    z_qso = 4.5
+    expected = (
+        LYMAN_LIMIT * (1 + z_qso) / LYA_WAVELENGTH - 1 + params.min_z_cut
+    )
+    assert np.isclose(params.min_z_dla(lam, z_qso), expected)
