@@ -87,3 +87,32 @@ def test_null_model_is_absorption_one():
     )
     direct = float(log_mvnpdf_low_rank(y, mu, M, omega2 + noise))
     assert abs(batched - direct) < 1e-10 * abs(direct)
+
+
+def test_fuzz_masked_woodbury_vs_dense():
+    """Property-based fuzz: random shapes/masks/conditioning, always
+    matching the dense logpdf."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(10, 120),
+        k=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        mask_frac=st.floats(0.0, 0.6),
+        scale=st.floats(1e-3, 1e3),
+    )
+    def run(n, k, seed, mask_frac, scale):
+        rng = np.random.default_rng(seed)
+        y = rng.normal(size=n) * scale
+        mu = rng.normal(size=n) * scale
+        M = rng.normal(size=(n, k)) * scale / np.sqrt(k)
+        d = rng.uniform(0.1, 2.0, size=n) * scale**2
+        mask = rng.uniform(size=n) > mask_frac
+        if mask.sum() < k + 2:
+            mask[: k + 2] = True
+        ours = float(log_mvnpdf_low_rank(y, mu, M, d, mask=mask))
+        exact = dense_logpdf(y[mask], mu[mask], M[mask], d[mask])
+        assert abs(ours - exact) < 1e-8 * max(abs(exact), 1.0)
+
+    run()
