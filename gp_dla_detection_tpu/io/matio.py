@@ -26,6 +26,7 @@ __all__ = [
     "write_mat",
     "read_mat",
     "write_processed_mat",
+    "write_multi_processed_mat",
     "write_dla_samples_mat",
     "write_snrs_mat",
     "load_catalogue_from_matlab",
@@ -113,6 +114,37 @@ def write_processed_mat(results, test_ind, path: str | Path) -> None:
             "model_posteriors": results.model_posteriors,
             "p_no_dlas": col(results.p_no_dlas),
             "p_dlas": col(results.p_dlas),
+            "test_ind": col(np.asarray(test_ind, np.float64)),
+            "num_dla_samples": np.float64(S),
+        },
+    )
+
+
+def write_multi_processed_mat(results, test_ind, path: str | Path) -> None:
+    """Export MultiDLAResults in the later-pipeline multi-DLA .mat
+    format the reference's analysis reads (calc_cddf.py:85-116):
+    sample_log_likelihoods_dla as (num_models, S, N) in the h5py view,
+    1-based base_sample_inds, 3-row model_posteriors."""
+    single = results.single
+    S = single.sample_log_likelihoods_dla.shape[1]
+    col = lambda a: np.asarray(a).reshape(-1, 1)
+    # h5py view must be (num_models, S, N); write_mat transposes the
+    # stored (N, S, num_models)
+    sll_stack = np.stack(
+        [single.sample_log_likelihoods_dla, results.sample_log_likelihoods_dla2],
+        axis=-1,
+    )
+    write_mat(
+        path,
+        {
+            "min_z_dlas": col(single.min_z_dlas),
+            "max_z_dlas": col(single.max_z_dlas),
+            "log_likelihoods_dla": col(single.log_likelihoods_dla),
+            "sample_log_likelihoods_dla": sll_stack,
+            "base_sample_inds": results.base_sample_inds + 1,  # 1-based
+            "model_posteriors": results.model_posteriors,
+            "p_dlas": col(single.p_dlas),
+            "p_no_dlas": col(single.p_no_dlas),
             "test_ind": col(np.asarray(test_ind, np.float64)),
             "num_dla_samples": np.float64(S),
         },

@@ -1,0 +1,314 @@
+"""Two-DLA model selection (beyond-reference capability).
+
+The reference repository models at most one DLA per sightline
+(process_qsos.m); its Python analysis layer, however, already consumes
+a multi-DLA output format produced by later versions of the pipeline
+(calc_cddf.py:40,102-116: a second set of per-sample log likelihoods,
+``base_sample_inds`` mapping each sample to its second absorber's
+parameters, and P(exactly 2 DLAs) from a 3-column model posterior).
+
+This module produces that format natively.  Design (documented choices,
+format-compatible with calc_cddf's consumer):
+
+  - The 2-DLA parameter space is sampled by pairing QMC sample j (one
+    absorber at theta_j, identical to the 1-DLA model's sample) with a
+    SPECTRUM-DEPENDENT second absorber at theta_{base_sample_inds[s, j]},
+    drawn by deterministic inverse-CDF resampling of spectrum s's 1-DLA
+    posterior — the fresh QMC axis covers one absorber while the
+    resampled axis concentrates on wherever the first absorber already
+    is, so joint coverage costs the same 10k evaluations ("spectrum
+    dependent" base samples, calc_cddf.py:225-227).
+  - Pairs whose absorbers are closer than ``min_separation_kms``
+    (default 3000 km/s, the same velocity scale as the search-range
+    cuts, set_parameters.m:62-73) are invalid: their log likelihood is
+    NaN, exactly the convention the analysis layer expects
+    (calc_cddf.py:66-68 "Mask out nan values ... DLAs are too close").
+  - The two-DLA absorption is the product of the two Voigt profiles
+    (optical depths add).
+  - The model prior extends the counting prior (process_qsos.m:122-132):
+    p(>=2 DLAs | z_QSO) = (# prior sightlines with >= 2 DLAs below the
+    z cut) / count, and p(exactly 1) = p(>=1) - p(>=2).
+
+Model posteriors become [no DLA, exactly 1 DLA, 2 DLAs].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inference import PaddedSpectra, _prepare_spectrum
+from .models.qso_model import GPModel
+from .ops.low_rank_mvn import batched_dla_log_likelihoods
+from .ops.voigt import voigt_absorption
+from .params import Parameters, kms_to_z
+
+__all__ = [
+    "MultiDLAResults",
+    "make_base_sample_inds",
+    "multi_dla_rate_priors",
+    "process_spectra_multi",
+]
+
+
+def make_base_sample_inds(
+    sample_log_likelihoods, seed: int = 0
+) -> np.ndarray:
+    """Per-spectrum second-absorber sample indices, (N, S).
+
+    For each spectrum, draws S indices from its normalized 1-DLA
+    posterior by deterministic inverse-CDF resampling at shuffled
+    uniform grid points (reproducible; no RNG state beyond the seed).
+    """
+    sll = np.asarray(sample_log_likelihoods, np.float64)
+    n, s = sll.shape
+    rng = np.random.default_rng(seed)
+    u = (rng.permutation(s) + 0.5) / s
+    base = np.empty((n, s), np.int64)
+    for i in range(n):
+        w = np.exp(sll[i] - np.max(sll[i]))
+        cdf = np.cumsum(w)
+        cdf /= cdf[-1]
+        base[i] = np.searchsorted(cdf, u)
+    return np.clip(base, 0, s - 1)
+
+
+def multi_dla_rate_priors(
+    z_qsos, prior_z_qsos, prior_num_dlas, params: Parameters
+):
+    """Counting priors for >=1 and >=2 DLAs (extending
+    process_qsos.m:122-132).
+
+    prior_num_dlas: per prior-sightline DLA multiplicity (0, 1, 2, ...).
+    Returns (log_p_no_dla, log_p_one_dla, log_p_two_dla), each (B,).
+    """
+    prior_num = np.asarray(prior_num_dlas)
+    order = np.argsort(prior_z_qsos, kind="stable")
+    z_sorted = np.asarray(prior_z_qsos)[order]
+    ge1 = np.concatenate([[0], np.cumsum((prior_num[order] >= 1).astype(np.int64))])
+    ge2 = np.concatenate([[0], np.cumsum((prior_num[order] >= 2).astype(np.int64))])
+
+    counts = np.searchsorted(
+        z_sorted, np.asarray(z_qsos) + params.prior_z_qso_increase, side="left"
+    )
+    n1 = ge1[counts]
+    n2 = ge2[counts]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_p_two = np.log(n2) - np.log(counts)
+        log_p_one = np.log(n1 - n2) - np.log(counts)
+        log_p_none = np.log(counts - n1) - np.log(counts)
+    return log_p_none, log_p_one, log_p_two
+
+
+def _second_dla_chunk(
+    padded_wavelengths,
+    flux,
+    mu,
+    M,
+    omega2,
+    noise_variance,
+    valid,
+    z1,
+    n1,
+    z2,
+    n2,
+    params: Parameters,
+    min_separation_z: float,
+):
+    """Per-chunk two-DLA log likelihoods (product absorption)."""
+    a1 = voigt_absorption(
+        padded_wavelengths, z1, n1,
+        num_lines=params.num_lines, instrument=params.instrument,
+    )
+    a2 = voigt_absorption(
+        padded_wavelengths, z2, n2,
+        num_lines=params.num_lines, instrument=params.instrument,
+    )
+    lls = batched_dla_log_likelihoods(
+        flux, mu, M, omega2, noise_variance, valid, a1 * a2
+    )
+    too_close = jnp.abs(jnp.log1p(z1) - jnp.log1p(z2)) < jnp.log1p(
+        min_separation_z
+    )
+    return jnp.where(too_close, jnp.nan, lls)
+
+
+@dataclasses.dataclass
+class MultiDLAResults:
+    """Single + two-DLA model selection outputs (the later-pipeline
+    format our analysis layer and matio exporter consume)."""
+
+    single: "object"                     # InferenceResults (1-DLA fields)
+    sample_log_likelihoods_dla2: np.ndarray  # (N, S), NaN = invalid pair
+    base_sample_inds: np.ndarray             # (N, S), per-spectrum
+    log_likelihoods_dla2: np.ndarray          # (N,)
+    log_priors_one_dla: np.ndarray
+    log_priors_two_dla: np.ndarray
+    model_posteriors: np.ndarray              # (N, 3)
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            f.name: getattr(self.single, f.name)
+            for f in dataclasses.fields(type(self.single))
+        }
+        payload.update(
+            sample_log_likelihoods_dla2=self.sample_log_likelihoods_dla2,
+            base_sample_inds=self.base_sample_inds,
+            log_likelihoods_dla2=self.log_likelihoods_dla2,
+            log_priors_one_dla=self.log_priors_one_dla,
+            log_priors_two_dla=self.log_priors_two_dla,
+            multi_model_posteriors=self.model_posteriors,
+        )
+        np.savez_compressed(path, **payload)
+
+
+def process_spectra_multi(
+    model: GPModel,
+    offset_samples,
+    nhi_samples,
+    spectra: PaddedSpectra,
+    prior_z_qsos,
+    prior_num_dlas,
+    params: Parameters | None = None,
+    batch_size: int = 16,
+    sample_chunk: int = 1000,
+    dtype=np.float64,
+    min_separation_kms: float = 3000.0,
+    base_seed: int = 0,
+) -> MultiDLAResults:
+    """Model selection over {no DLA, 1 DLA, 2 DLAs}.
+
+    Runs the standard single-DLA engine, then evaluates the paired
+    two-DLA samples, and combines the three model evidences with the
+    extended counting prior.
+    """
+    from .inference import process_spectra
+
+    if params is None:
+        params = Parameters()
+    offsets = np.asarray(offset_samples)
+    nhis = np.asarray(nhi_samples)
+    S = len(offsets)
+    n = len(spectra)
+
+    single = process_spectra(
+        model, offsets, nhis, spectra,
+        prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
+        params=params, batch_size=batch_size, sample_chunk=sample_chunk,
+        dtype=dtype,
+    )
+
+    base = make_base_sample_inds(
+        single.sample_log_likelihoods_dla, seed=base_seed
+    )
+    min_sep_z = kms_to_z(min_separation_kms)
+
+    model_args = (
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+    )
+
+    @jax.jit
+    def batch_dla2(w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off, nh, off_b, nh_b):
+        # off/nh are shared (S,); off_b/nh_b are per-spectrum (B, S)
+        def per_spectrum(w1, f1, nv1, m1, z1q, off_b1, nh_b1):
+            prep = _prepare_spectrum(
+                w1, f1, nv1, m1, z1q,
+                grid, mu_g, M_g, lo_g,
+                model.log_c_0, model.log_tau_0, model.log_beta, params,
+            )
+            z_all = prep["min_z_dla"] + (
+                prep["max_z_dla"] - prep["min_z_dla"]
+            ) * off
+            z_b = prep["min_z_dla"] + (
+                prep["max_z_dla"] - prep["min_z_dla"]
+            ) * off_b1
+            pad = (-S) % sample_chunk
+            padded = lambda a: jnp.concatenate(
+                [a, jnp.full((pad,), a[0], a.dtype)]
+            ).reshape(-1, sample_chunk)
+
+            def one_chunk(args):
+                z1, n1_, z2, n2_ = args
+                return _second_dla_chunk(
+                    prep["padded_wavelengths"], f1, prep["mu"], prep["M"],
+                    prep["omega2"], nv1, prep["valid"],
+                    z1, n1_, z2, n2_, params, min_sep_z,
+                )
+
+            lls = jax.lax.map(
+                one_chunk,
+                (padded(z_all), padded(nh), padded(z_b), padded(nh_b1)),
+            ).reshape(-1)[:S]
+            return lls
+
+        return jax.vmap(per_spectrum)(w, f, nv, m, zq, off_b, nh_b)
+
+    out2 = np.empty((n, S))
+    off_j = jnp.asarray(offsets, dtype)
+    nh_j = jnp.asarray(nhis, dtype)
+    off_base = offsets[base]   # (N, S)
+    nh_base = nhis[base]       # (N, S)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
+        pad_rows = batch_size - (stop - start)
+        ob = np.concatenate(
+            [off_base[start:stop]]
+            + ([off_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
+        )
+        nb = np.concatenate(
+            [nh_base[start:stop]]
+            + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
+        )
+        lls = batch_dla2(
+            jnp.asarray(batch.wavelengths, dtype),
+            jnp.asarray(batch.flux, dtype),
+            jnp.asarray(batch.noise_variance, dtype),
+            jnp.asarray(batch.mask),
+            jnp.asarray(batch.z_qso, dtype),
+            *model_args,
+            off_j, nh_j,
+            jnp.asarray(ob, dtype), jnp.asarray(nb, dtype),
+        )
+        out2[start:stop] = np.asarray(lls)[: stop - start]
+
+    # evidence: mean over VALID pairs (NaN pairs carry no mass)
+    with np.errstate(invalid="ignore"):
+        max2 = np.nanmax(out2, axis=1)
+        ll2 = max2 + np.log(
+            np.nanmean(np.exp(out2 - max2[:, None]), axis=1)
+        )
+
+    log_p0, log_p1, log_p2 = multi_dla_rate_priors(
+        spectra.z_qso, prior_z_qsos, prior_num_dlas, params
+    )
+    posts = np.stack(
+        [
+            log_p0 + single.log_likelihoods_no_dla,
+            log_p1 + single.log_likelihoods_dla,
+            log_p2 + ll2,
+        ],
+        axis=1,
+    )
+    pmax = np.max(posts, axis=1, keepdims=True)
+    model_posteriors = np.exp(posts - pmax)
+    model_posteriors /= model_posteriors.sum(axis=1, keepdims=True)
+
+    return MultiDLAResults(
+        single=single,
+        sample_log_likelihoods_dla2=out2,
+        base_sample_inds=base,
+        log_likelihoods_dla2=ll2,
+        log_priors_one_dla=log_p1,
+        log_priors_two_dla=log_p2,
+        model_posteriors=model_posteriors,
+    )

@@ -1,0 +1,196 @@
+"""Two-DLA model selection: injected 0/1/2-absorber spectra must be
+classified correctly, and the outputs must feed the multi-DLA analysis
+path."""
+
+import numpy as np
+import pytest
+
+from gp_dla_detection_tpu.inference import PaddedSpectra
+from gp_dla_detection_tpu.models.qso_model import GPModel
+from gp_dla_detection_tpu.multi_dla import (
+    make_base_sample_inds,
+    multi_dla_rate_priors,
+    process_spectra_multi,
+)
+from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+from gp_dla_detection_tpu.params import NullModelParams, Parameters
+
+
+def test_base_sample_inds_resample_posterior():
+    rng = np.random.default_rng(0)
+    sll = np.full((2, 100), -50.0)
+    sll[0, 7] = 0.0   # spectrum 0's posterior concentrates on sample 7
+    sll[1, 42] = 0.0
+    base = make_base_sample_inds(sll, seed=0)
+    assert base.shape == (2, 100)
+    assert (base[0] == 7).mean() > 0.95
+    assert (base[1] == 42).mean() > 0.95
+    # a flat posterior resamples ~uniformly
+    flat = make_base_sample_inds(np.zeros((1, 100)), seed=1)
+    assert len(np.unique(flat[0])) > 90
+
+
+def test_multi_dla_rate_priors():
+    params = Parameters()
+    prior_z = np.array([2.0, 2.1, 2.2, 2.3])
+    prior_num = np.array([0, 1, 2, 1])
+    lp0, lp1, lp2 = multi_dla_rate_priors(
+        np.array([2.5]), prior_z, prior_num, params
+    )
+    # all 4 below the cut: 3 with >=1, 1 with >=2
+    assert np.isclose(lp2[0], np.log(1 / 4))
+    assert np.isclose(lp1[0], np.log(2 / 4))
+    assert np.isclose(lp0[0], np.log(1 / 4))
+
+
+@pytest.fixture(scope="module")
+def multi_problem():
+    rng = np.random.default_rng(3)
+    params = Parameters(null_model=NullModelParams(k=4))
+    grid = params.null_model.rest_wavelengths()
+    model = GPModel(
+        rest_wavelengths=grid,
+        mu=1.0 + 0.1 * np.sin(grid / 40),
+        M=rng.normal(size=(grid.size, 4)) * 0.04,
+        log_omega=np.log(0.1 + 0 * grid),
+        log_c_0=np.log(0.1),
+        log_tau_0=np.log(0.0023),
+        log_beta=np.log(3.65),
+    )
+    P = 1280  # full Lyα coverage up to z ~ 3
+    z_qso = np.array([3.0, 3.0, 3.0])
+    lam = np.stack(
+        [10 ** (np.log10(911.9 * (1 + z)) + 1e-4 * np.arange(P)) for z in z_qso]
+    )
+    noise_sd = 0.08
+    flux = np.empty((3, P))
+    for i in range(3):
+        rest = lam[i] / (1 + z_qso[i])
+        mu_i = np.interp(rest, grid, model.mu)
+        flux[i] = mu_i + rng.normal(0, noise_sd, P)
+
+    def absorb(i, z_dla, log_n):
+        ext = np.concatenate(
+            [
+                lam[i, :1] * 10 ** (-1e-4 * np.arange(3, 0, -1)),
+                lam[i],
+                lam[i, -1:] * 10 ** (1e-4 * np.arange(1, 4)),
+            ]
+        )
+        flux[i] *= np.asarray(
+            voigt_absorption(ext, z_dla, 10.0**log_n, num_lines=3)
+        )
+
+    # spectrum 0: clean; spectrum 1: one DLA; spectrum 2: two DLAs
+    absorb(1, 2.6, 20.8)
+    absorb(2, 2.45, 20.7)
+    absorb(2, 2.85, 20.9)
+
+    spectra = PaddedSpectra(
+        lam, flux, np.full((3, P), noise_sd**2), np.ones((3, P), bool), z_qso
+    )
+    S = 600
+    offsets = rng.uniform(size=S)
+    nhis = 10 ** rng.uniform(20.2, 21.3, S)
+    prior_z = rng.uniform(2.2, 3.6, 400)
+    prior_num = rng.choice([0, 0, 0, 0, 0, 0, 0, 1, 1, 2], 400)
+    return params, model, spectra, offsets, nhis, prior_z, prior_num
+
+
+def test_two_dla_classification(multi_problem):
+    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
+    res = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=3, sample_chunk=100,
+    )
+
+    picks = np.argmax(res.model_posteriors, axis=1)
+    assert picks[0] == 0, res.model_posteriors[0]
+    assert picks[1] == 1, res.model_posteriors[1]
+    assert picks[2] == 2, res.model_posteriors[2]
+    assert res.model_posteriors[2, 2] > 0.9
+
+    # invalid (too-close) pairs are NaN, valid pairs finite
+    lls2 = res.sample_log_likelihoods_dla2
+    assert np.isnan(lls2).any()
+    assert np.isfinite(lls2[2][~np.isnan(lls2[2])]).all()
+
+    # the outputs feed the second-DLA analysis path
+    from gp_dla_detection_tpu.analysis import DLACatalogue
+
+    cat = DLACatalogue(
+        res.single.p_dlas,
+        res.single.min_z_dlas,
+        res.single.max_z_dlas,
+        res.single.sample_log_likelihoods_dla,
+        res.single.log_likelihoods_dla,
+        offsets,
+        np.log10(nhis),
+        sample_log_likelihoods_2=lls2,
+        base_sample_inds=res.base_sample_inds,
+        p_dla_2=res.model_posteriors[:, 2],
+    )
+    assert cat.second_dla
+    z_cent, dndx, _, _, _ = cat.line_density(z_min=2.0, z_max=3.0)
+    assert dndx.sum() > 0
+
+
+def test_multi_results_roundtrip(multi_problem, tmp_path):
+    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
+    res = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=3, sample_chunk=100,
+    )
+    res.save(tmp_path / "multi.npz")
+    with np.load(tmp_path / "multi.npz") as f:
+        assert f["multi_model_posteriors"].shape == (3, 3)
+        assert f["sample_log_likelihoods_dla2"].shape == (3, 600)
+        assert f["base_sample_inds"].shape == (3, 600)
+        assert "p_dlas" in f.files  # single-DLA fields included
+
+
+def test_multi_matlab_roundtrip(multi_problem, tmp_path):
+    """Multi-DLA export must load back through the 3-D-format importer
+    into a second-DLA-capable catalogue."""
+    from gp_dla_detection_tpu.io.matio import (
+        load_catalogue_from_matlab,
+        write_dla_samples_mat,
+        write_multi_processed_mat,
+    )
+
+    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
+    res = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=3, sample_chunk=100,
+    )
+    write_multi_processed_mat(res, np.ones(3), tmp_path / "multi.mat")
+
+    class S:
+        offset_samples = offsets
+        log_nhi_samples = np.log10(nhis)
+        nhi_samples = nhis
+
+        class config:
+            uniform_min_log_nhi = 20.0
+            uniform_max_log_nhi = 23.0
+            fit_min_log_nhi = 20.0
+            fit_max_log_nhi = 22.0
+            alpha = 0.9
+
+    write_dla_samples_mat(S, tmp_path / "samples.mat")
+    cat = load_catalogue_from_matlab(
+        tmp_path / "multi.mat", tmp_path / "samples.mat"
+    )
+    assert cat.second_dla
+    np.testing.assert_array_equal(cat.base_sample_inds, res.base_sample_inds)
+    # the best PAIR for the two-absorber spectrum has its fresh-axis
+    # absorber at one injected redshift and its base-axis (posterior
+    # resampled) absorber at the other
+    j = int(np.nanargmax(res.sample_log_likelihoods_dla2[2]))
+    z_range = cat.z_max(2) - cat.z_min(2)
+    z_fresh = cat.z_min(2) + z_range * offsets[j]
+    z_base = cat.z_min(2) + z_range * offsets[res.base_sample_inds[2, j]]
+    zs = sorted([z_fresh, z_base])
+    # sample discreteness: the best joint pair must place its two
+    # absorbers near the two injected redshifts (one per axis)
+    assert abs(zs[0] - 2.45) < 0.12 and abs(zs[1] - 2.85) < 0.12, zs
