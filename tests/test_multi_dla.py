@@ -94,15 +94,15 @@ def multi_problem():
     nhis = 10 ** rng.uniform(20.2, 21.3, S)
     prior_z = rng.uniform(2.2, 3.6, 400)
     prior_num = rng.choice([0, 0, 0, 0, 0, 0, 0, 1, 1, 2], 400)
-    return params, model, spectra, offsets, nhis, prior_z, prior_num
-
-
-def test_two_dla_classification(multi_problem):
-    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
     res = process_spectra_multi(
         model, offsets, nhis, spectra, prior_z, prior_num,
         params=params, batch_size=3, sample_chunk=100,
     )
+    return params, model, spectra, offsets, nhis, prior_z, prior_num, res
+
+
+def test_two_dla_classification(multi_problem):
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
 
     picks = np.argmax(res.model_posteriors, axis=1)
     assert picks[0] == 0, res.model_posteriors[0]
@@ -136,11 +136,7 @@ def test_two_dla_classification(multi_problem):
 
 
 def test_multi_results_roundtrip(multi_problem, tmp_path):
-    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
-    res = process_spectra_multi(
-        model, offsets, nhis, spectra, prior_z, prior_num,
-        params=params, batch_size=3, sample_chunk=100,
-    )
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
     res.save(tmp_path / "multi.npz")
     with np.load(tmp_path / "multi.npz") as f:
         assert f["multi_model_posteriors"].shape == (3, 3)
@@ -158,11 +154,7 @@ def test_multi_matlab_roundtrip(multi_problem, tmp_path):
         write_multi_processed_mat,
     )
 
-    params, model, spectra, offsets, nhis, prior_z, prior_num = multi_problem
-    res = process_spectra_multi(
-        model, offsets, nhis, spectra, prior_z, prior_num,
-        params=params, batch_size=3, sample_chunk=100,
-    )
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
     write_multi_processed_mat(res, np.ones(3), tmp_path / "multi.mat")
 
     class S:
