@@ -11,6 +11,7 @@ Layer map (mirrors SURVEY.md section 1):
   models         L4 low-rank GP null model + training (learn_qso_model.m)
   samples        L4 QMC DLA prior samples (generate_dla_samples.m)
   inference      L5 Bayesian model selection (process_qsos.m)
+  multi_dla      L5 {0,1,2}-DLA model selection (beyond-reference)
   ascii_catalog  L6 ASCII catalog output (generate_ascii_catalog.m)
   analysis       L7 CDDF / dN/dX / Omega_DLA statistics (CDDF_analysis/)
   ops            numerics: Voigt/Faddeeva, Woodbury MVN, L-BFGS, Pallas

@@ -51,8 +51,38 @@ __all__ = [
     "MultiDLAResults",
     "make_base_sample_inds",
     "multi_dla_rate_priors",
+    "prior_dla_multiplicity",
     "process_spectra_multi",
 ]
+
+
+def prior_dla_multiplicity(
+    prior_z_qsos, prior_dla_flags, prior_z_dlas
+) -> np.ndarray:
+    """Per-prior-sightline DLA count for the extended counting prior.
+
+    The multiplicity analogue of inference.correct_prior_dla_flags
+    (process_qsos.m:15-27): a catalog DLA counts only if its Lyα line
+    falls above the quasar's Lyman limit.  A flagged sightline whose
+    catalog lacks absorber redshifts counts as 1 (same convention as
+    the flag correction, which leaves such flags set).
+    """
+    from .params import LYA_WAVELENGTH, LYMAN_LIMIT
+
+    flags = np.asarray(prior_dla_flags, bool)
+    num = np.zeros(len(flags), np.int64)
+    for i in np.flatnonzero(flags):
+        z_dlas = np.atleast_1d(prior_z_dlas[i])
+        if z_dlas.size == 0:
+            num[i] = 1
+        else:
+            num[i] = int(
+                np.sum(
+                    LYA_WAVELENGTH * (1 + z_dlas)
+                    >= LYMAN_LIMIT * (1 + prior_z_qsos[i])
+                )
+            )
+    return num
 
 
 def make_base_sample_inds(
@@ -167,6 +197,27 @@ class MultiDLAResults:
         )
         np.savez_compressed(path, **payload)
 
+    @classmethod
+    def load(cls, path: str | Path) -> "MultiDLAResults":
+        from .inference import InferenceResults
+
+        multi_keys = {
+            "sample_log_likelihoods_dla2": "sample_log_likelihoods_dla2",
+            "base_sample_inds": "base_sample_inds",
+            "log_likelihoods_dla2": "log_likelihoods_dla2",
+            "log_priors_one_dla": "log_priors_one_dla",
+            "log_priors_two_dla": "log_priors_two_dla",
+            "multi_model_posteriors": "model_posteriors",
+        }
+        with np.load(Path(path)) as f:
+            single = InferenceResults(
+                **{k: f[k] for k in f.files if k not in multi_keys}
+            )
+            return cls(
+                single=single,
+                **{attr: f[key] for key, attr in multi_keys.items()},
+            )
+
 
 def process_spectra_multi(
     model: GPModel,
@@ -181,12 +232,17 @@ def process_spectra_multi(
     dtype=np.float64,
     min_separation_kms: float = 3000.0,
     base_seed: int = 0,
+    single=None,
 ) -> MultiDLAResults:
     """Model selection over {no DLA, 1 DLA, 2 DLAs}.
 
     Runs the standard single-DLA engine, then evaluates the paired
     two-DLA samples, and combines the three model evidences with the
     extended counting prior.
+
+    ``single``: a precomputed InferenceResults for these exact spectra
+    (e.g. from the sharded/checkpointed pipeline pass) — when given,
+    the single-DLA stage is reused instead of recomputed.
     """
     from .inference import process_spectra
 
@@ -197,12 +253,18 @@ def process_spectra_multi(
     S = len(offsets)
     n = len(spectra)
 
-    single = process_spectra(
-        model, offsets, nhis, spectra,
-        prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
-        params=params, batch_size=batch_size, sample_chunk=sample_chunk,
-        dtype=dtype,
-    )
+    if single is None:
+        single = process_spectra(
+            model, offsets, nhis, spectra,
+            prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
+            params=params, batch_size=batch_size, sample_chunk=sample_chunk,
+            dtype=dtype,
+        )
+    elif len(single.p_dlas) != n or single.sample_log_likelihoods_dla.shape[1] != S:
+        raise ValueError(
+            "precomputed single-DLA results do not match these spectra/"
+            f"samples: {single.sample_log_likelihoods_dla.shape} vs ({n}, {S})"
+        )
 
     base = make_base_sample_inds(
         single.sample_log_likelihoods_dla, seed=base_seed

@@ -45,6 +45,9 @@ class PipelineConfig:
     # also write .mat v7.3 copies of the stage artifacts so the
     # reference's own CDDF_analysis code can read them (io/matio.py)
     export_matlab: bool = False
+    # additionally run {no DLA, 1, 2}-DLA model selection after the
+    # single-DLA pass (multi_dla.py; later-pipeline output format)
+    multi_dla: bool = False
 
 
 class Pipeline:
@@ -84,6 +87,13 @@ class Pipeline:
     @property
     def results_path(self) -> Path:
         return self.workdir / f"processed_qsos_{self.config.test_set_name}.npz"
+
+    @property
+    def multi_results_path(self) -> Path:
+        return (
+            self.workdir
+            / f"processed_qsos_multi_{self.config.test_set_name}.npz"
+        )
 
     # --- stages ---
 
@@ -223,6 +233,70 @@ class Pipeline:
             )
         return results
 
+    def run_multi(
+        self,
+        catalog: Catalog,
+        spectra: RaggedSpectra,
+        model: GPModel,
+        samples: DLASamples,
+        results: InferenceResults,
+        test_mask,
+        prior_mask=None,
+        force: bool = False,
+    ):
+        """{no DLA, 1, 2}-DLA model selection, reusing the single-DLA
+        stage's evidences (multi_dla.process_spectra_multi)."""
+        from .multi_dla import (
+            MultiDLAResults,
+            prior_dla_multiplicity,
+            process_spectra_multi,
+        )
+
+        if self.multi_results_path.exists() and not force:
+            return MultiDLAResults.load(self.multi_results_path)
+        if prior_mask is None:
+            prior_mask = catalog.prior_dr9_concordance()
+
+        dc = catalog.dla_catalogs[self.config.dla_catalog_name]
+        prior_idx = np.flatnonzero(prior_mask)
+        prior_num = prior_dla_multiplicity(
+            catalog.z_qsos[prior_idx],
+            dc.dla_ind[prior_idx],
+            [dc.z_dlas[int(i)] for i in prior_idx],
+        )
+
+        test_idx = np.flatnonzero(test_mask)
+        batch = spectra.to_padded(
+            indices=test_idx,
+            z_qsos=catalog.z_qsos[test_idx],
+            pixel_pad=self.params.pixel_pad,
+            pixel_spacing=self.params.instrument.pixel_spacing,
+        )
+        multi = process_spectra_multi(
+            model,
+            samples.offset_samples,
+            samples.nhi_samples,
+            batch,
+            catalog.z_qsos[prior_idx],
+            prior_num,
+            params=self.params,
+            batch_size=self.config.per_device_batch,
+            sample_chunk=self.config.sample_chunk,
+            dtype=np.dtype(self.config.dtype).type,
+            single=results,
+        )
+        multi.save(self.multi_results_path)
+        if self.config.export_matlab:
+            from .io.matio import write_multi_processed_mat
+
+            write_multi_processed_mat(
+                multi,
+                test_mask,
+                self.workdir
+                / f"processed_qsos_multi_{self.config.test_set_name}.mat",
+            )
+        return multi
+
     @staticmethod
     def default_test_mask(catalog: Catalog, spectra: RaggedSpectra) -> np.ndarray:
         """The default processing selection: unfiltered quasars with a
@@ -277,6 +351,14 @@ class Pipeline:
             "num_p_dla_gt_0.9": int((results.p_dlas > 0.9).sum()),
             "artifacts": {k: str(v) for k, v in paths.items()},
         }
+        if self.config.multi_dla:
+            multi = self.run_multi(
+                catalog, spectra, model, samples, results, test_mask
+            )
+            summary["num_p_2dla_gt_0.9"] = int(
+                (multi.model_posteriors[:, 2] > 0.9).sum()
+            )
+            summary["artifacts"]["multi"] = str(self.multi_results_path)
         (self.workdir / "summary.json").write_text(json.dumps(summary, indent=2))
         return summary
 
@@ -290,12 +372,22 @@ def main() -> None:
     p.add_argument(
         "--stage",
         default="all",
-        choices=["all", "catalog", "preload", "learn", "samples", "process", "ascii"],
+        choices=[
+            "all", "catalog", "preload", "learn", "samples", "process",
+            "multi", "ascii",
+        ],
+    )
+    p.add_argument(
+        "--multi-dla", action="store_true",
+        help="also run {0,1,2}-DLA model selection in --stage all",
     )
     args = p.parse_args()
 
     params = Parameters(base_directory=args.base_directory)
-    pipe = Pipeline(params, PipelineConfig(workdir=args.workdir))
+    pipe = Pipeline(
+        params,
+        PipelineConfig(workdir=args.workdir, multi_dla=args.multi_dla),
+    )
     if args.stage == "all":
         print(json.dumps(pipe.run_all(), indent=2))
         return
@@ -315,6 +407,8 @@ def main() -> None:
     samples = pipe.run_samples(catalog)
     test_mask = pipe.default_test_mask(catalog, spectra)
     results = pipe.run_inference(catalog, spectra, model, samples, test_mask)
+    if args.stage == "multi":
+        pipe.run_multi(catalog, spectra, model, samples, results, test_mask)
     if args.stage == "ascii":
         pipe.run_ascii(catalog, samples, results, test_mask)
 

@@ -31,12 +31,23 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
         per_device_batch=1,
         sample_chunk=50,
         dtype="float64",
+        multi_dla=True,
     )
     pipe = Pipeline(params, config)
     summary = pipe.run_all()
 
     assert summary["num_quasars"] == 12
     assert summary["num_processed"] == 8
+    assert "num_p_2dla_gt_0.9" in summary
+
+    # multi-DLA stage artifact: 3-column posteriors over the 8 processed
+    # spectra, rows normalized wherever the counting prior is defined
+    assert pipe.multi_results_path.exists()
+    with np.load(pipe.multi_results_path) as f:
+        mp = f["multi_model_posteriors"]
+    assert mp.shape == (8, 3)
+    ok = np.isfinite(mp).all(axis=1)
+    np.testing.assert_allclose(mp[ok].sum(axis=1), 1.0, rtol=1e-12)
 
     # stage artifacts all exist
     for p in (
@@ -77,7 +88,10 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
     assert np.all((p_dlas[defined] >= 0) & (p_dlas[defined] <= 1))
 
     # resume: second run loads artifacts without recomputation (mtime check)
-    mtimes = {p: p.stat().st_mtime_ns for p in (pipe.model_path, pipe.results_path)}
+    mtimes = {
+        p: p.stat().st_mtime_ns
+        for p in (pipe.model_path, pipe.results_path, pipe.multi_results_path)
+    }
     summary2 = Pipeline(params, config).run_all()
     assert summary2["num_processed"] == 8
     for p, t in mtimes.items():
