@@ -23,8 +23,9 @@ format-compatible with calc_cddf's consumer):
     cuts, set_parameters.m:62-73) are invalid: their log likelihood is
     NaN, exactly the convention the analysis layer expects
     (calc_cddf.py:66-68 "Mask out nan values ... DLAs are too close").
-  - The two-DLA absorption is the product of the two Voigt profiles
-    (optical depths add).
+  - The two-DLA absorption is the product of the two RAW Voigt
+    profiles (optical depths add), instrumentally broadened once —
+    the instrument convolves the physical product, not each absorber.
   - The model prior extends the counting prior (process_qsos.m:122-132):
     p(>=2 DLAs | z_QSO) = (# prior sightlines with >= 2 DLAs below the
     z cut) / count, and p(exactly 1) = p(>=1) - p(>=2).
@@ -149,17 +150,27 @@ def _second_dla_chunk(
     params: Parameters,
     min_separation_z: float,
 ):
-    """Per-chunk two-DLA log likelihoods (product absorption)."""
+    """Per-chunk two-DLA log likelihoods.
+
+    Optical depths add BEFORE instrumental broadening — the instrument
+    sees the product of the raw profiles, so the convolution is applied
+    once to a1*a2, not separately to each absorber.
+    """
+    from .ops.voigt import instrumental_broadening
+
     a1 = voigt_absorption(
         padded_wavelengths, z1, n1,
         num_lines=params.num_lines, instrument=params.instrument,
+        broaden=False,
     )
     a2 = voigt_absorption(
         padded_wavelengths, z2, n2,
         num_lines=params.num_lines, instrument=params.instrument,
+        broaden=False,
     )
     lls = batched_dla_log_likelihoods(
-        flux, mu, M, omega2, noise_variance, valid, a1 * a2
+        flux, mu, M, omega2, noise_variance, valid,
+        instrumental_broadening(a1 * a2, params.instrument),
     )
     too_close = jnp.abs(jnp.log1p(z1) - jnp.log1p(z2)) < jnp.log1p(
         min_separation_z
@@ -233,6 +244,7 @@ def process_spectra_multi(
     min_separation_kms: float = 3000.0,
     base_seed: int = 0,
     single=None,
+    backend: str = "xla",
 ) -> MultiDLAResults:
     """Model selection over {no DLA, 1 DLA, 2 DLAs}.
 
@@ -243,11 +255,24 @@ def process_spectra_multi(
     ``single``: a precomputed InferenceResults for these exact spectra
     (e.g. from the sharded/checkpointed pipeline pass) — when given,
     the single-DLA stage is reused instead of recomputed.
+
+    ``backend``: "xla" (any dtype) or "pallas"/"pallas_interpret"
+    (float32): the fused TPU kernel evaluates both absorbers of each
+    pair in one pass (windowed Faddeeva on the z-sorted fresh axis,
+    full-grid on the resampled axis).
     """
     from .inference import process_spectra
 
     if params is None:
         params = Parameters()
+    use_pallas = backend in ("pallas", "pallas_interpret")
+    if not use_pallas and backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+    if use_pallas and np.dtype(dtype) != np.float32:
+        raise ValueError(
+            "backend='pallas' is float32-only; use backend='xla' for "
+            f"float64 parity mode (got dtype={np.dtype(dtype)})"
+        )
     offsets = np.asarray(offset_samples)
     nhis = np.asarray(nhi_samples)
     S = len(offsets)
@@ -258,7 +283,7 @@ def process_spectra_multi(
             model, offsets, nhis, spectra,
             prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
             params=params, batch_size=batch_size, sample_chunk=sample_chunk,
-            dtype=dtype,
+            dtype=dtype, backend=backend if use_pallas else "xla",
         )
     elif len(single.p_dlas) != n or single.sample_log_likelihoods_dla.shape[1] != S:
         raise ValueError(
@@ -277,6 +302,60 @@ def process_spectra_multi(
         jnp.asarray(model.M, dtype),
         jnp.asarray(model.log_omega, dtype),
     )
+
+    window = None
+    order = unsort = None
+    if use_pallas:
+        from .inference import compute_sample_window
+        from .ops.evidence_pallas import (
+            SAMPLE_TILE,
+            pallas_sample_log_likelihoods,
+        )
+
+        # z-sort the fresh axis (pairs travel together: base columns are
+        # permuted identically and the output is unsorted afterwards)
+        order = np.argsort(offsets)
+        unsort = np.argsort(order)
+        window = compute_sample_window(
+            offsets, SAMPLE_TILE,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+        )
+
+        @jax.jit
+        def batch_dla2_pallas(
+            w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off_s, nh_s, off_b, nh_b
+        ):
+            def prepare(w1, f1, nv1, m1, z1q):
+                prep = _prepare_spectrum(
+                    w1, f1, nv1, m1, z1q, grid, mu_g, M_g, lo_g,
+                    model.log_c_0, model.log_tau_0, model.log_beta, params,
+                )
+                return (
+                    prep["min_z_dla"], prep["max_z_dla"], prep["mu"],
+                    prep["M"], prep["omega2"], prep["valid"],
+                    prep["padded_wavelengths"],
+                )
+
+            min_z, max_z, mu_b, M_b, omega2_b, valid_b, ext_b = jax.vmap(
+                prepare
+            )(w, f, nv, m, zq)
+            rng_z = (max_z - min_z)[:, None]
+            z_b = min_z[:, None] + rng_z * off_s[None, :]
+            z2_b = min_z[:, None] + rng_z * off_b
+            nhi_b = jnp.broadcast_to(nh_s[None, :], z_b.shape)
+            lls = pallas_sample_log_likelihoods(
+                ext_b, f, mu_b, M_b, omega2_b, nv, valid_b,
+                z_b, nhi_b,
+                num_lines=params.num_lines,
+                instrument=params.instrument,
+                window=window,
+                z_dlas2=z2_b, nhi2=nh_b,
+                interpret=(backend == "pallas_interpret"),
+            )
+            too_close = jnp.abs(
+                jnp.log1p(z_b) - jnp.log1p(z2_b)
+            ) < jnp.log1p(min_sep_z)
+            return jnp.where(too_close, jnp.nan, lls)
 
     @jax.jit
     def batch_dla2(w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off, nh, off_b, nh_b):
@@ -315,10 +394,15 @@ def process_spectra_multi(
         return jax.vmap(per_spectrum)(w, f, nv, m, zq, off_b, nh_b)
 
     out2 = np.empty((n, S))
-    off_j = jnp.asarray(offsets, dtype)
-    nh_j = jnp.asarray(nhis, dtype)
-    off_base = offsets[base]   # (N, S)
+    off_host = offsets[order] if use_pallas else offsets
+    nh_host = nhis[order] if use_pallas else nhis
+    off_j = jnp.asarray(off_host, dtype)
+    nh_j = jnp.asarray(nh_host, dtype)
+    off_base = offsets[base]   # (N, S) pair-indexed like the fresh axis
     nh_base = nhis[base]       # (N, S)
+    if use_pallas:
+        off_base = off_base[:, order]
+        nh_base = nh_base[:, order]
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
@@ -331,7 +415,8 @@ def process_spectra_multi(
             [nh_base[start:stop]]
             + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
         )
-        lls = batch_dla2(
+        fn = batch_dla2_pallas if use_pallas else batch_dla2
+        lls = fn(
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),
             jnp.asarray(batch.noise_variance, dtype),
@@ -341,7 +426,8 @@ def process_spectra_multi(
             off_j, nh_j,
             jnp.asarray(ob, dtype), jnp.asarray(nb, dtype),
         )
-        out2[start:stop] = np.asarray(lls)[: stop - start]
+        rows = np.asarray(lls)[: stop - start]
+        out2[start:stop] = rows[:, unsort] if use_pallas else rows
 
     # evidence: mean over VALID pairs (NaN pairs carry no mass)
     with np.errstate(invalid="ignore"):

@@ -57,17 +57,25 @@ def _evidence_kernel(
     ptri_ref,     # (1, k(k+1)/2, P) lower-triangle pair products,
                   # column-major: rows [off_j, off_j + k - j) hold
                   # M_i * M_j for i = j..k-1, off_j = j*k - j(j-1)/2
-    z_ref,        # (1, 1, T) absorber redshifts
-    nhi_ref,      # (1, 1, T) column densities
-    out_ref,      # (1, 1, T) log likelihoods
-    total_ref,    # (P6, T)   VMEM scratch: accumulated -tau/N_HI
-    *,
+    *rest,        # z_ref, nhi_ref [, z2_ref, nhi2_ref], out_ref, total_ref
+                  # z/nhi blocks are (1, 1, T); out (1, 1, T);
+                  # total_ref (P6, T) VMEM scratch: accumulated -tau
     num_lines: int,
     taps: tuple,
     k: int,
     window: int | None,
     pixel_spacing: float,
+    two_dla: bool = False,
 ):
+    if two_dla:
+        z_ref, nhi_ref, z2_ref, nhi2_ref, out_ref, total_ref = rest
+        # the second (posterior-resampled) absorber's redshifts are not
+        # z-sorted, so it always takes the full-grid Faddeeva branch
+        absorbers = [(z_ref, nhi_ref, window), (z2_ref, nhi2_ref, None)]
+    else:
+        z_ref, nhi_ref, out_ref, total_ref = rest
+        absorbers = [(z_ref, nhi_ref, window)]
+
     dtype = flux_ref.dtype
     P6 = lam_ref.shape[-1]
     P = flux_ref.shape[-1]
@@ -75,8 +83,6 @@ def _evidence_kernel(
     # refs arrive as (1, 1, X) blocks: leading dims are the grid axes
 
     lam = lam_ref[0, 0].reshape(P6, 1)
-    z = z_ref[0, 0].reshape(1, T)
-    nhi = nhi_ref[0, 0].reshape(1, T)
 
     c_cgs = jnp.asarray(lines.C_CGS, dtype)
     inv_sqrt2_sigma = jnp.asarray(
@@ -84,55 +90,71 @@ def _evidence_kernel(
     )
     voigt_norm = 1.0 / (lines.DOPPLER_SIGMA * _SQRT_2PI)
 
-    # ---- Voigt optical depth over the extended grid (voigt.c:277-291)
+    # ---- Voigt optical depth over the extended grid (voigt.c:277-291);
+    # with two absorbers the optical depths add (absorption multiplies),
+    # so each line contribution is N_HI-scaled into the shared total
     from .faddeeva import _SQRT_PI, wing_series
     from .voigt import WINDOW_MARGIN
 
     total_ref[...] = jnp.zeros((P6, T), dtype)
-    for j in range(num_lines):
-        lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
-        gamma_j = float(lines.LORENTZIAN_WIDTHS[j])
-        lead_j = float(lines.LEADING_CONSTANTS[j])
-        mult = (c_cgs / (lambda_t * 1e8)) / (1.0 + z)      # (1, T)
-        velocity = lam * mult - c_cgs                       # (P6, T)
-        x = velocity * inv_sqrt2_sigma
-        y = jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma
-        if window is None:
-            h = wofz_real_fast(x, jnp.full_like(x, y))
-            total_ref[...] = total_ref[...] - (lead_j * voigt_norm) * h
-        else:
-            # z-sorted tile: inner Faddeeva branch only within a
-            # `window`-pixel slice around the tile's line centers;
-            # cheap asymptotic wing everywhere else.  Dynamic-slice
-            # access goes through the VMEM scratch ref (Mosaic has no
-            # dynamic_slice on values).
-            # Mosaic requires dynamic lane indices to be 128-aligned:
-            # the start rounds DOWN to a lane boundary (losing at most
-            # 127 px of right coverage), so widen the static window by
-            # one extra lane group; the clip bound must itself stay
-            # 128-aligned or the pl.multiple_of promise is violated for
-            # near-red-edge windows
-            W = min(-(-(min(window, P6) + 128) // 128) * 128, P6)
-            h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
-            total_ref[...] = total_ref[...] - (lead_j * voigt_norm) * h_wing
-            center = jnp.log10(lambda_t * 1e8 * (1.0 + z_ref[0, 0, 0]))
-            log_lam0 = jnp.log10(lam_ref[0, 0, 0])
-            start_raw = jnp.floor(
-                (center - log_lam0) / pixel_spacing
-            ).astype(jnp.int32) - WINDOW_MARGIN
-            start = jnp.clip(
-                (start_raw // 128) * 128, 0, max(((P6 - W) // 128) * 128, 0)
+    for zr, nr, win in absorbers:
+        z = zr[0, 0].reshape(1, T)
+        nhi = nr[0, 0].reshape(1, T)
+        for j in range(num_lines):
+            lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
+            gamma_j = float(lines.LORENTZIAN_WIDTHS[j])
+            lead_j = float(lines.LEADING_CONSTANTS[j])
+            mult = (c_cgs / (lambda_t * 1e8)) / (1.0 + z)      # (1, T)
+            velocity = lam * mult - c_cgs                       # (P6, T)
+            x = velocity * inv_sqrt2_sigma
+            y = jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma
+            # single-absorber mode scales by N_HI once at the exp (saves
+            # a (P6, T) broadcast multiply per line); with two absorbers
+            # the N_HI factor must be folded per line so the shared
+            # total accumulates the combined optical depth
+            scale = (lead_j * voigt_norm) * nhi if two_dla else (
+                lead_j * voigt_norm
             )
-            start = pl.multiple_of(start, 128)
-            lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
-            x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
-            h_full = wofz_real_fast(x_win, jnp.full_like(x_win, y))
-            corr = h_full - (2.0 / _SQRT_PI) * y * wing_series(x_win)
-            total_ref[pl.ds(start, W), :] = (
-                total_ref[pl.ds(start, W), :] - (lead_j * voigt_norm) * corr
-            )
+            if win is None:
+                h = wofz_real_fast(x, jnp.full_like(x, y))
+                total_ref[...] = total_ref[...] - scale * h
+            else:
+                # z-sorted tile: inner Faddeeva branch only within a
+                # `window`-pixel slice around the tile's line centers;
+                # cheap asymptotic wing everywhere else.  Dynamic-slice
+                # access goes through the VMEM scratch ref (Mosaic has no
+                # dynamic_slice on values).
+                # Mosaic requires dynamic lane indices to be 128-aligned:
+                # the start rounds DOWN to a lane boundary (losing at most
+                # 127 px of right coverage), so widen the static window by
+                # one extra lane group; the clip bound must itself stay
+                # 128-aligned or the pl.multiple_of promise is violated for
+                # near-red-edge windows
+                W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
+                h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
+                total_ref[...] = total_ref[...] - scale * h_wing
+                center = jnp.log10(lambda_t * 1e8 * (1.0 + zr[0, 0, 0]))
+                log_lam0 = jnp.log10(lam_ref[0, 0, 0])
+                start_raw = jnp.floor(
+                    (center - log_lam0) / pixel_spacing
+                ).astype(jnp.int32) - WINDOW_MARGIN
+                start = jnp.clip(
+                    (start_raw // 128) * 128, 0, max(((P6 - W) // 128) * 128, 0)
+                )
+                start = pl.multiple_of(start, 128)
+                lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
+                x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
+                h_full = wofz_real_fast(x_win, jnp.full_like(x_win, y))
+                corr = h_full - (2.0 / _SQRT_PI) * y * wing_series(x_win)
+                total_ref[pl.ds(start, W), :] = (
+                    total_ref[pl.ds(start, W), :] - scale * corr
+                )
 
-    raw = jnp.exp(nhi * total_ref[...])                     # (P6, T)
+    if two_dla:
+        raw = jnp.exp(total_ref[...])                       # (P6, T)
+    else:
+        nhi1 = nhi_ref[0, 0].reshape(1, T)
+        raw = jnp.exp(nhi1 * total_ref[...])                # (P6, T)
 
     # ---- instrumental broadening, 'valid' (voigt.c:294-299)
     absorption = jnp.zeros((P, T), dtype)
@@ -217,6 +239,8 @@ def pallas_sample_log_likelihoods(
     tile: int = SAMPLE_TILE,
     interpret: bool = False,
     window: int | None = None,
+    z_dlas2=None,      # (B, S) second absorber redshifts (optional)
+    nhi2=None,         # (B, S)
 ):
     """Fused per-sample DLA log likelihoods, (B, S).  float32 only.
 
@@ -224,6 +248,12 @@ def pallas_sample_log_likelihoods(
     (the engine sorts and unsorts) and ``window`` must bound each
     tile's line-center pixel spread plus margin (compute_sample_window
     with the TILE as chunk size).
+
+    With ``z_dlas2``/``nhi2`` set, each sample is a PAIR of absorbers
+    (two-DLA model, multi_dla.py): optical depths add in-kernel before
+    the shared broadening/evidence chain.  The second absorber is
+    evaluated full-grid (its redshifts need not be sorted), so
+    ``window`` still applies to the first axis only.
     """
     if instrument is None:
         instrument = InstrumentParams()
@@ -241,14 +271,15 @@ def pallas_sample_log_likelihoods(
             "parity mode."
         )
 
+    two_dla = z_dlas2 is not None
     pad = (-S) % tile
     if pad:
-        z_dlas = jnp.concatenate(
-            [z_dlas, jnp.repeat(z_dlas[:, :1], pad, axis=1)], axis=1
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[:, :1], pad, axis=1)], axis=1
         )
-        nhi = jnp.concatenate(
-            [nhi, jnp.repeat(nhi[:, :1], pad, axis=1)], axis=1
-        )
+        z_dlas, nhi = rep(z_dlas), rep(nhi)
+        if two_dla:
+            z_dlas2, nhi2 = rep(z_dlas2), rep(nhi2)
     S_pad = S + pad
 
     maskf = mask.astype(dtype)
@@ -277,10 +308,14 @@ def pallas_sample_log_likelihoods(
         (1, 1, tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
     )
 
+    sample_inputs = [expand(z_dlas), expand(nhi)]
+    if two_dla:
+        sample_inputs += [expand(z_dlas2), expand(nhi2)]
     out = pl.pallas_call(
         functools.partial(
             _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
             window=window, pixel_spacing=instrument.pixel_spacing,
+            two_dla=two_dla,
         ),
         grid=grid,
         in_specs=[
@@ -292,9 +327,7 @@ def pallas_sample_log_likelihoods(
             spec_block((1, P)),
             spec_block((k, P)),
             spec_block((k * (k + 1) // 2, P)),
-            tile_block,
-            tile_block,
-        ],
+        ] + [tile_block] * len(sample_inputs),
         out_specs=tile_block,
         out_shape=jax.ShapeDtypeStruct((B, 1, S_pad), dtype),
         scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
@@ -302,6 +335,6 @@ def pallas_sample_log_likelihoods(
     )(
         expand(ext_wavelengths), expand(flux), expand(mu), expand(omega2),
         expand(noise_variance), expand(maskf),
-        mt, ptri, expand(z_dlas), expand(nhi),
+        mt, ptri, *sample_inputs,
     )
     return out[:, 0, :S]

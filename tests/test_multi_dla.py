@@ -135,6 +135,30 @@ def test_two_dla_classification(multi_problem):
     assert dndx.sum() > 0
 
 
+def test_two_dla_pallas_backend(multi_problem):
+    """The fused two-DLA Pallas kernel (interpret mode) must agree with
+    the XLA path: identical close-pair NaN masks, matching posteriors,
+    and per-pair log likelihoods within f32 end-to-end tolerance."""
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
+    rp = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=3, sample_chunk=100,
+        dtype=np.float32, backend="pallas_interpret",
+    )
+    assert np.array_equal(
+        np.isnan(rp.sample_log_likelihoods_dla2),
+        np.isnan(res.sample_log_likelihoods_dla2),
+    )
+    np.testing.assert_array_equal(rp.base_sample_inds, res.base_sample_inds)
+    rel = np.abs(
+        rp.sample_log_likelihoods_dla2 - res.sample_log_likelihoods_dla2
+    ) / np.maximum(np.abs(res.sample_log_likelihoods_dla2), 1.0)
+    assert np.nanmax(rel) < 1e-2
+    np.testing.assert_allclose(
+        rp.model_posteriors, res.model_posteriors, atol=2e-3
+    )
+
+
 def test_multi_results_roundtrip(multi_problem, tmp_path):
     params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
     res.save(tmp_path / "multi.npz")
