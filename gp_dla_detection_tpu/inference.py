@@ -541,6 +541,23 @@ def finalize_posteriors(
     }
 
 
+def resolve_dtype(dtype, caller: str = "process_spectra"):
+    """float64 without jax_enable_x64 would be truncated silently by
+    every jnp.asarray call — warn ONCE and downgrade explicitly."""
+    if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            f"{caller}(dtype=float64) requested but jax_enable_x64 is "
+            "off — JAX would silently truncate to float32. Running in "
+            "float32; enable x64 (jax.config.update('jax_enable_x64', "
+            "True)) for the double-precision parity path.",
+            stacklevel=3,
+        )
+        return np.float32
+    return dtype
+
+
 def process_spectra(
     model: GPModel,
     offset_samples,
@@ -563,6 +580,7 @@ def process_spectra(
     """
     if params is None:
         params = Parameters()
+    dtype = resolve_dtype(dtype)
 
     n = len(spectra)
     log_p_dla, log_p_no_dla = dla_rate_priors(

@@ -273,6 +273,9 @@ def process_spectra_multi(
             "backend='pallas' is float32-only; use backend='xla' for "
             f"float64 parity mode (got dtype={np.dtype(dtype)})"
         )
+    from .inference import resolve_dtype
+
+    dtype = resolve_dtype(dtype, "process_spectra_multi")
     offsets = np.asarray(offset_samples)
     nhis = np.asarray(nhi_samples)
     S = len(offsets)

@@ -80,7 +80,9 @@ def process_spectra_sharded(
         config = ShardedRunConfig()
     if mesh is None:
         mesh = make_mesh()
-    dtype = np.dtype(config.dtype)
+    from ..inference import resolve_dtype
+
+    dtype = np.dtype(resolve_dtype(config.dtype, "process_spectra_sharded"))
 
     n_data = mesh.shape[DATA_AXIS]
     super_batch = config.per_device_batch * n_data
