@@ -36,6 +36,7 @@ Model posteriors become [no DLA, exactly 1 DLA, 2 DLAs].
 from __future__ import annotations
 
 import dataclasses
+import json
 from pathlib import Path
 
 import jax
@@ -99,13 +100,15 @@ def make_base_sample_inds(
     n, s = sll.shape
     rng = np.random.default_rng(seed)
     u = (rng.permutation(s) + 0.5) / s
-    base = np.empty((n, s), np.int64)
-    for i in range(n):
-        w = np.exp(sll[i] - np.max(sll[i]))
-        cdf = np.cumsum(w)
-        cdf /= cdf[-1]
-        base[i] = np.searchsorted(cdf, u)
-    return np.clip(base, 0, s - 1)
+    # vectorized row-wise inverse CDF: offset each row's CDF (in [0,1])
+    # by 2*i so a single flat searchsorted handles all spectra
+    w = np.exp(sll - sll.max(axis=1, keepdims=True))
+    cdf = np.cumsum(w, axis=1)
+    cdf /= cdf[:, -1:]
+    offs = 2.0 * np.arange(n)[:, None]
+    flat = np.searchsorted((cdf + offs).ravel(), (u[None, :] + offs).ravel())
+    base = flat.reshape(n, s) - s * np.arange(n)[:, None]
+    return np.clip(base, 0, s - 1).astype(np.int32)
 
 
 def multi_dla_rate_priors(
@@ -245,6 +248,7 @@ def process_spectra_multi(
     base_seed: int = 0,
     single=None,
     backend: str = "xla",
+    checkpoint_dir=None,
 ) -> MultiDLAResults:
     """Model selection over {no DLA, 1 DLA, 2 DLAs}.
 
@@ -260,6 +264,12 @@ def process_spectra_multi(
     (float32): the fused TPU kernel evaluates both absorbers of each
     pair in one pass (windowed Faddeeva on the z-sorted fresh axis,
     full-grid on the resampled axis).
+
+    ``checkpoint_dir``: per-batch resume for the two-DLA pass (same
+    shape-validated-manifest scheme as the sharded single-DLA driver).
+    The single-DLA stage has its own checkpointing (pass ``single``
+    from the sharded driver, or its internal process_spectra run is
+    recomputed on resume).
     """
     from .inference import process_spectra
 
@@ -396,7 +406,9 @@ def process_spectra_multi(
 
         return jax.vmap(per_spectrum)(w, f, nv, m, zq, off_b, nh_b)
 
-    out2 = np.empty((n, S))
+    # pair lls stored at the compute dtype: (N, S) is the dominant
+    # host-memory term at survey scale (160k x 10k f32 = 6.4 GB)
+    out2 = np.empty((n, S), np.dtype(dtype))
     off_host = offsets[order] if use_pallas else offsets
     nh_host = nhis[order] if use_pallas else nhis
     off_j = jnp.asarray(off_host, dtype)
@@ -406,8 +418,37 @@ def process_spectra_multi(
     if use_pallas:
         off_base = off_base[:, order]
         nh_base = nh_base[:, order]
-    for start in range(0, n, batch_size):
+
+    ckpt_dir = Path(checkpoint_dir) if checkpoint_dir else None
+    manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    done: set = set()
+    if manifest_path and manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if (
+            manifest.get("num_spectra") == n
+            and manifest.get("batch_size") == batch_size
+            and manifest.get("num_samples") == S
+            and manifest.get("base_seed") == base_seed
+        ):
+            done = set(manifest["completed_batches"])
+        else:
+            import warnings
+
+            warnings.warn(
+                f"ignoring incompatible two-DLA checkpoints in {ckpt_dir} "
+                "(run shape changed)",
+                stacklevel=2,
+            )
+    if ckpt_dir:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    for bi, start in enumerate(range(0, n, batch_size)):
         stop = min(start + batch_size, n)
+        ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
+        if bi in done and ckpt_file and ckpt_file.exists():
+            with np.load(ckpt_file) as f:
+                out2[start:stop] = f["sample_log_likelihoods_dla2"]
+            continue
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
         pad_rows = batch_size - (stop - start)
         ob = np.concatenate(
@@ -431,12 +472,31 @@ def process_spectra_multi(
         )
         rows = np.asarray(lls)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
+        if ckpt_file:
+            np.savez_compressed(
+                ckpt_file, sample_log_likelihoods_dla2=out2[start:stop]
+            )
+            done.add(bi)
+            manifest_path.write_text(
+                json.dumps(
+                    {
+                        "num_spectra": n,
+                        "batch_size": batch_size,
+                        "num_samples": S,
+                        "base_seed": base_seed,
+                        "completed_batches": sorted(done),
+                    }
+                )
+            )
 
-    # evidence: mean over VALID pairs (NaN pairs carry no mass)
+    # evidence: mean over VALID pairs (NaN pairs carry no mass);
+    # reduction in float64 regardless of the storage dtype
     with np.errstate(invalid="ignore"):
-        max2 = np.nanmax(out2, axis=1)
+        max2 = np.nanmax(out2, axis=1).astype(np.float64)
         ll2 = max2 + np.log(
-            np.nanmean(np.exp(out2 - max2[:, None]), axis=1)
+            np.nanmean(
+                np.exp(out2 - max2[:, None], dtype=np.float64), axis=1
+            )
         )
 
     log_p0, log_p1, log_p2 = multi_dla_rate_priors(

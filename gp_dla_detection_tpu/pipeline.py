@@ -254,6 +254,10 @@ class Pipeline:
 
         if self.multi_results_path.exists() and not force:
             return MultiDLAResults.load(self.multi_results_path)
+        if force:
+            import shutil
+
+            shutil.rmtree(self.workdir / "multi_ckpt", ignore_errors=True)
         if prior_mask is None:
             prior_mask = catalog.prior_dr9_concordance()
 
@@ -284,6 +288,7 @@ class Pipeline:
             sample_chunk=self.config.sample_chunk,
             dtype=np.dtype(self.config.dtype).type,
             single=results,
+            checkpoint_dir=self.workdir / "multi_ckpt",
         )
         multi.save(self.multi_results_path)
         if self.config.export_matlab:

@@ -159,6 +159,32 @@ def test_two_dla_pallas_backend(multi_problem):
     )
 
 
+def test_two_dla_checkpoint_resume(multi_problem, tmp_path):
+    """Per-batch two-DLA checkpoints resume bit-identically and are
+    invalidated when the run shape changes."""
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
+    ck = tmp_path / "ck"
+    kw = dict(params=params, batch_size=2, sample_chunk=100, checkpoint_dir=ck)
+    r1 = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num, **kw
+    )
+    assert (ck / "manifest.json").exists()
+    assert len(list(ck.glob("batch_*.npz"))) == 2
+    # resume: batches load from disk, results bit-identical
+    r2 = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num, **kw
+    )
+    np.testing.assert_array_equal(
+        r1.sample_log_likelihoods_dla2, r2.sample_log_likelihoods_dla2
+    )
+    # shape change invalidates the checkpoints with a warning
+    with pytest.warns(UserWarning, match="incompatible two-DLA"):
+        process_spectra_multi(
+            model, offsets[:300], nhis[:300], spectra, prior_z, prior_num,
+            params=params, batch_size=2, sample_chunk=100, checkpoint_dir=ck,
+        )
+
+
 def test_multi_results_roundtrip(multi_problem, tmp_path):
     params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
     res.save(tmp_path / "multi.npz")
