@@ -5,6 +5,8 @@ process_qsos.m at production scale — 10,000 QMC (z_DLA, log N_HI)
 samples x 1280-pixel padded spectra x rank-20 GP (null + 10k DLA
 evidences each, Voigt profiles with 3 Lyman-series lines and
 instrumental broadening) — in float32 on the local accelerator.
+Batch of 1024 spectra per chip (a v5e-64 survey run holds ~2.5k per
+chip, and throughput plateaus from B=1024 up).
 
 Backends: "pallas" (fused windowed evidence kernel, fastest verified on
 v5e), "xla" (lax.map chunked path), "auto" (pallas with xla fallback).
@@ -26,7 +28,7 @@ import numpy as np
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
-def main(batch_size: int = 256, num_samples: int = 10000, pixels: int = 1280,
+def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1280,
          k: int = 20, sample_chunk: int = 2500, iters: int = 3,
          backend: str = "auto") -> None:
     import jax
@@ -128,7 +130,7 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--num-samples", type=int, default=10000)
     p.add_argument("--pixels", type=int, default=1280)
     p.add_argument("--k", type=int, default=20)
