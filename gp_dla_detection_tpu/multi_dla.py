@@ -51,7 +51,9 @@ from .params import Parameters, kms_to_z
 
 __all__ = [
     "MultiDLAResults",
+    "finalize_multi",
     "make_base_sample_inds",
+    "make_batch_dla2_fn",
     "multi_dla_rate_priors",
     "prior_dla_multiplicity",
     "process_spectra_multi",
@@ -233,6 +235,152 @@ class MultiDLAResults:
             )
 
 
+def make_batch_dla2_fn(
+    model: GPModel,
+    params: Parameters,
+    num_samples: int,
+    sample_chunk: int,
+    min_sep_z: float,
+    backend: str = "xla",
+    window: int | None = None,
+):
+    """Build the jitted two-DLA batch evaluator shared by the
+    single-host and sharded drivers.
+
+    Signature of the returned fn:
+      (wavelengths, flux, noise_variance, mask, z_qso,
+       grid, mu, M, log_omega, offsets, nhis, base_offsets, base_nhis)
+      -> (B, S) pair log likelihoods (NaN = closer than min_sep_z).
+
+    For backend="pallas"/"pallas_interpret" the offsets MUST be
+    z-ascending (the caller sorts and unsorts, permuting the base
+    columns identically); ``window`` is the fresh-axis Faddeeva window.
+    """
+    S = num_samples
+    use_pallas = backend in ("pallas", "pallas_interpret")
+
+    if use_pallas:
+        from .ops.evidence_pallas import pallas_sample_log_likelihoods
+
+        @jax.jit
+        def batch_dla2_pallas(
+            w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off_s, nh_s, off_b, nh_b
+        ):
+            def prepare(w1, f1, nv1, m1, z1q):
+                prep = _prepare_spectrum(
+                    w1, f1, nv1, m1, z1q, grid, mu_g, M_g, lo_g,
+                    model.log_c_0, model.log_tau_0, model.log_beta, params,
+                )
+                return (
+                    prep["min_z_dla"], prep["max_z_dla"], prep["mu"],
+                    prep["M"], prep["omega2"], prep["valid"],
+                    prep["padded_wavelengths"],
+                )
+
+            min_z, max_z, mu_b, M_b, omega2_b, valid_b, ext_b = jax.vmap(
+                prepare
+            )(w, f, nv, m, zq)
+            rng_z = (max_z - min_z)[:, None]
+            z_b = min_z[:, None] + rng_z * off_s[None, :]
+            z2_b = min_z[:, None] + rng_z * off_b
+            nhi_b = jnp.broadcast_to(nh_s[None, :], z_b.shape)
+            lls = pallas_sample_log_likelihoods(
+                ext_b, f, mu_b, M_b, omega2_b, nv, valid_b,
+                z_b, nhi_b,
+                num_lines=params.num_lines,
+                instrument=params.instrument,
+                window=window,
+                z_dlas2=z2_b, nhi2=nh_b,
+                interpret=(backend == "pallas_interpret"),
+            )
+            too_close = jnp.abs(
+                jnp.log1p(z_b) - jnp.log1p(z2_b)
+            ) < jnp.log1p(min_sep_z)
+            return jnp.where(too_close, jnp.nan, lls)
+
+        return batch_dla2_pallas
+
+    @jax.jit
+    def batch_dla2(w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off, nh, off_b, nh_b):
+        # off/nh are shared (S,); off_b/nh_b are per-spectrum (B, S)
+        def per_spectrum(w1, f1, nv1, m1, z1q, off_b1, nh_b1):
+            prep = _prepare_spectrum(
+                w1, f1, nv1, m1, z1q,
+                grid, mu_g, M_g, lo_g,
+                model.log_c_0, model.log_tau_0, model.log_beta, params,
+            )
+            z_all = prep["min_z_dla"] + (
+                prep["max_z_dla"] - prep["min_z_dla"]
+            ) * off
+            z_b = prep["min_z_dla"] + (
+                prep["max_z_dla"] - prep["min_z_dla"]
+            ) * off_b1
+            pad = (-S) % sample_chunk
+            padded = lambda a: jnp.concatenate(
+                [a, jnp.full((pad,), a[0], a.dtype)]
+            ).reshape(-1, sample_chunk)
+
+            def one_chunk(args):
+                z1, n1_, z2, n2_ = args
+                return _second_dla_chunk(
+                    prep["padded_wavelengths"], f1, prep["mu"], prep["M"],
+                    prep["omega2"], nv1, prep["valid"],
+                    z1, n1_, z2, n2_, params, min_sep_z,
+                )
+
+            lls = jax.lax.map(
+                one_chunk,
+                (padded(z_all), padded(nh), padded(z_b), padded(nh_b1)),
+            ).reshape(-1)[:S]
+            return lls
+
+        return jax.vmap(per_spectrum)(w, f, nv, m, zq, off_b, nh_b)
+
+    return batch_dla2
+
+
+def finalize_multi(
+    single, out2, base, z_qsos, prior_z_qsos, prior_num_dlas,
+    params: Parameters,
+) -> MultiDLAResults:
+    """Pair-evidence aggregation + 3-model posteriors from the raw
+    (N, S) two-DLA sample log likelihoods."""
+    # evidence: mean over VALID pairs (NaN pairs carry no mass);
+    # reduction in float64 regardless of the storage dtype
+    with np.errstate(invalid="ignore"):
+        max2 = np.nanmax(out2, axis=1).astype(np.float64)
+        ll2 = max2 + np.log(
+            np.nanmean(
+                np.exp(out2 - max2[:, None], dtype=np.float64), axis=1
+            )
+        )
+
+    log_p0, log_p1, log_p2 = multi_dla_rate_priors(
+        z_qsos, prior_z_qsos, prior_num_dlas, params
+    )
+    posts = np.stack(
+        [
+            log_p0 + single.log_likelihoods_no_dla,
+            log_p1 + single.log_likelihoods_dla,
+            log_p2 + ll2,
+        ],
+        axis=1,
+    )
+    pmax = np.max(posts, axis=1, keepdims=True)
+    model_posteriors = np.exp(posts - pmax)
+    model_posteriors /= model_posteriors.sum(axis=1, keepdims=True)
+
+    return MultiDLAResults(
+        single=single,
+        sample_log_likelihoods_dla2=out2,
+        base_sample_inds=base,
+        log_likelihoods_dla2=ll2,
+        log_priors_one_dla=log_p1,
+        log_priors_two_dla=log_p2,
+        model_posteriors=model_posteriors,
+    )
+
+
 def process_spectra_multi(
     model: GPModel,
     offset_samples,
@@ -320,10 +468,7 @@ def process_spectra_multi(
     order = unsort = None
     if use_pallas:
         from .inference import compute_sample_window
-        from .ops.evidence_pallas import (
-            SAMPLE_TILE,
-            pallas_sample_log_likelihoods,
-        )
+        from .ops.evidence_pallas import SAMPLE_TILE
 
         # z-sort the fresh axis (pairs travel together: base columns are
         # permuted identically and the output is unsorted afterwards)
@@ -334,77 +479,9 @@ def process_spectra_multi(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
 
-        @jax.jit
-        def batch_dla2_pallas(
-            w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off_s, nh_s, off_b, nh_b
-        ):
-            def prepare(w1, f1, nv1, m1, z1q):
-                prep = _prepare_spectrum(
-                    w1, f1, nv1, m1, z1q, grid, mu_g, M_g, lo_g,
-                    model.log_c_0, model.log_tau_0, model.log_beta, params,
-                )
-                return (
-                    prep["min_z_dla"], prep["max_z_dla"], prep["mu"],
-                    prep["M"], prep["omega2"], prep["valid"],
-                    prep["padded_wavelengths"],
-                )
-
-            min_z, max_z, mu_b, M_b, omega2_b, valid_b, ext_b = jax.vmap(
-                prepare
-            )(w, f, nv, m, zq)
-            rng_z = (max_z - min_z)[:, None]
-            z_b = min_z[:, None] + rng_z * off_s[None, :]
-            z2_b = min_z[:, None] + rng_z * off_b
-            nhi_b = jnp.broadcast_to(nh_s[None, :], z_b.shape)
-            lls = pallas_sample_log_likelihoods(
-                ext_b, f, mu_b, M_b, omega2_b, nv, valid_b,
-                z_b, nhi_b,
-                num_lines=params.num_lines,
-                instrument=params.instrument,
-                window=window,
-                z_dlas2=z2_b, nhi2=nh_b,
-                interpret=(backend == "pallas_interpret"),
-            )
-            too_close = jnp.abs(
-                jnp.log1p(z_b) - jnp.log1p(z2_b)
-            ) < jnp.log1p(min_sep_z)
-            return jnp.where(too_close, jnp.nan, lls)
-
-    @jax.jit
-    def batch_dla2(w, f, nv, m, zq, grid, mu_g, M_g, lo_g, off, nh, off_b, nh_b):
-        # off/nh are shared (S,); off_b/nh_b are per-spectrum (B, S)
-        def per_spectrum(w1, f1, nv1, m1, z1q, off_b1, nh_b1):
-            prep = _prepare_spectrum(
-                w1, f1, nv1, m1, z1q,
-                grid, mu_g, M_g, lo_g,
-                model.log_c_0, model.log_tau_0, model.log_beta, params,
-            )
-            z_all = prep["min_z_dla"] + (
-                prep["max_z_dla"] - prep["min_z_dla"]
-            ) * off
-            z_b = prep["min_z_dla"] + (
-                prep["max_z_dla"] - prep["min_z_dla"]
-            ) * off_b1
-            pad = (-S) % sample_chunk
-            padded = lambda a: jnp.concatenate(
-                [a, jnp.full((pad,), a[0], a.dtype)]
-            ).reshape(-1, sample_chunk)
-
-            def one_chunk(args):
-                z1, n1_, z2, n2_ = args
-                return _second_dla_chunk(
-                    prep["padded_wavelengths"], f1, prep["mu"], prep["M"],
-                    prep["omega2"], nv1, prep["valid"],
-                    z1, n1_, z2, n2_, params, min_sep_z,
-                )
-
-            lls = jax.lax.map(
-                one_chunk,
-                (padded(z_all), padded(nh), padded(z_b), padded(nh_b1)),
-            ).reshape(-1)[:S]
-            return lls
-
-        return jax.vmap(per_spectrum)(w, f, nv, m, zq, off_b, nh_b)
+    fn = make_batch_dla2_fn(
+        model, params, S, sample_chunk, min_sep_z, backend, window
+    )
 
     # pair lls stored at the compute dtype: (N, S) is the dominant
     # host-memory term at survey scale (160k x 10k f32 = 6.4 GB)
@@ -459,7 +536,6 @@ def process_spectra_multi(
             [nh_base[start:stop]]
             + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
         )
-        fn = batch_dla2_pallas if use_pallas else batch_dla2
         lls = fn(
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),
@@ -489,37 +565,7 @@ def process_spectra_multi(
                 )
             )
 
-    # evidence: mean over VALID pairs (NaN pairs carry no mass);
-    # reduction in float64 regardless of the storage dtype
-    with np.errstate(invalid="ignore"):
-        max2 = np.nanmax(out2, axis=1).astype(np.float64)
-        ll2 = max2 + np.log(
-            np.nanmean(
-                np.exp(out2 - max2[:, None], dtype=np.float64), axis=1
-            )
-        )
-
-    log_p0, log_p1, log_p2 = multi_dla_rate_priors(
-        spectra.z_qso, prior_z_qsos, prior_num_dlas, params
-    )
-    posts = np.stack(
-        [
-            log_p0 + single.log_likelihoods_no_dla,
-            log_p1 + single.log_likelihoods_dla,
-            log_p2 + ll2,
-        ],
-        axis=1,
-    )
-    pmax = np.max(posts, axis=1, keepdims=True)
-    model_posteriors = np.exp(posts - pmax)
-    model_posteriors /= model_posteriors.sum(axis=1, keepdims=True)
-
-    return MultiDLAResults(
-        single=single,
-        sample_log_likelihoods_dla2=out2,
-        base_sample_inds=base,
-        log_likelihoods_dla2=ll2,
-        log_priors_one_dla=log_p1,
-        log_priors_two_dla=log_p2,
-        model_posteriors=model_posteriors,
+    return finalize_multi(
+        single, out2, base, spectra.z_qso, prior_z_qsos, prior_num_dlas,
+        params,
     )

@@ -9,8 +9,10 @@ from .mesh import (
     replicated,
 )
 from .sharded_inference import ShardedRunConfig, process_spectra_sharded
+from .sharded_multi import process_spectra_multi_sharded
 
 __all__ = [
+    "process_spectra_multi_sharded",
     "DATA_AXIS",
     "SAMPLE_AXIS",
     "make_mesh",

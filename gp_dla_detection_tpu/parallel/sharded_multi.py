@@ -1,0 +1,226 @@
+"""Multi-chip sharded {0, 1, 2}-DLA model selection.
+
+The sharded analogue of multi_dla.process_spectra_multi, mirroring
+sharded_inference.process_spectra_sharded: spectra across the mesh
+'data' axis, fixed-size super-batches jitted once, per-batch
+checkpoints with shape-validated manifests.  The single-DLA stage runs
+through process_spectra_sharded (checkpointed under <ckpt>/single),
+the pair stage under <ckpt>/pair; both resume independently.
+
+The fused two-DLA Pallas kernel (config.backend="pallas") is supported
+on the same terms as the single-DLA sharded driver: the kernel is a
+per-device program, so use data-axis-only meshes for it (XLA's SPMD
+partitioner does not split a custom call along 'sample').
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..inference import compute_sample_window, resolve_dtype
+from ..models.qso_model import GPModel
+from ..multi_dla import (
+    MultiDLAResults,
+    finalize_multi,
+    make_base_sample_inds,
+    make_batch_dla2_fn,
+)
+from ..params import Parameters, kms_to_z
+from .mesh import DATA_AXIS, data_sharding, make_mesh, replicated, sample_sharding
+from .sharded_inference import ShardedRunConfig, process_spectra_sharded
+
+__all__ = ["process_spectra_multi_sharded"]
+
+
+def process_spectra_multi_sharded(
+    model: GPModel,
+    offset_samples,
+    nhi_samples,
+    spectra,
+    prior_z_qsos,
+    prior_num_dlas,
+    params: Parameters | None = None,
+    mesh=None,
+    config: ShardedRunConfig | None = None,
+    progress: bool = False,
+    min_separation_kms: float = 3000.0,
+    base_seed: int = 0,
+    single=None,
+) -> MultiDLAResults:
+    """Sharded two-DLA model selection.
+
+    ``single``: precomputed InferenceResults to reuse; otherwise the
+    single-DLA stage runs sharded (checkpointed under
+    config.checkpoint_dir/single when set).
+    """
+    if params is None:
+        params = Parameters()
+    if config is None:
+        config = ShardedRunConfig()
+    if mesh is None:
+        mesh = make_mesh()
+    dtype = np.dtype(resolve_dtype(config.dtype, "process_spectra_multi_sharded"))
+    use_pallas = config.backend in ("pallas", "pallas_interpret")
+    if use_pallas and dtype != np.float32:
+        raise ValueError(
+            "backend='pallas' is float32-only; use backend='xla' for "
+            f"float64 parity mode (got dtype={dtype})"
+        )
+
+    offsets = np.asarray(offset_samples)
+    nhis = np.asarray(nhi_samples)
+    S = len(offsets)
+    n = len(spectra)
+    ckpt_root = Path(config.checkpoint_dir) if config.checkpoint_dir else None
+
+    if single is None:
+        import dataclasses
+
+        single = process_spectra_sharded(
+            model, offsets, nhis, spectra,
+            prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
+            params=params, mesh=mesh,
+            config=dataclasses.replace(
+                config,
+                checkpoint_dir=str(ckpt_root / "single") if ckpt_root else None,
+            ),
+            progress=progress,
+        )
+    elif len(single.p_dlas) != n or single.sample_log_likelihoods_dla.shape[1] != S:
+        raise ValueError(
+            "precomputed single-DLA results do not match these spectra/"
+            f"samples: {single.sample_log_likelihoods_dla.shape} vs ({n}, {S})"
+        )
+
+    base = make_base_sample_inds(single.sample_log_likelihoods_dla, seed=base_seed)
+    min_sep_z = kms_to_z(min_separation_kms)
+
+    window = None
+    order = unsort = None
+    if use_pallas:
+        from ..ops.evidence_pallas import SAMPLE_TILE
+
+        order = np.argsort(offsets)
+        unsort = np.argsort(order)
+        window = compute_sample_window(
+            offsets, SAMPLE_TILE,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+        )
+    fn = make_batch_dla2_fn(
+        model, params, S, config.sample_chunk, min_sep_z,
+        config.backend, window,
+    )
+
+    n_data = mesh.shape[DATA_AXIS]
+    super_batch = config.per_device_batch * n_data
+    repl = replicated(mesh)
+    data_spec = data_sharding(mesh)
+    data_spec2 = data_sharding(mesh, 1)
+    # the fresh sample axis rides the 'sample' mesh axis only on the
+    # XLA path (the pallas kernel is a per-device program)
+    samp = replicated(mesh) if use_pallas else sample_sharding(mesh)
+
+    off_host = offsets[order] if use_pallas else offsets
+    nh_host = nhis[order] if use_pallas else nhis
+    off_base = offsets[base]
+    nh_base = nhis[base]
+    if use_pallas:
+        off_base = off_base[:, order]
+        nh_base = nh_base[:, order]
+
+    model_args = (
+        jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
+        jax.device_put(np.asarray(model.mu, dtype), repl),
+        jax.device_put(np.asarray(model.M, dtype), repl),
+        jax.device_put(np.asarray(model.log_omega, dtype), repl),
+    )
+    off_j = jax.device_put(np.asarray(off_host, dtype), samp)
+    nh_j = jax.device_put(np.asarray(nh_host, dtype), samp)
+
+    ckpt_dir = ckpt_root / "pair" if ckpt_root else None
+    manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    done: set = set()
+    if manifest_path and manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if (
+            manifest.get("num_spectra") == n
+            and manifest.get("super_batch") == super_batch
+            and manifest.get("num_samples") == S
+            and manifest.get("base_seed") == base_seed
+        ):
+            done = set(manifest["completed_batches"])
+        else:
+            import warnings
+
+            warnings.warn(
+                f"ignoring incompatible two-DLA checkpoints in {ckpt_dir} "
+                "(run shape changed)",
+                stacklevel=2,
+            )
+    if ckpt_dir:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    from ..utils import ProgressMeter
+
+    out2 = np.empty((n, S), dtype)
+    meter = ProgressMeter(n, unit="spectra") if progress else None
+    for bi, start in enumerate(range(0, n, super_batch)):
+        stop = min(start + super_batch, n)
+        ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
+        if bi in done and ckpt_file and ckpt_file.exists():
+            with np.load(ckpt_file) as f:
+                out2[start:stop] = f["sample_log_likelihoods_dla2"]
+            if meter is not None:
+                meter.update(stop - start)
+            continue
+
+        batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
+        pad_rows = super_batch - (stop - start)
+        ob = np.concatenate(
+            [off_base[start:stop]]
+            + ([off_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
+        )
+        nb = np.concatenate(
+            [nh_base[start:stop]]
+            + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
+        )
+        lls = fn(
+            jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.mask), data_spec2),
+            jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
+            *model_args,
+            off_j, nh_j,
+            jax.device_put(np.asarray(ob, dtype), data_spec2),
+            jax.device_put(np.asarray(nb, dtype), data_spec2),
+        )
+        rows = np.asarray(lls)[: stop - start]
+        out2[start:stop] = rows[:, unsort] if use_pallas else rows
+        if ckpt_file:
+            np.savez_compressed(
+                ckpt_file, sample_log_likelihoods_dla2=out2[start:stop]
+            )
+            done.add(bi)
+            manifest_path.write_text(
+                json.dumps(
+                    {
+                        "num_spectra": n,
+                        "super_batch": super_batch,
+                        "num_samples": S,
+                        "base_seed": base_seed,
+                        "completed_batches": sorted(done),
+                    }
+                )
+            )
+        if meter is not None:
+            meter.update(stop - start)
+
+    return finalize_multi(
+        single, out2, base, spectra.z_qso, prior_z_qsos, prior_num_dlas,
+        params,
+    )

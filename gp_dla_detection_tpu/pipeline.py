@@ -246,11 +246,7 @@ class Pipeline:
     ):
         """{no DLA, 1, 2}-DLA model selection, reusing the single-DLA
         stage's evidences (multi_dla.process_spectra_multi)."""
-        from .multi_dla import (
-            MultiDLAResults,
-            prior_dla_multiplicity,
-            process_spectra_multi,
-        )
+        from .multi_dla import MultiDLAResults, prior_dla_multiplicity
 
         if self.multi_results_path.exists() and not force:
             return MultiDLAResults.load(self.multi_results_path)
@@ -276,7 +272,9 @@ class Pipeline:
             pixel_pad=self.params.pixel_pad,
             pixel_spacing=self.params.instrument.pixel_spacing,
         )
-        multi = process_spectra_multi(
+        from .parallel import ShardedRunConfig, process_spectra_multi_sharded
+
+        multi = process_spectra_multi_sharded(
             model,
             samples.offset_samples,
             samples.nhi_samples,
@@ -284,11 +282,14 @@ class Pipeline:
             catalog.z_qsos[prior_idx],
             prior_num,
             params=self.params,
-            batch_size=self.config.per_device_batch,
-            sample_chunk=self.config.sample_chunk,
-            dtype=np.dtype(self.config.dtype).type,
+            mesh=self.mesh,
+            config=ShardedRunConfig(
+                per_device_batch=self.config.per_device_batch,
+                sample_chunk=self.config.sample_chunk,
+                dtype=self.config.dtype,
+                checkpoint_dir=str(self.workdir / "multi_ckpt"),
+            ),
             single=results,
-            checkpoint_dir=self.workdir / "multi_ckpt",
         )
         multi.save(self.multi_results_path)
         if self.config.export_matlab:

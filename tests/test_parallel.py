@@ -127,6 +127,53 @@ def test_checkpoint_resume(problem, tmp_path):
     )
 
 
+def test_sharded_multi_dla_matches_single_device(problem, tmp_path):
+    """Sharded two-DLA model selection == single-device, with working
+    pair-stage checkpoints."""
+    from gp_dla_detection_tpu.multi_dla import process_spectra_multi
+    from gp_dla_detection_tpu.parallel import process_spectra_multi_sharded
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    rng = np.random.default_rng(11)
+    prior_num = prior_f.astype(int) + (rng.uniform(size=200) < 0.05)
+
+    single = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float64,
+    )
+    cfg = ShardedRunConfig(
+        per_device_batch=1, sample_chunk=32, dtype="float64",
+        checkpoint_dir=str(tmp_path / "mck"),
+    )
+    sharded = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=make_mesh(), config=cfg,
+    )
+    np.testing.assert_array_equal(
+        sharded.base_sample_inds, single.base_sample_inds
+    )
+    np.testing.assert_allclose(
+        sharded.sample_log_likelihoods_dla2,
+        single.sample_log_likelihoods_dla2,
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        sharded.model_posteriors, single.model_posteriors,
+        rtol=1e-9, atol=1e-12,
+    )
+    # both stages checkpointed; resume is bit-identical
+    assert (tmp_path / "mck" / "single" / "manifest.json").exists()
+    assert (tmp_path / "mck" / "pair" / "manifest.json").exists()
+    resumed = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=make_mesh(), config=cfg,
+    )
+    np.testing.assert_array_equal(
+        resumed.sample_log_likelihoods_dla2,
+        sharded.sample_log_likelihoods_dla2,
+    )
+
+
 def test_data_parallel_training(problem):
     """Sharded training objective equals single-device (same L-BFGS path)."""
     rng = np.random.default_rng(5)
