@@ -99,16 +99,18 @@ def process_spectra_sharded(
     repl = replicated(mesh)
     sample_spec = sample_sharding(mesh)
 
+    sample_put = (
+        repl
+        if config.backend in ("pallas", "pallas_interpret") and mesh.size > 1
+        else sample_spec
+    )
     model_args = (
         jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
         jax.device_put(np.asarray(model.mu, dtype), repl),
         jax.device_put(np.asarray(model.M, dtype), repl),
         jax.device_put(np.asarray(model.log_omega, dtype), repl),
-        model.log_c_0,
-        model.log_tau_0,
-        model.log_beta,
-        jax.device_put(np.asarray(offset_samples, dtype), sample_spec),
-        jax.device_put(np.asarray(nhi_samples, dtype), sample_spec),
+        jax.device_put(np.asarray(offset_samples, dtype), sample_put),
+        jax.device_put(np.asarray(nhi_samples, dtype), sample_put),
     )
 
     ckpt_dir = Path(config.checkpoint_dir) if config.checkpoint_dir else None
@@ -158,6 +160,45 @@ def process_spectra_sharded(
         if use_window
         else None
     )
+    # On multi-device meshes the Pallas evidence kernel must run as a
+    # per-shard program: XLA's SPMD partitioner does not split a TPU
+    # custom call, so wrap the batch in shard_map over the data axis
+    # (samples replicated — use data-only meshes with this backend).
+    use_pallas = config.backend in ("pallas", "pallas_interpret")
+    if use_pallas and mesh.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+
+        def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
+            return batch_log_likelihoods(
+                w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
+                model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
+                params=params, sample_chunk=config.sample_chunk,
+                sample_window=sample_window, backend=config.backend,
+            )
+
+        call_batch = shard_map(
+            call_batch, mesh=mesh,
+            in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r),
+            out_specs={
+                "log_likelihood_no_dla": d1,
+                "sample_log_likelihoods_dla": d2,
+                "min_z_dla": d1,
+                "max_z_dla": d1,
+            },
+            check_rep=False,
+        )
+    else:
+        def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
+            return batch_log_likelihoods(
+                w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
+                model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
+                params=params, sample_chunk=config.sample_chunk,
+                sample_window=sample_window, backend=config.backend,
+            )
+
     meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
     for bi, start in enumerate(batch_starts):
@@ -172,17 +213,13 @@ def process_spectra_sharded(
             continue
 
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
-        out = batch_log_likelihoods(
+        out = call_batch(
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
             jax.device_put(np.asarray(batch.mask), data_spec2),
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
-            params=params,
-            sample_chunk=config.sample_chunk,
-            sample_window=sample_window,
-            backend=config.backend,
         )
         keep = stop - start
         null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]

@@ -7,10 +7,10 @@ checkpoints with shape-validated manifests.  The single-DLA stage runs
 through process_spectra_sharded (checkpointed under <ckpt>/single),
 the pair stage under <ckpt>/pair; both resume independently.
 
-The fused two-DLA Pallas kernel (config.backend="pallas") is supported
-on the same terms as the single-DLA sharded driver: the kernel is a
-per-device program, so use data-axis-only meshes for it (XLA's SPMD
-partitioner does not split a custom call along 'sample').
+The fused two-DLA Pallas kernel (config.backend="pallas") runs as a
+per-shard program via shard_map on multi-device meshes (XLA's SPMD
+partitioner does not split a TPU custom call); QMC samples are
+replicated on every shard, so use data-axis-only meshes with it.
 """
 
 from __future__ import annotations
@@ -114,6 +114,19 @@ def process_spectra_multi_sharded(
         model, params, S, config.sample_chunk, min_sep_z,
         config.backend, window,
     )
+    if use_pallas and mesh.size > 1:
+        # per-shard Pallas program (see sharded_inference): shard_map
+        # over the data axis, samples replicated on every shard
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+        fn = shard_map(
+            fn, mesh=mesh,
+            in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
+            out_specs=d2,
+            check_rep=False,
+        )
 
     n_data = mesh.shape[DATA_AXIS]
     super_batch = config.per_device_batch * n_data

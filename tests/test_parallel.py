@@ -101,6 +101,58 @@ def test_sample_axis_sharding(problem):
     )
 
 
+def test_sharded_pallas_matches_single_device(problem):
+    """The Pallas backend on a multi-device mesh (per-shard program via
+    shard_map, interpret mode on CPU) must match the single-device
+    engine; same for the two-DLA driver."""
+    from gp_dla_detection_tpu.multi_dla import process_spectra_multi
+    from gp_dla_detection_tpu.parallel import process_spectra_multi_sharded
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    single = process_spectra(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float32,
+        backend="pallas_interpret",
+    )
+    sharded = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=make_mesh(),
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float32",
+            backend="pallas_interpret",
+        ),
+    )
+    np.testing.assert_allclose(
+        sharded.sample_log_likelihoods_dla,
+        single.sample_log_likelihoods_dla,
+        rtol=2e-4,
+    )
+
+    prior_num = prior_f.astype(int)
+    m_single = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float32,
+        backend="pallas_interpret",
+    )
+    m_sharded = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=make_mesh(),
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float32",
+            backend="pallas_interpret",
+        ),
+    )
+    assert np.array_equal(
+        np.isnan(m_sharded.sample_log_likelihoods_dla2),
+        np.isnan(m_single.sample_log_likelihoods_dla2),
+    )
+    rel = np.abs(
+        m_sharded.sample_log_likelihoods_dla2
+        - m_single.sample_log_likelihoods_dla2
+    ) / np.maximum(np.abs(m_single.sample_log_likelihoods_dla2), 1.0)
+    assert np.nanmax(rel) < 2e-4
+
+
 def test_checkpoint_resume(problem, tmp_path):
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     mesh = make_mesh()
