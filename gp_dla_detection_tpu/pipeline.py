@@ -42,6 +42,9 @@ class PipelineConfig:
     per_device_batch: int = 8
     sample_chunk: int = 2500
     dtype: str = "float32"
+    # evidence backend for the process/multi stages: "xla" (any dtype)
+    # or "pallas" (fused TPU kernel, float32, fastest verified)
+    backend: str = "xla"
     # also write .mat v7.3 copies of the stage artifacts so the
     # reference's own CDDF_analysis code can read them (io/matio.py)
     export_matlab: bool = False
@@ -216,6 +219,7 @@ class Pipeline:
                 per_device_batch=self.config.per_device_batch,
                 sample_chunk=self.config.sample_chunk,
                 dtype=self.config.dtype,
+                backend=self.config.backend,
                 checkpoint_dir=str(self.workdir / "inference_ckpt"),
             ),
         )
@@ -287,6 +291,7 @@ class Pipeline:
                 per_device_batch=self.config.per_device_batch,
                 sample_chunk=self.config.sample_chunk,
                 dtype=self.config.dtype,
+                backend=self.config.backend,
                 checkpoint_dir=str(self.workdir / "multi_ckpt"),
             ),
             single=results,
@@ -387,12 +392,19 @@ def main() -> None:
         "--multi-dla", action="store_true",
         help="also run {0,1,2}-DLA model selection in --stage all",
     )
+    p.add_argument(
+        "--backend", default="xla", choices=["xla", "pallas"],
+        help="evidence backend (pallas = fused TPU kernel, float32)",
+    )
     args = p.parse_args()
 
     params = Parameters(base_directory=args.base_directory)
     pipe = Pipeline(
         params,
-        PipelineConfig(workdir=args.workdir, multi_dla=args.multi_dla),
+        PipelineConfig(
+            workdir=args.workdir, multi_dla=args.multi_dla,
+            backend=args.backend,
+        ),
     )
     if args.stage == "all":
         print(json.dumps(pipe.run_all(), indent=2))
