@@ -52,6 +52,16 @@ class PipelineConfig:
     # single-DLA pass (multi_dla.py; later-pipeline output format)
     multi_dla: bool = False
 
+    def __post_init__(self):
+        # fail at config time, not hours into the run
+        if self.backend not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend != "xla" and np.dtype(self.dtype) != np.float32:
+            raise ValueError(
+                "backend='pallas' is float32-only; use dtype='float32' "
+                "or backend='xla' for float64 parity mode"
+            )
+
 
 class Pipeline:
     """End-to-end driver.  All artifacts live under config.workdir."""
