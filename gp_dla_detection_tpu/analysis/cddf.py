@@ -134,12 +134,33 @@ class DLACatalogue:
     # ------------------------------------------------------------------
     @classmethod
     def from_run(
-        cls, workdir: str | Path, test_set_name: str = "dr12q", **kwargs
+        cls,
+        workdir: str | Path,
+        test_set_name: str = "dr12q",
+        multi: bool = False,
+        **kwargs,
     ) -> "DLACatalogue":
-        """Load from pipeline.py stage artifacts."""
+        """Load from pipeline.py stage artifacts.
+
+        ``multi=True`` loads the {0,1,2}-DLA stage artifact
+        (processed_qsos_multi_<set>.npz) and enables the second-DLA
+        statistics path.
+        """
         workdir = Path(workdir)
-        with np.load(workdir / f"processed_qsos_{test_set_name}.npz") as f:
+        fname = (
+            f"processed_qsos_multi_{test_set_name}.npz"
+            if multi
+            else f"processed_qsos_{test_set_name}.npz"
+        )
+        with np.load(workdir / fname) as f:
             results = {k: f[k] for k in f.files}
+        if multi:
+            kwargs.setdefault(
+                "sample_log_likelihoods_2",
+                results["sample_log_likelihoods_dla2"],
+            )
+            kwargs.setdefault("base_sample_inds", results["base_sample_inds"])
+            kwargs.setdefault("p_dla_2", results["multi_model_posteriors"][:, 2])
         with np.load(workdir / "dla_samples.npz") as f:
             offsets = f["offset_samples"]
             lnhi = f["log_nhi_samples"]

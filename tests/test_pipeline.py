@@ -49,6 +49,13 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
     ok = np.isfinite(mp).all(axis=1)
     np.testing.assert_allclose(mp[ok].sum(axis=1), 1.0, rtol=1e-12)
 
+    # the analysis layer loads the multi artifact directly
+    from gp_dla_detection_tpu.analysis import DLACatalogue
+
+    cat = DLACatalogue.from_run(pipe.workdir, multi=True)
+    assert cat.second_dla
+    assert cat.p_dla_2.shape == (8,)
+
     # stage artifacts all exist
     for p in (
         pipe.catalog_path,
