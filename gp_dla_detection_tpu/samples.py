@@ -89,6 +89,12 @@ def matlab_ksdensity(data: np.ndarray, points: np.ndarray) -> np.ndarray:
     if sig <= 0:
         sig = np.std(data, ddof=1)
     bw = sig * (4.0 / (3.0 * n)) ** 0.2
+    if not np.isfinite(bw) or bw <= 0:
+        raise ValueError(
+            f"degenerate KDE bandwidth (bw={bw!r}) — the {n} data "
+            "point(s) have zero spread; the KDE mixture component needs "
+            "at least two distinct observed values"
+        )
     z = (points[:, None] - data[None, :]) / bw
     return np.exp(-0.5 * z**2).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
 
@@ -198,6 +204,15 @@ def generate_dla_samples(
     if params is None:
         params = Parameters()
     cfg = params.dla_sampling
+
+    observed_log_nhis = np.atleast_1d(np.asarray(observed_log_nhis, float))
+    if observed_log_nhis.size == 0:
+        raise ValueError(
+            "generate_dla_samples needs at least one observed log N_HI "
+            "for the KDE mixture component — the DLA catalog used for "
+            "the prior is empty (check dla_catalog_name / catalog "
+            "cross-match)"
+        )
 
     sequence = halton_rr2(cfg.num_dla_samples, dims=2)
     offset_samples = sequence[:, 0]
