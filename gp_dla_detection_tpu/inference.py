@@ -134,9 +134,19 @@ def dla_rate_priors(z_qsos, prior_z_qsos, prior_dla_flags, params: Parameters):
 
     counts = np.searchsorted(z_sorted, np.asarray(z_qsos) + params.prior_z_qso_increase, side="left")
     num_dlas = cum_dlas[counts]
+    # Degenerate edge: counts == 0 (no prior quasar below the z cut).
+    # The reference computes log(0) - log(0) = NaN here and lets it
+    # propagate into the posteriors (process_qsos.m:122-132); we define
+    # the documented limit instead: zero observed occurrences -> zero
+    # prior weight on the DLA model (log p_dla = -inf, p_no_dla = 1).
+    # num_dlas == 0 with counts > 0 already falls out naturally as
+    # log p_dla = -inf, log p_no_dla = 0.
+    safe_counts = np.maximum(counts, 1)
     with np.errstate(divide="ignore"):
-        log_p_dla = np.log(num_dlas) - np.log(counts)
-        log_p_no_dla = np.log(counts - num_dlas) - np.log(counts)
+        log_p_dla = np.log(num_dlas) - np.log(safe_counts)
+        log_p_no_dla = np.log(counts - num_dlas) - np.log(safe_counts)
+    log_p_dla = np.where(counts > 0, log_p_dla, -np.inf)
+    log_p_no_dla = np.where(counts > 0, log_p_no_dla, 0.0)
     return log_p_dla, log_p_no_dla
 
 

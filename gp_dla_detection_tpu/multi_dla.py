@@ -133,10 +133,17 @@ def multi_dla_rate_priors(
     )
     n1 = ge1[counts]
     n2 = ge2[counts]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        log_p_two = np.log(n2) - np.log(counts)
-        log_p_one = np.log(n1 - n2) - np.log(counts)
-        log_p_none = np.log(counts - n1) - np.log(counts)
+    # counts == 0 edge: documented limit (zero observed occurrences ->
+    # zero prior weight on the DLA models), matching dla_rate_priors
+    # rather than the reference's NaN (process_qsos.m:122-132).
+    safe_counts = np.maximum(counts, 1)
+    with np.errstate(divide="ignore"):
+        log_p_two = np.log(n2) - np.log(safe_counts)
+        log_p_one = np.log(n1 - n2) - np.log(safe_counts)
+        log_p_none = np.log(counts - n1) - np.log(safe_counts)
+    log_p_two = np.where(counts > 0, log_p_two, -np.inf)
+    log_p_one = np.where(counts > 0, log_p_one, -np.inf)
+    log_p_none = np.where(counts > 0, log_p_none, 0.0)
     return log_p_none, log_p_one, log_p_two
 
 

@@ -181,6 +181,40 @@ def test_dla_rate_priors_counting():
     assert np.isclose(lp_no[0], np.log(1) - np.log(3))
 
 
+def test_dla_rate_priors_degenerate_edges():
+    """counts == 0 and num_dlas == 0 edges: documented limits, no NaN,
+    no RuntimeWarnings (the reference NaNs here, process_qsos.m:122-132)."""
+    import warnings
+
+    params = Parameters()
+    prior_z = np.array([3.0, 3.1, 3.2])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # test z below every prior quasar -> counts == 0
+        lp_dla, lp_no = dla_rate_priors(
+            np.array([2.0]), prior_z, np.array([True, False, True]), params
+        )
+        assert lp_dla[0] == -np.inf and lp_no[0] == 0.0
+        # counts > 0 but zero DLAs among them
+        lp_dla, lp_no = dla_rate_priors(
+            np.array([3.5]), prior_z, np.array([False, False, False]), params
+        )
+        assert lp_dla[0] == -np.inf and np.isclose(lp_no[0], 0.0)
+        # all prior quasars host DLAs
+        lp_dla, lp_no = dla_rate_priors(
+            np.array([3.5]), prior_z, np.array([True, True, True]), params
+        )
+        assert np.isclose(lp_dla[0], 0.0) and lp_no[0] == -np.inf
+    # degenerate prior still yields finite, normalized posteriors
+    from gp_dla_detection_tpu.inference import finalize_posteriors
+
+    post = finalize_posteriors(
+        np.array([0.0]), np.array([-np.inf]), np.array([-10.0]),
+        np.array([[-9.0, -11.0]]),
+    )
+    assert np.allclose(post["model_posteriors"], [[1.0, 0.0]])
+
+
 def test_correct_prior_dla_flags():
     # DLA with Lyα below the QSO Lyman limit must be dropped
     z_qsos = np.array([4.0, 4.0])

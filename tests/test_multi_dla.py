@@ -43,6 +43,19 @@ def test_multi_dla_rate_priors():
     assert np.isclose(lp0[0], np.log(1 / 4))
 
 
+def test_multi_dla_rate_priors_degenerate():
+    """counts == 0 -> documented limit (p_none=1), warning-free."""
+    import warnings
+
+    params = Parameters()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lp0, lp1, lp2 = multi_dla_rate_priors(
+            np.array([2.0]), np.array([3.0, 3.2]), np.array([1, 2]), params
+        )
+    assert lp0[0] == 0.0 and lp1[0] == -np.inf and lp2[0] == -np.inf
+
+
 @pytest.fixture(scope="module")
 def multi_problem():
     rng = np.random.default_rng(3)
