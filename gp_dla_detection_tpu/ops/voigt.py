@@ -158,6 +158,12 @@ def voigt_absorption_windowed(
     Caller contract: z_dla_sorted ascending, and ``window`` at least the
     chunk's center spread in pixels plus 2*WINDOW_MARGIN (see
     inference.compute_sample_window).  float32 fast mode only.
+
+    ``num_lines`` is unrestricted (the reference defaults to all 31,
+    voigt.c:266): each line gets its OWN dynamic window around its own
+    redshifted center, and a chunk's center spread in pixels is the same
+    for every line (log10((1+z_max)/(1+z_min))/dex, independent of the
+    transition wavelength), so one window size covers the full series.
     """
     if instrument is None:
         instrument = InstrumentParams()

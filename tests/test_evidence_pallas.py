@@ -96,6 +96,47 @@ def test_pallas_nondivisible_sample_count():
     assert np.max(np.abs(a - b) / scale) < 5e-5
 
 
+def test_pallas_full_lyman_series_matches_xla():
+    # the reference kernel defaults to all 31 lines (voigt.c:266); the
+    # fused kernel's per-line windows must track every line center
+    import dataclasses
+
+    from gp_dla_detection_tpu.inference import compute_sample_window
+
+    params, model, spectra, offsets, nhis = make_problem(S=160)
+    params = dataclasses.replace(params, num_lines=31)
+    prob = (params, model, spectra, offsets, nhis)
+    out_xla = run("xla", *prob)
+    a = np.asarray(out_xla["sample_log_likelihoods_dla"], np.float64)
+
+    for window in (None, compute_sample_window(
+        offsets, 128, spectra.wavelengths.shape[1] + 6
+    )):
+        args = (
+            jnp.asarray(spectra.wavelengths, np.float32),
+            jnp.asarray(spectra.flux, np.float32),
+            jnp.asarray(spectra.noise_variance, np.float32),
+            jnp.asarray(spectra.mask),
+            jnp.asarray(spectra.z_qso, np.float32),
+            jnp.asarray(model.rest_wavelengths, np.float32),
+            jnp.asarray(model.mu, np.float32),
+            jnp.asarray(model.M, np.float32),
+            jnp.asarray(model.log_omega, np.float32),
+            model.log_c_0,
+            model.log_tau_0,
+            model.log_beta,
+            jnp.asarray(offsets, np.float32),
+            jnp.asarray(nhis, np.float32),
+        )
+        out_pl = batch_log_likelihoods(
+            *args, params=params, sample_chunk=32,
+            backend="pallas_interpret", sample_window=window,
+        )
+        b = np.asarray(out_pl["sample_log_likelihoods_dla"], np.float64)
+        scale = np.maximum(np.abs(a), 1.0)
+        assert np.max(np.abs(a - b) / scale) < 5e-5, f"window={window}"
+
+
 def test_pallas_windowed_matches_xla():
     from gp_dla_detection_tpu.inference import compute_sample_window
 

@@ -96,6 +96,47 @@ def test_num_lines_adds_higher_series():
     assert (p1 - p3).max() > 1e-3
 
 
+def test_full_series_31_lines_matches_oracle():
+    """The reference kernel defaults to ALL 31 Lyman lines
+    (voigt.c:266); prove parity at the full series, with the grid
+    reaching down to the Lyman limit where the high series crowds."""
+    lam = 10 ** (np.log10(911.75 * 4.0 * 0.98) + 1e-4 * np.arange(3000))
+    rng = np.random.default_rng(1)
+    z_dlas = rng.uniform(2.8, 2.95, 4)
+    nhis = 10 ** rng.uniform(20.0, 22.0, 4)
+    ours = np.asarray(
+        voigt_absorption(lam, z_dlas, nhis, num_lines=31, fast=False)
+    )
+    for s in range(4):
+        exact = oracle_voigt(lam, z_dlas[s], nhis[s], num_lines=31)
+        np.testing.assert_allclose(ours[s], exact, rtol=2e-7, atol=1e-10)
+
+
+def test_windowed_matches_full_at_31_lines():
+    """Each line gets its own dynamic window (the chunk's pixel spread is
+    line-independent in log-wavelength), so the windowed fast path is
+    exact for any num_lines.  Any pixel escaping its window would take
+    the wing series inside the Doppler core and show up here."""
+    from gp_dla_detection_tpu.ops.voigt import (
+        WINDOW_MARGIN,
+        voigt_absorption_windowed,
+    )
+
+    lam = (10 ** (np.log10(911.75 * 4.0 * 0.98) + 1e-4 * np.arange(3000))).astype(
+        np.float32
+    )
+    rng = np.random.default_rng(2)
+    z = np.sort(rng.uniform(2.80, 2.93, 64)).astype(np.float32)
+    nhi = (10 ** rng.uniform(20, 22, 64)).astype(np.float32)
+    spread_px = np.log10((1 + z.max()) / (1 + z.min())) / 1e-4
+    window = -(-(int(np.ceil(spread_px)) + 2 * WINDOW_MARGIN) // 8) * 8
+    full = np.asarray(voigt_absorption(lam, z, nhi, num_lines=31))
+    win = np.asarray(
+        voigt_absorption_windowed(lam, z, nhi, num_lines=31, window=window)
+    )
+    np.testing.assert_allclose(win, full, rtol=1e-5, atol=1e-6)
+
+
 def test_broadening_conserves_unit_continuum():
     raw = np.ones((3, 50))
     out = np.asarray(instrumental_broadening(raw, InstrumentParams()))
