@@ -187,6 +187,56 @@ def compute_sample_window(offset_samples, sample_chunk: int, num_pixels: int):
     return window if window < num_pixels else None
 
 
+# Empirical per-kernel VMEM ceiling on v5e (f32, k=20): the fused
+# evidence kernel scoped-OOMs once the dominant (P6, tile) live set
+# exceeds roughly 3200 px x 256 samples; a pair (two-DLA) kernel keeps
+# two absorbers' intermediates live, halving the budget.  Tiles larger
+# than 256 hit other limits even at small P (CLAUDE.md), so plans never
+# exceed the default SAMPLE_TILE.
+_PALLAS_VMEM_ELEMENTS = 3200 * 256
+_PALLAS_MIN_TILE = 128  # Mosaic lane width: smaller tiles pad back up
+
+
+def pallas_tile_plan(
+    num_pixels_ext: int, tile: int | None = None, two_dla: bool = False
+) -> int | None:
+    """Largest sample tile expected to fit VMEM for this spectrum length,
+    or None when even the minimum tile would blow the measured ceiling
+    (callers should use the XLA backend instead)."""
+    from .ops.evidence_pallas import SAMPLE_TILE
+
+    budget = _PALLAS_VMEM_ELEMENTS // (2 if two_dla else 1)
+    t = min(tile or SAMPLE_TILE, SAMPLE_TILE)
+    while t > _PALLAS_MIN_TILE and num_pixels_ext * t > budget:
+        t //= 2
+    return t if num_pixels_ext * t <= budget else None
+
+
+def pallas_config_ladder(
+    backend: str,
+    num_pixels_ext: int,
+    tile: int | None = None,
+    two_dla: bool = False,
+) -> list[tuple[str, int | None]]:
+    """(backend, tile) configs from fastest to safest.
+
+    For a pallas backend: the planned tile, then progressively halved
+    tiles down to one lane group, then the XLA fallback.  Drivers walk
+    this ladder when a kernel fails to fit (scoped VMEM OOM) or to lower
+    on the current device, instead of hard-failing on a config the API
+    accepts.
+    """
+    if backend not in ("pallas", "pallas_interpret"):
+        return [(backend, None)]
+    ladder: list[tuple[str, int | None]] = []
+    t = pallas_tile_plan(num_pixels_ext, tile, two_dla)
+    while t is not None and t >= _PALLAS_MIN_TILE:
+        ladder.append((backend, t))
+        t = t // 2 if t > _PALLAS_MIN_TILE else None
+    ladder.append(("xla", None))
+    return ladder
+
+
 def _prepare_spectrum(
     wavelengths,
     flux,
@@ -364,7 +414,7 @@ def spectrum_log_likelihoods(
 
 @partial(
     jax.jit,
-    static_argnames=("params", "sample_chunk", "backend", "sample_window"),
+    static_argnames=("params", "sample_chunk", "backend", "sample_window", "tile"),
 )
 def batch_log_likelihoods(
     wavelengths,
@@ -386,6 +436,7 @@ def batch_log_likelihoods(
     sample_chunk: int = 1000,
     backend: str = "xla",
     sample_window: int | None = None,
+    tile: int | None = None,
 ):
     """vmapped batch version of :func:`spectrum_log_likelihoods`.
 
@@ -470,6 +521,7 @@ def batch_log_likelihoods(
         instrument=params.instrument,
         interpret=(backend == "pallas_interpret"),
         window=sample_window,
+        **({"tile": tile} if tile is not None else {}),
     )
     if sample_window is not None:
         sample_lls = sample_lls[:, unsort]
@@ -625,21 +677,63 @@ def process_spectra(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
 
+    # Degradation ladder: a pallas request that cannot fit VMEM (long
+    # spectra) or lower on this device retries with halved sample tiles,
+    # then the XLA path, instead of hard-failing (the configs the API
+    # accepts must all complete).  The window is sized for SAMPLE_TILE
+    # chunks, so it stays valid for any smaller tile; the XLA fallback
+    # drops it (its chunks are sample_chunk-sized).
+    if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
+        configs = pallas_config_ladder(
+            backend, spectra.wavelengths.shape[1] + 2 * params.instrument.width
+        )
+    else:
+        configs = [(backend, None)]
+    config_idx = 0
+    if configs[0][0] != backend:
+        import warnings
+
+        warnings.warn(
+            f"spectrum length exceeds the pallas VMEM ceiling even at the "
+            f"minimum tile; using backend={configs[0][0]!r}",
+            stacklevel=2,
+        )
+
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
-        out = batch_log_likelihoods(
-            jnp.asarray(batch.wavelengths, dtype),
-            jnp.asarray(batch.flux, dtype),
-            jnp.asarray(batch.noise_variance, dtype),
-            jnp.asarray(batch.mask),
-            jnp.asarray(batch.z_qso, dtype),
-            *model_args,
-            params=params,
-            sample_chunk=sample_chunk,
-            backend=backend,
-            sample_window=sample_window,
-        )
+        while True:
+            run_backend, tile = configs[config_idx]
+            try:
+                out = batch_log_likelihoods(
+                    jnp.asarray(batch.wavelengths, dtype),
+                    jnp.asarray(batch.flux, dtype),
+                    jnp.asarray(batch.noise_variance, dtype),
+                    jnp.asarray(batch.mask),
+                    jnp.asarray(batch.z_qso, dtype),
+                    *model_args,
+                    params=params,
+                    sample_chunk=sample_chunk,
+                    backend=run_backend,
+                    sample_window=sample_window if run_backend != "xla" else None,
+                    tile=tile,
+                )
+                # surface compile/VMEM failures here, not at the fetch
+                jax.block_until_ready(out["sample_log_likelihoods_dla"])
+                break
+            except Exception:
+                if config_idx + 1 >= len(configs):
+                    raise
+                import warnings
+
+                nxt = configs[config_idx + 1]
+                warnings.warn(
+                    f"evidence backend {run_backend!r} (tile={tile}) failed "
+                    f"to compile/fit; falling back to {nxt[0]!r} "
+                    f"(tile={nxt[1]})",
+                    stacklevel=2,
+                )
+                config_idx += 1
         keep = stop - start
         out_null[start:stop] = np.asarray(out["log_likelihood_no_dla"])[:keep]
         out_samples[start:stop] = np.asarray(out["sample_log_likelihoods_dla"])[:keep]

@@ -250,6 +250,7 @@ def make_batch_dla2_fn(
     min_sep_z: float,
     backend: str = "xla",
     window: int | None = None,
+    tile: int | None = None,
 ):
     """Build the jitted two-DLA batch evaluator shared by the
     single-host and sharded drivers.
@@ -299,6 +300,7 @@ def make_batch_dla2_fn(
                 window=window,
                 z_dlas2=z2_b, nhi2=nh_b,
                 interpret=(backend == "pallas_interpret"),
+                **({"tile": tile} if tile is not None else {}),
             )
             too_close = jnp.abs(
                 jnp.log1p(z_b) - jnp.log1p(z2_b)
@@ -486,8 +488,33 @@ def process_spectra_multi(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
 
+    # VMEM/lowering degradation ladder (inference.pallas_config_ladder;
+    # two_dla halves the budget: both absorbers' intermediates are live).
+    # A fallback keeps the pallas data layout (sorted fresh axis + unsort
+    # at the end) — the XLA pair evaluator is order-agnostic, so results
+    # are unchanged.
+    from .inference import pallas_config_ladder
+
+    if use_pallas:
+        configs = pallas_config_ladder(
+            backend,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            two_dla=True,
+        )
+    else:
+        configs = [(backend, None)]
+    if configs[0][0] != backend:
+        import warnings
+
+        warnings.warn(
+            f"spectrum length exceeds the pallas VMEM ceiling even at the "
+            f"minimum tile; using backend={configs[0][0]!r}",
+            stacklevel=2,
+        )
+    config_idx = 0
     fn = make_batch_dla2_fn(
-        model, params, S, sample_chunk, min_sep_z, backend, window
+        model, params, S, sample_chunk, min_sep_z, configs[0][0], window,
+        tile=configs[0][1],
     )
 
     # pair lls stored at the compute dtype: (N, S) is the dominant
@@ -543,7 +570,7 @@ def process_spectra_multi(
             [nh_base[start:stop]]
             + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
         )
-        lls = fn(
+        fn_args = (
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),
             jnp.asarray(batch.noise_variance, dtype),
@@ -553,6 +580,28 @@ def process_spectra_multi(
             off_j, nh_j,
             jnp.asarray(ob, dtype), jnp.asarray(nb, dtype),
         )
+        while True:
+            try:
+                lls = fn(*fn_args)
+                jax.block_until_ready(lls)
+                break
+            except Exception:
+                if config_idx + 1 >= len(configs):
+                    raise
+                import warnings
+
+                nxt = configs[config_idx + 1]
+                warnings.warn(
+                    f"two-DLA backend {configs[config_idx][0]!r} "
+                    f"(tile={configs[config_idx][1]}) failed to compile/"
+                    f"fit; falling back to {nxt[0]!r} (tile={nxt[1]})",
+                    stacklevel=2,
+                )
+                config_idx += 1
+                fn = make_batch_dla2_fn(
+                    model, params, S, sample_chunk, min_sep_z, nxt[0],
+                    window if nxt[0] != "xla" else None, tile=nxt[1],
+                )
         rows = np.asarray(lls)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:

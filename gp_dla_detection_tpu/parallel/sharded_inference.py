@@ -165,39 +165,60 @@ def process_spectra_sharded(
     # custom call, so wrap the batch in shard_map over the data axis
     # (samples replicated — use data-only meshes with this backend).
     use_pallas = config.backend in ("pallas", "pallas_interpret")
-    if use_pallas and mesh.size > 1:
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
 
-        d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+    def make_call(run_backend, tile):
+        window = sample_window if run_backend != "xla" else None
 
         def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
             return batch_log_likelihoods(
                 w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
                 model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
                 params=params, sample_chunk=config.sample_chunk,
-                sample_window=sample_window, backend=config.backend,
+                sample_window=window, backend=run_backend, tile=tile,
             )
 
-        call_batch = shard_map(
-            call_batch, mesh=mesh,
-            in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r),
-            out_specs={
-                "log_likelihood_no_dla": d1,
-                "sample_log_likelihoods_dla": d2,
-                "min_z_dla": d1,
-                "max_z_dla": d1,
-            },
-            check_rep=False,
+        if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
+            # XLA's SPMD partitioner does not split a TPU custom call, so
+            # the Pallas kernel runs as a per-shard program via shard_map
+            # over the data axis (samples replicated — use data-only
+            # meshes with this backend).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            call_batch = shard_map(
+                call_batch, mesh=mesh,
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r),
+                out_specs={
+                    "log_likelihood_no_dla": d1,
+                    "sample_log_likelihoods_dla": d2,
+                    "min_z_dla": d1,
+                    "max_z_dla": d1,
+                },
+                check_rep=False,
+            )
+        return call_batch
+
+    # VMEM/lowering degradation ladder (see inference.pallas_config_ladder)
+    from ..inference import pallas_config_ladder
+
+    if use_pallas and dtype == np.float32:
+        configs = pallas_config_ladder(
+            config.backend,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
     else:
-        def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
-            return batch_log_likelihoods(
-                w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
-                model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
-                params=params, sample_chunk=config.sample_chunk,
-                sample_window=sample_window, backend=config.backend,
-            )
+        configs = [(config.backend, None)]
+    if configs[0][0] != config.backend:
+        import warnings
+
+        warnings.warn(
+            f"spectrum length exceeds the pallas VMEM ceiling even at the "
+            f"minimum tile; using backend={configs[0][0]!r}",
+            stacklevel=2,
+        )
+    config_idx = 0
+    call_batch = make_call(*configs[0])
 
     meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
@@ -213,7 +234,7 @@ def process_spectra_sharded(
             continue
 
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
-        out = call_batch(
+        batch_args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
@@ -221,6 +242,25 @@ def process_spectra_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
         )
+        while True:
+            try:
+                out = call_batch(*batch_args)
+                jax.block_until_ready(out["sample_log_likelihoods_dla"])
+                break
+            except Exception:
+                if config_idx + 1 >= len(configs):
+                    raise
+                import warnings
+
+                nxt = configs[config_idx + 1]
+                warnings.warn(
+                    f"evidence backend {configs[config_idx][0]!r} "
+                    f"(tile={configs[config_idx][1]}) failed to compile/fit;"
+                    f" falling back to {nxt[0]!r} (tile={nxt[1]})",
+                    stacklevel=2,
+                )
+                config_idx += 1
+                call_batch = make_call(*configs[config_idx])
         keep = stop - start
         null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]
         sample_ll = np.asarray(out["sample_log_likelihoods_dla"])[:keep]

@@ -110,23 +110,49 @@ def process_spectra_multi_sharded(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
-    fn = make_batch_dla2_fn(
-        model, params, S, config.sample_chunk, min_sep_z,
-        config.backend, window,
-    )
-    if use_pallas and mesh.size > 1:
-        # per-shard Pallas program (see sharded_inference): shard_map
-        # over the data axis, samples replicated on every shard
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
-        fn = shard_map(
-            fn, mesh=mesh,
-            in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
-            out_specs=d2,
-            check_rep=False,
+    def make_fn(run_backend, tile):
+        fn = make_batch_dla2_fn(
+            model, params, S, config.sample_chunk, min_sep_z,
+            run_backend, window if run_backend != "xla" else None, tile=tile,
         )
+        if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
+            # per-shard Pallas program (see sharded_inference): shard_map
+            # over the data axis, samples replicated on every shard
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            fn = shard_map(
+                fn, mesh=mesh,
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
+                out_specs=d2,
+                check_rep=False,
+            )
+        return fn
+
+    # VMEM/lowering degradation ladder; a fallback keeps the pallas
+    # data layout (sorted fresh axis, unsort at the end) — the XLA pair
+    # evaluator is order-agnostic, so results are unchanged
+    from ..inference import pallas_config_ladder
+
+    if use_pallas:
+        configs = pallas_config_ladder(
+            config.backend,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            two_dla=True,
+        )
+    else:
+        configs = [(config.backend, None)]
+    if configs[0][0] != config.backend:
+        import warnings
+
+        warnings.warn(
+            f"spectrum length exceeds the pallas VMEM ceiling even at the "
+            f"minimum tile; using backend={configs[0][0]!r}",
+            stacklevel=2,
+        )
+    config_idx = 0
+    fn = make_fn(*configs[0])
 
     n_data = mesh.shape[DATA_AXIS]
     super_batch = config.per_device_batch * n_data
@@ -201,7 +227,7 @@ def process_spectra_multi_sharded(
             [nh_base[start:stop]]
             + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
         )
-        lls = fn(
+        fn_args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
@@ -212,6 +238,25 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(ob, dtype), data_spec2),
             jax.device_put(np.asarray(nb, dtype), data_spec2),
         )
+        while True:
+            try:
+                lls = fn(*fn_args)
+                jax.block_until_ready(lls)
+                break
+            except Exception:
+                if config_idx + 1 >= len(configs):
+                    raise
+                import warnings
+
+                nxt = configs[config_idx + 1]
+                warnings.warn(
+                    f"two-DLA backend {configs[config_idx][0]!r} "
+                    f"(tile={configs[config_idx][1]}) failed to compile/"
+                    f"fit; falling back to {nxt[0]!r} (tile={nxt[1]})",
+                    stacklevel=2,
+                )
+                config_idx += 1
+                fn = make_fn(*configs[config_idx])
         rows = np.asarray(lls)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:

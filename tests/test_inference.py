@@ -387,3 +387,76 @@ def test_search_range_policy_methods():
         LYMAN_LIMIT * (1 + z_qso) / LYA_WAVELENGTH - 1 + params.min_z_cut
     )
     assert np.isclose(params.min_z_dla(lam, z_qso), expected)
+
+
+def test_pallas_tile_plan_and_ladder():
+    """VMEM degradation plan: measured ceiling ~3200px x 256 samples
+    (halved for pairs), tiles halve down to one lane group, XLA last."""
+    from gp_dla_detection_tpu.inference import (
+        pallas_config_ladder,
+        pallas_tile_plan,
+    )
+
+    assert pallas_tile_plan(1286) == 256
+    assert pallas_tile_plan(3300) == 128
+    assert pallas_tile_plan(7000) is None
+    assert pallas_tile_plan(1286, two_dla=True) == 256
+    assert pallas_tile_plan(3300, two_dla=True) is None
+
+    assert pallas_config_ladder("xla", 1286) == [("xla", None)]
+    assert pallas_config_ladder("pallas", 1286) == [
+        ("pallas", 256), ("pallas", 128), ("xla", None),
+    ]
+    assert pallas_config_ladder("pallas", 7000) == [("xla", None)]
+
+
+def test_process_spectra_long_spectrum_completes_via_fallback():
+    """backend='pallas' on a config the kernel can't run (here: CPU, and
+    P=4096 also trips the tile planner) must degrade gracefully to XLA
+    with a warning and produce the XLA numbers, not hard-fail."""
+    from gp_dla_detection_tpu.params import NullModelParams
+
+    rng = np.random.default_rng(5)
+    params = Parameters(null_model=NullModelParams(k=3))
+    grid = params.null_model.rest_wavelengths()
+    model = GPModel(
+        rest_wavelengths=grid,
+        mu=1.0 + 0.1 * np.sin(grid / 40),
+        M=rng.normal(size=(grid.size, 3)) * 0.05,
+        log_omega=np.log(0.15 + 0 * grid),
+        log_c_0=np.log(0.1),
+        log_tau_0=np.log(0.0023),
+        log_beta=np.log(3.65),
+    )
+    B, P = 2, 4096
+    z = rng.uniform(2.8, 3.1, B)
+    lam = np.stack(
+        [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(P)) for zz in z]
+    )
+    spectra = PaddedSpectra(
+        lam,
+        rng.normal(1, 0.3, (B, P)),
+        rng.uniform(0.05, 0.2, (B, P)),
+        rng.uniform(size=(B, P)) > 0.05,
+        z,
+    )
+    offsets = rng.uniform(size=24)
+    nhis = 10 ** rng.uniform(20, 22, 24)
+    prior_z = rng.uniform(2.0, 3.5, 100)
+    flags = rng.uniform(size=100) < 0.3
+
+    with pytest.warns(UserWarning, match="falling back"):
+        res_p = process_spectra(
+            model, offsets, nhis, spectra, prior_z, flags,
+            params=params, batch_size=B, sample_chunk=24,
+            dtype=np.float32, backend="pallas",
+        )
+    res_x = process_spectra(
+        model, offsets, nhis, spectra, prior_z, flags,
+        params=params, batch_size=B, sample_chunk=24,
+        dtype=np.float32, backend="xla",
+    )
+    np.testing.assert_allclose(
+        res_p.sample_log_likelihoods_dla, res_x.sample_log_likelihoods_dla
+    )
+    np.testing.assert_allclose(res_p.p_dlas, res_x.p_dlas)
