@@ -207,12 +207,19 @@ def learn_gp_model(
     callback=None,
     mesh=None,
     checkpoint_path=None,
+    optimizer: str = "host",
 ) -> tuple[GPModel, LBFGSResult]:
     """Fit the GP null model by L-BFGS (learn_qso_model.m:100-123).
 
     With ``mesh`` given, the training matrices are sharded over the
     mesh's 'data' axis (spectra); XLA turns the NLL sum over spectra
     into a psum across shards — single-program data parallelism.
+
+    ``optimizer``: "host" (strong-Wolfe two-loop L-BFGS driving the
+    jitted objective; minFunc-parity reference) or "device" (the whole
+    optimize loop inside one jitted lax.while_loop — use on remote/
+    tunneled TPUs, where the host loop pays seconds of round trip per
+    objective evaluation).
     """
     if params is None:
         params = Parameters()
@@ -259,27 +266,45 @@ def learn_gp_model(
 
     # data must be jit *arguments*, not closed-over constants — closures
     # bake the (N, R) training matrices into the HLO as literals
-    grad_fn = jax.jit(
-        jax.value_and_grad(
-            lambda flat, *d: objective(
-                unravel(flat), *d, prior_in_value=prior_in_value
-            )
+    raw_vg = jax.value_and_grad(
+        lambda flat, *d: objective(
+            unravel(flat), *d, prior_in_value=prior_in_value
         )
     )
 
-    def value_and_grad(x):
-        f, g = grad_fn(jnp.asarray(x, dtype), *args)
-        return float(f), np.asarray(g, np.float64)
-
     opt = params.optimization
-    result = minimize_lbfgs(
-        value_and_grad,
-        np.asarray(flat0, np.float64),
-        max_iterations=opt.max_iterations,
-        max_fun_evals=opt.max_fun_evals,
-        callback=callback,
-        checkpoint_path=checkpoint_path,
-    )
+    if optimizer == "device":
+        # whole optimize loop under one jit (ops/lbfgs_device.py):
+        # essential on remote/tunneled TPUs where the host loop pays a
+        # full round trip per objective evaluation
+        from ..ops.lbfgs_device import minimize_lbfgs_device
+
+        result = minimize_lbfgs_device(
+            raw_vg,
+            jnp.asarray(flat0, dtype),
+            *args,
+            max_iterations=opt.max_iterations,
+            max_fun_evals=opt.max_fun_evals,
+            callback=callback,
+            checkpoint_path=checkpoint_path,
+        )
+    elif optimizer == "host":
+        grad_fn = jax.jit(raw_vg)
+
+        def value_and_grad(x):
+            f, g = grad_fn(jnp.asarray(x, dtype), *args)
+            return float(f), np.asarray(g, np.float64)
+
+        result = minimize_lbfgs(
+            value_and_grad,
+            np.asarray(flat0, np.float64),
+            max_iterations=opt.max_iterations,
+            max_fun_evals=opt.max_fun_evals,
+            callback=callback,
+            checkpoint_path=checkpoint_path,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} (host|device)")
 
     fitted = unravel(jnp.asarray(result.x, dtype))
     model = GPModel(

@@ -153,7 +153,9 @@ def minimize_lbfgs(
 
     if checkpoint_path is not None and Path(checkpoint_path).exists():
         with np.load(checkpoint_path) as ck:
-            if ck["x"].shape == x.shape:
+            # "iteration" distinguishes this host-loop format from the
+            # device-resident optimizer's state file (lbfgs_device.py)
+            if "iteration" in ck and ck["x"].shape == x.shape:
                 x = ck["x"]
                 start_iter = int(ck["iteration"])
                 evals = int(ck["fun_evals"])

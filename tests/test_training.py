@@ -335,3 +335,80 @@ def test_lbfgs_line_search_failure_not_converged():
 
     res = minimize_lbfgs(fg, np.zeros(1), max_iterations=5, max_fun_evals=100)
     assert not res.converged or res.f <= 0.0
+
+
+def test_device_lbfgs_rosenbrock():
+    import jax
+    import jax.numpy as jnp
+
+    from gp_dla_detection_tpu.ops.lbfgs_device import minimize_lbfgs_device
+
+    vg = jax.value_and_grad(
+        lambda x: (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+    )
+    res = minimize_lbfgs_device(vg, jnp.array([-1.2, 1.0]), max_iterations=300)
+    assert res.f < 1e-8
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-4)
+
+
+def _small_training_problem(N=300, seed=9):
+    rng = np.random.default_rng(seed)
+    R, k = 64, 2
+    params = Parameters(
+        null_model=NullModelParams(
+            min_lambda=1000.0, max_lambda=1000.0 + 0.25 * (R - 1), k=k
+        ),
+        optimization=dataclassesreplace_opt(),
+    )
+    grid = params.null_model.rest_wavelengths()
+    true_M = rng.normal(size=(R, k)) * 0.4
+    wavelengths, flux, noise, masks = [], [], [], []
+    for _ in range(N):
+        cov_noise = rng.uniform(0.01, 0.02, size=R)
+        y = 1.0 + true_M @ rng.normal(size=k) + rng.normal(size=R) * np.sqrt(
+            0.15**2 + cov_noise
+        )
+        wavelengths.append(grid * 3.5)
+        flux.append(y)
+        noise.append(cov_noise)
+        masks.append(np.zeros(R, bool))
+    data = prepare_training_data(
+        wavelengths, flux, noise, masks, np.full(N, 2.5), params
+    )
+    return data, params
+
+
+def test_device_lbfgs_matches_host_on_gp_training():
+    """The device-resident optimizer (one jitted lax.while_loop) must
+    reach the host strong-Wolfe optimizer's NLL to progTol."""
+    data, params = _small_training_problem()
+    _, res_host = learn_gp_model(data, params, optimizer="host")
+    _, res_dev = learn_gp_model(data, params, optimizer="device")
+    assert res_dev.message in ("optTol", "progTol_step", "progTol_f", "MaxIter")
+    assert abs(res_host.f - res_dev.f) < 1e-6 * abs(res_host.f)
+
+
+def test_device_lbfgs_checkpoint_resume(tmp_path):
+    """Interrupted device run + resume == uninterrupted run (the state
+    file carries the full curvature history and counters)."""
+    from gp_dla_detection_tpu.ops.lbfgs_device import minimize_lbfgs_device
+    import jax
+    import jax.numpy as jnp
+
+    vg = jax.value_and_grad(
+        lambda x: jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+    )
+    x0 = jnp.full(10, -1.0)
+    ck = tmp_path / "lbfgs_state.npz"
+
+    direct = minimize_lbfgs_device(vg, x0, max_iterations=120)
+    partial_run = minimize_lbfgs_device(
+        vg, x0, max_iterations=30, checkpoint_path=ck, checkpoint_every=10
+    )
+    assert partial_run.iterations == 30 and ck.exists()
+    resumed = minimize_lbfgs_device(
+        vg, x0, max_iterations=120, checkpoint_path=ck, checkpoint_every=10
+    )
+    assert resumed.iterations == direct.iterations
+    assert abs(resumed.f - direct.f) <= 1e-12 * max(1.0, abs(direct.f))
+    np.testing.assert_allclose(resumed.x, direct.x, rtol=1e-12)
