@@ -55,6 +55,11 @@ class ShardedRunConfig:
     # "xla" | "pallas": "pallas" uses the fused evidence kernel with the
     # z-sorted windowed Voigt (fastest verified config on v5e)
     backend: str = "xla"
+    # wire format for the (B, num_samples) result matrices (see
+    # parallel/streaming.py): "float16" (default; halves tunnel bytes,
+    # lossless where posterior weight survives) | "bfloat16" |
+    # "float32" (exact opt-out).  f64 runs are never narrowed.
+    stream_dtype: str | None = "float16"
 
 
 def process_spectra_sharded(
@@ -182,7 +187,12 @@ def process_spectra_sharded(
             # the Pallas kernel runs as a per-shard program via shard_map
             # over the data axis (samples replicated — use data-only
             # meshes with this backend).
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8
+                sm_kwargs = {"check_vma": False}
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                sm_kwargs = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
@@ -195,7 +205,7 @@ def process_spectra_sharded(
                     "min_z_dla": d1,
                     "max_z_dla": d1,
                 },
-                check_rep=False,
+                **sm_kwargs,
             )
         return call_batch
 
@@ -263,7 +273,11 @@ def process_spectra_sharded(
                 call_batch = make_call(*configs[config_idx])
         keep = stop - start
         null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]
-        sample_ll = np.asarray(out["sample_log_likelihoods_dla"])[:keep]
+        from .streaming import fetch_rows
+
+        sample_ll = fetch_rows(
+            out["sample_log_likelihoods_dla"], config.stream_dtype
+        )[:keep]
         min_z = np.asarray(out["min_z_dla"])[:keep]
         max_z = np.asarray(out["max_z_dla"])[:keep]
         out_null[start:stop] = null_ll

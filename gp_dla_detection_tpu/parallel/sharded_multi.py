@@ -118,7 +118,12 @@ def process_spectra_multi_sharded(
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             # per-shard Pallas program (see sharded_inference): shard_map
             # over the data axis, samples replicated on every shard
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8
+                sm_kwargs = {"check_vma": False}
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                sm_kwargs = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
@@ -126,7 +131,7 @@ def process_spectra_multi_sharded(
                 fn, mesh=mesh,
                 in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
                 out_specs=d2,
-                check_rep=False,
+                **sm_kwargs,
             )
         return fn
 
@@ -257,7 +262,9 @@ def process_spectra_multi_sharded(
                 )
                 config_idx += 1
                 fn = make_fn(*configs[config_idx])
-        rows = np.asarray(lls)[: stop - start]
+        from .streaming import fetch_rows
+
+        rows = fetch_rows(lls, config.stream_dtype)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:
             np.savez_compressed(

@@ -1,0 +1,60 @@
+"""Narrow-dtype result streaming for tunnel-bound hosts.
+
+At survey scale the dominant host<->device traffic is fetching the
+(B, num_samples) per-sample log-likelihood matrices — 82 MB per 1024x10k
+f32 batch pair over an HTTP-tunneled TPU, dwarfing the ~5 s of device
+compute.  The analysis layer only ever uses these matrices through
+per-spectrum normalization (logsumexp evidences, posterior resampling
+weights), so the wire format can be narrowed losslessly-where-it-matters:
+
+    per-row finite max  (f32, B values)   +
+    residual ll - max   (f16/bf16, B x S) — residuals are <= 0, and a
+    residual below the f16 clamp (-65504) carries posterior weight
+    e^-65504 = 0 in any dtype, so the clamp-to--inf is harmless.
+
+Reconstruction (residual + max) returns f32 rows with relative error
+~2^-11 on the dominant samples — far inside the documented sample-
+probability tolerance.  f64 runs (parity mode) are never narrowed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fetch_rows"]
+
+
+@partial(jax.jit, static_argnames=("wire_dtype",))
+def _pack_rows(sll, wire_dtype):
+    finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
+    row_max = jnp.max(finite, axis=1)
+    # rows with no finite entry (e.g. every pair closer than min_sep_z)
+    # keep offset 0 so NaN/-inf survive the round trip unchanged
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    resid = (sll - row_max[:, None]).astype(wire_dtype)
+    return resid, row_max.astype(jnp.float32)
+
+
+def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:
+    """Fetch a (B, S) device log-likelihood matrix to a host f32 array.
+
+    stream_dtype: "float16" | "bfloat16" -> max+residual wire format
+    (see module docstring); "float32" | None -> plain fetch.  Non-f32
+    inputs (f64 parity mode) are always fetched as computed.
+    """
+    if (
+        stream_dtype in (None, "float32", "native")
+        or sll.dtype != jnp.float32
+    ):
+        return np.asarray(sll)
+    if stream_dtype not in ("float16", "bfloat16"):
+        raise ValueError(
+            f"unknown stream_dtype {stream_dtype!r} "
+            "(float16|bfloat16|float32|None)"
+        )
+    resid, row_max = _pack_rows(sll, jnp.dtype(stream_dtype))
+    return np.asarray(resid).astype(np.float32) + np.asarray(row_max)[:, None]

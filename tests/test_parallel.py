@@ -119,7 +119,7 @@ def test_sharded_pallas_matches_single_device(problem):
         params=params, mesh=make_mesh(),
         config=ShardedRunConfig(
             per_device_batch=1, sample_chunk=32, dtype="float32",
-            backend="pallas_interpret",
+            backend="pallas_interpret", stream_dtype="float32",
         ),
     )
     np.testing.assert_allclose(
@@ -139,7 +139,7 @@ def test_sharded_pallas_matches_single_device(problem):
         params=params, mesh=make_mesh(),
         config=ShardedRunConfig(
             per_device_batch=1, sample_chunk=32, dtype="float32",
-            backend="pallas_interpret",
+            backend="pallas_interpret", stream_dtype="float32",
         ),
     )
     assert np.array_equal(
@@ -250,3 +250,74 @@ def test_data_parallel_training(problem):
     m_sharded, r_sharded = learn_gp_model(data, params, mesh=make_mesh())
     assert abs(r_single.f - r_sharded.f) < 1e-6 * abs(r_single.f)
     np.testing.assert_allclose(m_sharded.M, m_single.M, rtol=1e-5, atol=1e-7)
+
+
+def test_fetch_rows_wire_format():
+    """max+f16-residual streaming: NaN/-inf structure preserved, clamp
+    flushes only weightless residuals, f64 is never narrowed."""
+    import jax.numpy as jnp
+
+    from gp_dla_detection_tpu.parallel.streaming import fetch_rows
+
+    sll = np.array(
+        [
+            [-100.0, -100.5, -200.0],
+            [np.nan, -5.0, np.nan],
+            [-np.inf, -np.inf, -np.inf],
+            [-1.0e5, -1.0, 0.0],
+        ],
+        np.float32,
+    )
+    exact = fetch_rows(jnp.asarray(sll), "float32")
+    np.testing.assert_array_equal(exact, sll)
+    out = fetch_rows(jnp.asarray(sll), "float16")
+    assert np.array_equal(np.isnan(out), np.isnan(sll))
+    assert np.all(out[2] == -np.inf)
+    # residual below the f16 range flushes to -inf (posterior weight 0)
+    assert out[3, 0] == -np.inf
+    # everything else reproduced to f16 resolution of the residual
+    with np.errstate(invalid="ignore"):
+        resid = sll - np.nanmax(
+            np.where(np.isnan(sll), -np.inf, sll), 1
+        )[:, None]
+        ok = np.isfinite(sll) & (resid > -6e4)
+    assert np.all(
+        np.abs(out[ok] - sll[ok]) <= 2e-3 * np.maximum(np.abs(resid[ok]), 1.0)
+    )
+    # f64 parity mode: passthrough regardless of the requested wire dtype
+    sll64 = np.asarray(sll, np.float64)
+    np.testing.assert_array_equal(
+        fetch_rows(jnp.asarray(sll64), "float16"), sll64
+    )
+
+
+def test_f16_streaming_preserves_posteriors(problem):
+    """Default f16 wire format vs exact fetch on the same f32 run:
+    posteriors agree to sample-probability tolerance."""
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh()
+
+    def run(stream):
+        return process_spectra_sharded(
+            model, offsets, nhis, spectra, prior_z, prior_f,
+            params=params, mesh=mesh,
+            config=ShardedRunConfig(
+                per_device_batch=1, sample_chunk=32, dtype="float32",
+                stream_dtype=stream,
+            ),
+        )
+
+    exact = run("float32")
+    packed = run("float16")
+    np.testing.assert_allclose(packed.p_dlas, exact.p_dlas, atol=2e-4)
+    np.testing.assert_allclose(
+        packed.log_likelihoods_dla, exact.log_likelihoods_dla,
+        rtol=1e-4, atol=1e-3,
+    )
+    resid = exact.sample_log_likelihoods_dla - np.max(
+        exact.sample_log_likelihoods_dla, axis=1, keepdims=True
+    )
+    err = np.abs(
+        packed.sample_log_likelihoods_dla - exact.sample_log_likelihoods_dla
+    )
+    assert np.all(err <= 2e-3 * np.maximum(np.abs(resid), 1.0))
