@@ -29,6 +29,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "initialize_distributed",
+    "fetch_global",
+    "is_coordinator",
     "DATA_AXIS",
     "SAMPLE_AXIS",
 ]
@@ -99,3 +101,27 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly cross-process-sharded) array to a host ndarray.
+
+    Single-process arrays (the common case) are a plain transfer; arrays
+    sharded over a multi-process mesh are all-gathered first (every
+    process gets the full result — the drivers' host-side bookkeeping is
+    replicated-by-construction, mirroring how the reference replicates
+    its catalog state across manually-sharded MATLAB jobs,
+    process_qsos.m:51-54).
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns checkpoint/manifest writes."""
+    return jax.process_index() == 0

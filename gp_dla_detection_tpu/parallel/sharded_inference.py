@@ -35,6 +35,8 @@ from ..params import Parameters
 from .mesh import (
     DATA_AXIS,
     data_sharding,
+    fetch_global,
+    is_coordinator,
     make_mesh,
     replicated,
     sample_sharding,
@@ -272,20 +274,23 @@ def process_spectra_sharded(
                 config_idx += 1
                 call_batch = make_call(*configs[config_idx])
         keep = stop - start
-        null_ll = np.asarray(out["log_likelihood_no_dla"])[:keep]
+        null_ll = fetch_global(out["log_likelihood_no_dla"])[:keep]
         from .streaming import fetch_rows
 
         sample_ll = fetch_rows(
             out["sample_log_likelihoods_dla"], config.stream_dtype
         )[:keep]
-        min_z = np.asarray(out["min_z_dla"])[:keep]
-        max_z = np.asarray(out["max_z_dla"])[:keep]
+        min_z = fetch_global(out["min_z_dla"])[:keep]
+        max_z = fetch_global(out["max_z_dla"])[:keep]
         out_null[start:stop] = null_ll
         out_samples[start:stop] = sample_ll
         out_min_z[start:stop] = min_z
         out_max_z[start:stop] = max_z
 
-        if ckpt_file:
+        if ckpt_file and is_coordinator():
+            # multi-process runs: one writer (process 0); every process
+            # holds the full gathered results, so resume only needs the
+            # checkpoint files visible from each host (shared fs)
             np.savez_compressed(
                 ckpt_file,
                 log_likelihood_no_dla=null_ll,

@@ -30,7 +30,14 @@ from ..multi_dla import (
     make_batch_dla2_fn,
 )
 from ..params import Parameters, kms_to_z
-from .mesh import DATA_AXIS, data_sharding, make_mesh, replicated, sample_sharding
+from .mesh import (
+    DATA_AXIS,
+    data_sharding,
+    is_coordinator,
+    make_mesh,
+    replicated,
+    sample_sharding,
+)
 from .sharded_inference import ShardedRunConfig, process_spectra_sharded
 
 __all__ = ["process_spectra_multi_sharded"]
@@ -266,7 +273,7 @@ def process_spectra_multi_sharded(
 
         rows = fetch_rows(lls, config.stream_dtype)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
-        if ckpt_file:
+        if ckpt_file and is_coordinator():
             np.savez_compressed(
                 ckpt_file, sample_log_likelihoods_dla2=out2[start:stop]
             )

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .mesh import fetch_global
+
 __all__ = ["fetch_rows"]
 
 
@@ -50,11 +52,11 @@ def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:
         stream_dtype in (None, "float32", "native")
         or sll.dtype != jnp.float32
     ):
-        return np.asarray(sll)
+        return fetch_global(sll)
     if stream_dtype not in ("float16", "bfloat16"):
         raise ValueError(
             f"unknown stream_dtype {stream_dtype!r} "
             "(float16|bfloat16|float32|None)"
         )
     resid, row_max = _pack_rows(sll, jnp.dtype(stream_dtype))
-    return np.asarray(resid).astype(np.float32) + np.asarray(row_max)[:, None]
+    return fetch_global(resid).astype(np.float32) + fetch_global(row_max)[:, None]

@@ -6,8 +6,7 @@ import numpy as np
 import jax
 import pytest
 
-from gp_dla_detection_tpu.inference import PaddedSpectra, process_spectra
-from gp_dla_detection_tpu.models.qso_model import GPModel
+from gp_dla_detection_tpu.inference import process_spectra
 from gp_dla_detection_tpu.models.training import learn_gp_model
 from gp_dla_detection_tpu.parallel import (
     ShardedRunConfig,
@@ -17,38 +16,12 @@ from gp_dla_detection_tpu.parallel import (
 from gp_dla_detection_tpu.params import NullModelParams, OptimizationParams, Parameters
 
 
+from synthetic_problem import make_problem
+
+
 @pytest.fixture(scope="module")
 def problem():
-    rng = np.random.default_rng(3)
-    params = Parameters(null_model=NullModelParams(k=4))
-    grid = params.null_model.rest_wavelengths()
-    model = GPModel(
-        rest_wavelengths=grid,
-        mu=1.0 + 0.1 * np.sin(grid / 40),
-        M=rng.normal(size=(grid.size, 4)) * 0.08,
-        log_omega=np.log(0.2 + 0 * grid),
-        log_c_0=np.log(0.1),
-        log_tau_0=np.log(0.0023),
-        log_beta=np.log(3.65),
-    )
-    B, P, S = 11, 384, 64  # deliberately not divisible by 8
-    z = rng.uniform(2.5, 3.4, B)
-    lam = np.stack(
-        [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(P)) for zz in z]
-    )
-    mask = rng.uniform(size=(B, P)) > 0.05
-    spectra = PaddedSpectra(
-        lam,
-        rng.normal(1, 0.3, (B, P)),
-        rng.uniform(0.05, 0.2, (B, P)),
-        mask,
-        z,
-    )
-    offsets = rng.uniform(size=S)
-    nhis = 10 ** rng.uniform(20, 22, S)
-    prior_z = rng.uniform(2.2, 3.6, 200)
-    prior_f = rng.uniform(size=200) < 0.1
-    return params, model, spectra, offsets, nhis, prior_z, prior_f
+    return make_problem()
 
 
 def test_eight_device_mesh_available():
@@ -289,6 +262,74 @@ def test_fetch_rows_wire_format():
     np.testing.assert_array_equal(
         fetch_rows(jnp.asarray(sll64), "float16"), sll64
     )
+
+
+def test_two_process_distributed_matches_single(problem, tmp_path):
+    """Real jax.distributed bring-up: two OS processes, 4 virtual CPU
+    devices each, one global 8-device mesh with gloo collectives between
+    processes.  The sharded driver must produce the single-process
+    result on every process, with checkpoints written once (process 0).
+    Exercises parallel.mesh.initialize_distributed / fetch_global —
+    SURVEY §5's distributed-comms subsystem end-to-end."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    # pick a free coordinator port
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = Path(__file__).parent / "distributed_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", addr, str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args} failed:\n{out}"
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    single = process_spectra(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float64,
+    )
+    with np.load(tmp_path / "result.npz") as dist:
+        np.testing.assert_allclose(
+            dist["log_likelihoods_no_dla"],
+            single.log_likelihoods_no_dla,
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            dist["sample_log_likelihoods_dla"],
+            single.sample_log_likelihoods_dla,
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            dist["p_dlas"], single.p_dlas, rtol=1e-9, atol=1e-12
+        )
+        dist_sll = dist["sample_log_likelihoods_dla"]
+    # every process gathered the identical full result
+    with np.load(tmp_path / "result_p1.npz") as p1:
+        np.testing.assert_array_equal(
+            p1["sample_log_likelihoods_dla"], dist_sll
+        )
+    # single-writer checkpoints: manifest complete, written by process 0
+    import json
+
+    manifest = json.loads((tmp_path / "ckpt" / "manifest.json").read_text())
+    assert len(manifest["completed_batches"]) == manifest["total_batches"]
 
 
 def test_f16_streaming_preserves_posteriors(problem):
