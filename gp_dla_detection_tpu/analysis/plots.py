@@ -40,10 +40,27 @@ def _plt():
     return plt
 
 
+def _errorbar(plt, *args, **kwargs):
+    """plt.errorbar, minus a matplotlib quirk: its error-upcast probe
+    calls math.isfinite on the first element of tuple errors, which for
+    single-bin (size-1) rows trips numpy's array-to-scalar
+    DeprecationWarning (matplotlib/cbook.py _safe_first_finite; fixed
+    upstream in later releases).  Harmless — silence just that."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore",
+            message="Conversion of an array with ndim > 0",
+            category=DeprecationWarning,
+        )
+        return plt.errorbar(*args, **kwargs)
+
+
 def _overlay(plt, literature):
     for label, data in (literature or {}).items():
         if len(data) == 3:
-            plt.errorbar(data[0], data[1], yerr=data[2], fmt="s", label=label)
+            _errorbar(plt, data[0], data[1], yerr=data[2], fmt="s", label=label)
         else:
             plt.plot(data[0], data[1], "--", label=label)
 
@@ -56,7 +73,10 @@ def plot_cddf(cat, zmin=1.0, zmax=6.0, label="GP", color=None, moment=False,
         z_min=zmin, z_max=zmax
     )
     scale = 10.0**l_N if moment else np.ones_like(l_N)
-    if twosigma:
+    # a z-slice can contain no DLA path at all (e.g. the 4<z<5 bin of a
+    # low-z catalogue): every band is zero then, and zero data on the
+    # log axes below would only emit matplotlib warnings — skip it
+    if twosigma and np.any(cddf95[:, 1] > 0):
         plt.fill_between(
             10.0**l_N, scale * cddf95[:, 0], scale * cddf95[:, 1],
             color="grey", alpha=0.5,
@@ -64,22 +84,23 @@ def plot_cddf(cat, zmin=1.0, zmax=6.0, label="GP", color=None, moment=False,
     yerr = (scale * (cddf - cddf68[:, 0]), scale * (cddf68[:, 1] - cddf))
     ii = cddf68[:, 0] > 0
     if ii.any():
-        plt.errorbar(
-            10.0 ** l_N[ii], (scale * cddf)[ii],
+        _errorbar(
+            plt, 10.0 ** l_N[ii], (scale * cddf)[ii],
             yerr=(yerr[0][ii], yerr[1][ii]),
             xerr=(xerrs[0][ii], xerrs[1][ii]),
             fmt="o", label=label, color=color,
         )
-    i2 = cddf68[:, 0] == 0
+    i2 = (cddf68[:, 0] == 0) & ((scale * cddf) + yerr[1] > 0)
     if i2.any():
-        plt.errorbar(
-            10.0 ** l_N[i2], (scale * cddf)[i2] + yerr[1][i2],
+        _errorbar(
+            plt, 10.0 ** l_N[i2], (scale * cddf)[i2] + yerr[1][i2],
             yerr=yerr[1][i2] / 2.0, xerr=(xerrs[0][i2], xerrs[1][i2]),
             fmt="o", uplims=True, color=color, lw=2,
         )
     _overlay(plt, literature)
     plt.xscale("log")
-    plt.yscale("log")
+    if np.any(cddf95[:, 1] > 0) or literature:
+        plt.yscale("log")
     plt.xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
     plt.ylabel(r"$f(N_\mathrm{HI})$")
     return l_N, cddf, cddf68, cddf95
@@ -94,7 +115,8 @@ def plot_line_density(cat, zmin=2.0, zmax=4.0, label="GP", literature=None):
         fill_x[0] -= xerrs[0][0]
         fill_x[-1] += xerrs[1][-1]
         plt.fill_between(fill_x, dndx95[:, 0], dndx95[:, 1], color="grey", alpha=0.5)
-    plt.errorbar(
+    _errorbar(
+        plt,
         z_cent, dNdX,
         yerr=(dNdX - dndx68[:, 0], dndx68[:, 1] - dNdX),
         xerr=xerrs, fmt="o", label=label,
@@ -118,7 +140,8 @@ def plot_omega_dla(cat, zmin=2.0, zmax=4.0, label="GP", twosigma=True,
         plt.fill_between(
             fill_x, 1000 * om95[:, 0], 1000 * om95[:, 1], color="grey", alpha=0.5
         )
-    plt.errorbar(
+    _errorbar(
+        plt,
         z_cent, 1000 * omega,
         yerr=(1000 * (omega - om68[:, 0]), 1000 * (om68[:, 1] - omega)),
         xerr=xerrs, fmt="s", label=label,
@@ -293,7 +316,8 @@ def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
 
     z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(z_min=2, z_max=5)
     plot_line_density(cat, zmin=2, zmax=5, label="Total")
-    plt.errorbar(
+    _errorbar(
+        plt,
         z_cent, out["dndx_median"],
         yerr=(out["dndx_median"] - out["dndx_68"][0],
               out["dndx_68"][1] - out["dndx_median"]),
@@ -305,7 +329,8 @@ def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
 
     z_cent, omega_k, om68, om95 = plot_omega_dla(cat, zmin=2, zmax=5,
                                                  label="Total")
-    plt.errorbar(
+    _errorbar(
+        plt,
         z_cent, out["omega_median"],
         yerr=(out["omega_median"] - out["omega_68"][0],
               out["omega_68"][1] - out["omega_median"]),
