@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import InstrumentParams
 from . import lyman_series as lines
-from .faddeeva import wofz_real_fast
 from .low_rank_mvn import LOG_2PI
 
 __all__ = ["pallas_sample_log_likelihoods", "SAMPLE_TILE"]
@@ -93,7 +92,7 @@ def _evidence_kernel(
     # ---- Voigt optical depth over the extended grid (voigt.c:277-291);
     # with two absorbers the optical depths add (absorption multiplies),
     # so each line contribution is N_HI-scaled into the shared total
-    from .faddeeva import _SQRT_PI, wing_series
+    from .faddeeva import _SQRT_PI, exp_core, g_function
     from .voigt import WINDOW_MARGIN
 
     total_ref[...] = jnp.zeros((P6, T), dtype)
@@ -116,14 +115,16 @@ def _evidence_kernel(
                 lead_j * voigt_norm
             )
             if win is None:
-                h = wofz_real_fast(x, jnp.full_like(x, y))
+                h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
                 total_ref[...] = total_ref[...] - scale * h
             else:
-                # z-sorted tile: inner Faddeeva branch only within a
-                # `window`-pixel slice around the tile's line centers;
-                # cheap asymptotic wing everywhere else.  Dynamic-slice
-                # access goes through the VMEM scratch ref (Mosaic has no
-                # dynamic_slice on values).
+                # z-sorted tile: the Lorentzian term (global rational G)
+                # is exact everywhere; the Gaussian core e^{-x^2}(...) —
+                # negligible beyond ~5 px of a line center — is added
+                # only within a `window`-pixel slice around the tile's
+                # line centers.  Dynamic-slice access goes through the
+                # VMEM scratch ref (Mosaic has no dynamic_slice on
+                # values).
                 # Mosaic requires dynamic lane indices to be 128-aligned:
                 # the start rounds DOWN to a lane boundary (losing at most
                 # 127 px of right coverage), so widen the static window by
@@ -131,7 +132,7 @@ def _evidence_kernel(
                 # 128-aligned or the pl.multiple_of promise is violated for
                 # near-red-edge windows
                 W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
-                h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
+                h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
                 total_ref[...] = total_ref[...] - scale * h_wing
                 center = jnp.log10(lambda_t * 1e8 * (1.0 + zr[0, 0, 0]))
                 log_lam0 = jnp.log10(lam_ref[0, 0, 0])
@@ -144,8 +145,7 @@ def _evidence_kernel(
                 start = pl.multiple_of(start, 128)
                 lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
                 x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
-                h_full = wofz_real_fast(x_win, jnp.full_like(x_win, y))
-                corr = h_full - (2.0 / _SQRT_PI) * y * wing_series(x_win)
+                corr = exp_core(x_win * x_win, jnp.asarray(y, dtype))
                 total_ref[pl.ds(start, W), :] = (
                     total_ref[pl.ds(start, W), :] - scale * corr
                 )

@@ -53,7 +53,8 @@ import numpy as np
 __all__ = [
     "wofz_real",
     "wofz_real_fast",
-    "wing_series",
+    "g_function",
+    "exp_core",
     "voigt_function",
     "WEIDEMAN_N",
     "BRANCH_RADIUS",
@@ -185,101 +186,136 @@ def wofz_real(x, y):
     return jnp.where(outer, w_cf, inner_val)
 
 
-_DAWSON_DEGREE = 32
-_DAWSON_XMAX = 7.2
+# --- the global G(x) rational fit -------------------------------------
+#
+# G(x) = 2x F(x) - 1 (F = Dawson) is the whole x-dependence of the
+# Lorentzian term of Re w at small y.  One rational covers ALL real x in
+# the compactifying variable s = 1/(1 + x^2/_G_A):  G = s * P(s)/Q(s),
+# which reproduces both the core (s -> 1) and the asymptotic wing
+# G ~ 1/(2x^2) (s -> 0, where P(0) converges to _G_A/... the exact wing
+# slope — the fit discovers 1/12 = 0.5/_G_A by itself).  This replaces
+# the previous two-branch scheme (degree-32 Chebyshev-Dawson inside a
+# radius + 8-term asymptotic series outside): no branch select, no
+# clamp, ~19 VPU flops per element instead of ~70.
+_G_A = 6.0
+_G_NUM_DEG = 12
+_G_DEN_DEG = 2
 
 
 @functools.lru_cache(maxsize=None)
-def _dawson_cheb_coeffs() -> tuple[float, ...]:
-    """Chebyshev coefficients of the Dawson function F on [0, 7.2].
+def _g_global_coeffs() -> tuple[tuple[float, ...], tuple[float, ...]]:
+    """(P, Q) power coefficients (ascending, in s) of the global G fit.
 
-    Fitted once at import in float64 against our own Weideman evaluation
-    (F(x) = sqrt(pi)/2 * Im w(x)), so no external special-function
-    library is needed.  Max abs error ~1.6e-10 at degree 32.
+    Fitted once at import against our own Weideman evaluation
+    (G = sqrt(pi) x Im w(x + i0) - 1), so no external special-function
+    library is needed.  Fitting G *directly* matters: a Dawson-function
+    fit amplifies its error by 2x/G(x) ~ 1.4e3 where G is the difference
+    of two near-equal terms.  Sanathanan-Koerner iteration; the error
+    weight is relative to max(|G|, (sqrt(pi)/2y_max) e^{-x^2}) — beyond
+    |x|~3.5 G dominates Re w and needs true relative accuracy, nearer
+    the core the Gaussian term dominates and absolute slack grows as
+    e^{-x^2}/y; after SK settles, a peak-boosting reweight flattens the
+    maxima where they hurt the composite.  Achieved (vs scipy.wofz,
+    tests/test_faddeeva.py): <= 7.5e-6 rel in f32 at the largest
+    Lyman-series y, <= 2e-6 at the others; Q root-free (min ~0.4).
     """
-    deg = _DAWSON_DEGREE
-    nodes = np.cos(np.pi * (np.arange(4 * deg) + 0.5) / (4 * deg))
-    x = (nodes + 1.0) * (_DAWSON_XMAX / 2.0)
+    x = np.concatenate(
+        [
+            np.linspace(0.0, 12.0, 24001)[1:],
+            10 ** np.linspace(np.log10(12.0), 5.0, 8001),
+        ]
+    )
     ell, coeffs = _weideman_constants(WEIDEMAN_N)
     iz = 1j * x
     recip = 1.0 / (ell - iz)
     big_z = (ell + iz) * recip
     p = np.polyval(np.asarray(coeffs), big_z)
     w = 2.0 * p * recip**2 + _INV_SQRT_PI * recip
-    dawson = 0.5 * _SQRT_PI * np.imag(w)
-    from numpy.polynomial import chebyshev as _cheb
+    g = _SQRT_PI * x * np.imag(w) - 1.0
 
-    fit = _cheb.chebfit(nodes, dawson, deg)
-    return tuple(float(c) for c in fit)
+    y_max = 4.8e-4  # largest Lyman-series gamma/(sigma sqrt 2)
+    slack = (_SQRT_PI / (2 * y_max)) * np.exp(-np.minimum(x * x, 200.0))
+    den = np.maximum(np.abs(g), slack)
+    s = 1.0 / (1.0 + x * x / _G_A)
+    vm = np.vander(s, _G_NUM_DEG + 1, increasing=True)
+    vn = np.vander(s, _G_DEN_DEG + 1, increasing=True)[:, 1:]
+    q = np.ones_like(s)
+    extra = np.ones_like(s)
+    best = None
+    for it in range(60):
+        wgt = extra / (den * np.abs(q))
+        a = np.concatenate(
+            [wgt[:, None] * vm * s[:, None], -(wgt * g)[:, None] * vn],
+            axis=1,
+        )
+        sol, *_ = np.linalg.lstsq(a, wgt * g, rcond=None)
+        p_c, q_c = sol[: _G_NUM_DEG + 1], sol[_G_NUM_DEG + 1 :]
+        q = 1.0 + vn @ q_c
+        err = np.abs(s * (vm @ p_c) / q - g) / den
+        mx = err.max()
+        if best is None or mx < best[0]:
+            best = (mx, p_c.copy(), q_c.copy())
+        if it >= 20:
+            extra *= np.sqrt(1.0 + err / mx)
+            extra /= extra.mean()
+    _, p_c, q_c = best
+    return (
+        tuple(float(c) for c in p_c),
+        (1.0, *(float(c) for c in q_c)),
+    )
 
 
-def _dawson_clenshaw(x):
-    """Dawson F(x) for 0 <= x <= 7.2 by Clenshaw recurrence."""
-    coeffs = _dawson_cheb_coeffs()
-    t = x * (2.0 / _DAWSON_XMAX) - 1.0
-    t2 = 2.0 * t
-    b1 = jnp.zeros_like(x)
-    b2 = jnp.zeros_like(x)
-    for c in coeffs[:0:-1]:
-        b1, b2 = t2 * b1 - b2 + c, b1
-    return t * b1 - b2 + coeffs[0]
+def g_function(x):
+    """G(x) = 2x F(x) - 1 for ALL real x by the global rational fit
+    (two divisions, Pallas-safe, even in x).  Single definition shared
+    by the fast path and both windowed Voigt implementations: the
+    in-window overwrite/correction must complete exactly this function
+    (wofz_real_fast = exp_core + (2y/sqrt(pi)) g_function)."""
+    p_c, q_c = _g_global_coeffs()
+    x2 = x * x
+    one = jnp.ones_like(x2)
+    s = one / (one + x2 * (1.0 / _G_A))
+    num = jnp.full_like(s, p_c[-1])
+    for c in p_c[-2::-1]:
+        num = num * s + c
+    den = (q_c[2] * s + q_c[1]) * s + 1.0
+    return s * num / den
 
 
-FAST_MAX_Y = 1e-2  # validity bound of the first-order small-y expansion
-# (2m-1)!! coefficients of the asymptotic series
-# 2xF(x) - 1 = sum_m (2m-1)!! / (2x^2)^m  for large x
-_WING_DFACT = (1.0, 3.0, 15.0, 105.0, 945.0, 10395.0, 135135.0, 2027025.0)
+def exp_core(x2, y):
+    """The Gaussian-core term of the small-y expansion of Re w:
+    e^{-x^2} (1 + y^2 (2x^2 - 1)).  Negligible (< 1.4e-11 relative to
+    the Lorentzian term) for |x| > ~5, so windowed consumers add it only
+    inside their line-center windows."""
+    return jnp.exp(-jnp.minimum(x2, 90.0)) * (
+        1.0 + y * y * (2.0 * x2 - 1.0)
+    )
 
 
-def wing_series(x):
-    """G(x) = 2x F(x) - 1 by the 8-term asymptotic series, clamped to the
-    branch radius (valid/used for |x| >= BRANCH_RADIUS; elementwise,
-    Pallas-safe).  Single definition shared by the fast path and both
-    windowed Voigt implementations — the window correction
-    (full - wing) must cancel against exactly this series."""
-    u = 0.5 / jnp.maximum(x * x, BRANCH_RADIUS * BRANCH_RADIUS)
-    g = jnp.zeros_like(u)
-    for c in _WING_DFACT[::-1]:
-        g = (g + c) * u
-    return g
+FAST_MAX_Y = 1e-2  # validity bound of the small-y expansion
 
 
 def wofz_real_fast(x, y):
     """Fast-path Re w(x + iy) for SMALL y (y < ~1e-2) — the DLA regime.
 
-    ~6x cheaper than :func:`wofz_real`, with a single division and a
-    single exp per element:
+    ~10x cheaper than :func:`wofz_real`, with two divisions and a
+    single exp per element and NO branch select:
 
         Re w = e^{-x^2} (1 + y^2 (2x^2 - 1)) + (2y/sqrt(pi)) G(x)
         G(x) = 2x F(x) - 1   (F = Dawson function)
 
-    G from a degree-32 Chebyshev fit for |x| < 7 and the 8-term
-    asymptotic series in 1/(2x^2) outside.  Worst relative error ~6e-6
-    at the largest Lyman-series y (validated vs scipy.special.wofz in
-    tests/test_faddeeva.py); intended for the float32 TPU path, where
-    fp32 roundoff dominates anyway.
+    G from the single global rational fit (see :func:`g_function`),
+    valid for all x.  Worst relative error 7.5e-6 in f32 / 6.6e-6 in
+    f64 at the largest Lyman-series y, <= 2.1e-6 at the others
+    (validated vs scipy.special.wofz in tests/test_faddeeva.py);
+    intended for the float32 TPU path, where fp32 roundoff dominates
+    anyway.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.result_type(x, y)
     x, y = jnp.broadcast_arrays(x.astype(dtype), y.astype(dtype))
-
-    ax = jnp.abs(x)
-    x2 = ax * ax
-    outer = ax >= BRANCH_RADIUS
-
-    # inner: G = 2x F(x) - 1 with Chebyshev Dawson (no divisions)
-    x_in = jnp.where(outer, 0.0, ax)
-    g_inner = 2.0 * x_in * _dawson_clenshaw(x_in) - 1.0
-
-    # outer: asymptotic series in u = 1/(2 x^2) (one division)
-    g_outer = wing_series(ax)
-
-    g = jnp.where(outer, g_outer, g_inner)
-    exp_mx2 = jnp.exp(-jnp.minimum(x2, 90.0))
-    return exp_mx2 * (1.0 + y * y * (2.0 * x2 - 1.0)) + (
-        2.0 / _SQRT_PI
-    ) * y * g
+    return exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
 
 
 def voigt_function(v, sigma, gamma):

@@ -151,9 +151,10 @@ def voigt_absorption_windowed(
     |v| < 90 km/s at 69 km/s/px BOSS pixels), so for a chunk of samples
     with nearby redshifts the expensive inner Faddeeva branch is only
     needed on a narrow pixel window around the chunk's line centers.
-    This computes the wing series everywhere (~15 flops/element) and
-    overwrites a ``window``-pixel dynamic slice per line with the full
-    fast-path evaluation.
+    This computes the Lorentzian term (global rational G, ~19
+    flops/element) everywhere and overwrites a ``window``-pixel dynamic
+    slice per line with the full fast-path evaluation (adding the
+    Gaussian core, which is negligible outside the window).
 
     Caller contract: z_dla_sorted ascending, and ``window`` at least the
     chunk's center spread in pixels plus 2*WINDOW_MARGIN (see
@@ -168,7 +169,7 @@ def voigt_absorption_windowed(
     if instrument is None:
         instrument = InstrumentParams()
 
-    from .faddeeva import _SQRT_PI, wing_series, wofz_real_fast
+    from .faddeeva import _SQRT_PI, g_function, wofz_real_fast
 
     wavelengths = jnp.asarray(padded_wavelengths)
     dtype = wavelengths.dtype
@@ -194,9 +195,10 @@ def voigt_absorption_windowed(
         multiplier = c / (lambda_t * (1.0 + z)) / 1e8
         velocity = wavelengths[None, :] * multiplier - c
         x = velocity * inv_sqrt2_sigma
-        # wing-only evaluation everywhere (clamped below the branch
-        # radius; those pixels are overwritten from the window)
-        h_wing = (2.0 / _SQRT_PI) * y * wing_series(x)
+        # Lorentzian term everywhere (exact global G); the Gaussian-core
+        # term (< 1.4e-11 of the total beyond ~5 px from a line center)
+        # is added by the full evaluation overwriting the window
+        h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
 
         # full fast path on the chunk's line-center window; the window
         # size contract (compute_sample_window) reserves WINDOW_MARGIN
