@@ -82,17 +82,20 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1280,
                 *a, params=params, sample_chunk=sample_chunk,
                 backend=chosen, sample_window=sample_window,
             )
-            # reduce on device; force completion via a tiny host fetch
+            # reduce on device; force completion via ONE tiny host fetch
             # (full (B, S) fetches are trivial on locally-attached TPUs
-            # but dominate timing through this environment's HTTP tunnel)
-            return (
-                out["log_likelihood_no_dla"],
-                jax.numpy.sum(out["sample_log_likelihoods_dla"], axis=-1),
+            # but dominate timing through this environment's HTTP tunnel,
+            # and each separate fetch costs a tunnel round trip)
+            return jax.numpy.concatenate(
+                [
+                    out["log_likelihood_no_dla"],
+                    jax.numpy.sum(out["sample_log_likelihoods_dla"], axis=-1),
+                ]
             )
 
         def run():
-            null_ll, sample_sum = reduced(*args)
-            return np.asarray(null_ll), np.asarray(sample_sum)
+            fetched = np.asarray(reduced(*args))
+            return fetched[:batch_size], fetched[batch_size:]
 
         return run
 

@@ -274,8 +274,13 @@ def pallas_sample_log_likelihoods(
     two_dla = z_dlas2 is not None
     pad = (-S) % tile
     if pad:
+        # replicate the LAST sample: with window mode's z-ascending
+        # contract this keeps the final tile sorted, so pad columns stay
+        # inside that tile's window and compute finite (discarded)
+        # values — first-column padding would put the lowest-z core
+        # outside the window and overflow exp in the pad lanes
         rep = lambda a: jnp.concatenate(
-            [a, jnp.repeat(a[:, :1], pad, axis=1)], axis=1
+            [a, jnp.repeat(a[:, -1:], pad, axis=1)], axis=1
         )
         z_dlas, nhi = rep(z_dlas), rep(nhi)
         if two_dla:
