@@ -37,6 +37,9 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1280,
         batch_log_likelihoods,
         compute_sample_window,
     )
+    from gp_dla_detection_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from gp_dla_detection_tpu.ops.evidence_pallas import SAMPLE_TILE
     from gp_dla_detection_tpu.params import NullModelParams, Parameters
 

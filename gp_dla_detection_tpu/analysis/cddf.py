@@ -185,12 +185,13 @@ class DLACatalogue:
 
     def resample(self, do_it: bool = True, nspec: int = 0, seed=None) -> None:
         """Bootstrap: draw a new spectrum sample with replacement,
-        stratified in z_max so rare high-z quasars keep representation."""
-        if do_it and self.second_dla:
-            raise NotImplementedError(
-                "bootstrap resampling with the second-DLA posterior is "
-                "not implemented (as in calc_cddf.py:128)"
-            )
+        stratified in z_max so rare high-z quasars keep representation.
+
+        Works with the second-DLA posterior too (the reference raises
+        there, calc_cddf.py:128): every per-spectrum array — first- and
+        second-DLA likelihoods, base sample indices, p(2 DLAs) — is read
+        through the same resample view, so a bootstrap draw carries a
+        sightline's whole multi-DLA posterior with it."""
         self.do_resample = do_it
         if not do_it:
             return
@@ -241,12 +242,12 @@ class DLACatalogue:
 
     def _log_norm_like(self, spec, second=False):
         if second:
-            return self.log_norm_like_2[spec]
+            return self._view(self.log_norm_like_2)[spec]
         return self._view(self.log_norm_like)[spec]
 
     def _p_dla(self, second=False):
         if second:
-            return self.p_dla_2
+            return self._view(self.p_dla_2)
         return self._view(self.p_dla)
 
     # --- filters (calc_cddf.py:283-299) -------------------------------
@@ -325,7 +326,7 @@ class DLACatalogue:
             # the second DLA's parameters for (first-DLA) sample j live
             # at sample index base_sample_inds[spec, j]
             # (calc_cddf.py:683-692)
-            base = self.base_sample_inds[spec]
+            base = self._view(self.base_sample_inds)[spec]
             lnhi_vals = lnhi_vals[base]
             redshifts = redshifts[base]
         return lnhi_vals, redshifts

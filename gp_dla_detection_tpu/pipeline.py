@@ -51,6 +51,11 @@ class PipelineConfig:
     # additionally run {no DLA, 1, 2}-DLA model selection after the
     # single-DLA pass (multi_dla.py; later-pipeline output format)
     multi_dla: bool = False
+    # persistent XLA compilation cache (utils/compile_cache.py): repeat
+    # or resumed runs skip the 30s-10min remote TPU kernel compiles.
+    # True = default dir / $GPDLA_JAX_CACHE_DIR, a str = that dir,
+    # False = leave jax untouched
+    compilation_cache: bool | str = True
 
     def __post_init__(self):
         # fail at config time, not hours into the run
@@ -79,6 +84,14 @@ class Pipeline:
         self.mesh = mesh
         self.workdir = Path(self.config.workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
+        if self.config.compilation_cache:
+            from .utils import enable_compilation_cache
+
+            enable_compilation_cache(
+                None
+                if self.config.compilation_cache is True
+                else self.config.compilation_cache
+            )
 
     # --- artifact paths (processed_directory layout, set_parameters.m:82-86)
     @property

@@ -1,5 +1,7 @@
-"""Utilities: observability (timing, debug logging, profiling)."""
+"""Utilities: observability (timing, debug logging, profiling) and the
+persistent compilation cache."""
 
+from .compile_cache import enable_compilation_cache
 from .observability import (
     ProgressMeter,
     Timer,
@@ -13,6 +15,7 @@ __all__ = [
     "ProgressMeter",
     "Timer",
     "debug_print",
+    "enable_compilation_cache",
     "set_debug",
     "stage_timer",
     "trace",

@@ -275,11 +275,19 @@ def test_second_dla_counts():
     lnhi_map, z_map = cat.find_max_like(0, second=True)
     assert abs(lnhi_map - 21.45) < 1e-12 and abs(z_map - 2.15) < 1e-12
 
-    # resampling with second DLA is explicitly unimplemented
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        cat.resample(True)
+    # bootstrap with the second-DLA posterior (the reference raises
+    # here, calc_cddf.py:128): an identity resample must reproduce the
+    # un-resampled statistics exactly, and a random draw must run
+    base_dndx = cat.line_density(z_min=2.0, z_max=3.0)[1]
+    cat.resample(True)
+    cat._resample = np.arange(cat.p_dla.size)  # identity draw
+    np.testing.assert_array_equal(
+        cat.line_density(z_min=2.0, z_max=3.0)[1], base_dndx
+    )
+    cat.resample(True, seed=5)
+    boot_dndx = cat.line_density(z_min=2.0, z_max=3.0)[1]
+    assert np.all(np.isfinite(boot_dndx)) and boot_dndx.sum() > 0
+    cat.resample(False)
 
 
 def test_cddf_lnhi_max_forwarded():

@@ -7,6 +7,17 @@ import json
 
 import numpy as np
 
+
+def test_enable_compilation_cache(tmp_path):
+    """First caller wins; later calls are no-ops returning the dir in
+    effect (the cache is global jax state)."""
+    from gp_dla_detection_tpu.utils import enable_compilation_cache
+
+    d1 = enable_compilation_cache(tmp_path / "c1")
+    d2 = enable_compilation_cache(tmp_path / "c2")
+    assert d1 is not None
+    assert d2 == d1
+
 from gp_dla_detection_tpu.params import (
     DLASamplingParams,
     NullModelParams,
