@@ -25,6 +25,7 @@ __all__ = [
     "do_data_plots",
     "do_check_p_thresh",
     "do_snr_check",
+    "do_pixel_noise_check",
     "do_lowzcut_check",
     "do_qso_split",
     "do_length_split",
@@ -257,6 +258,38 @@ def do_snr_check(cat, subdir) -> None:
     plt.savefig(subdir / "dndx_gp_snr.pdf")
     plt.clf()
     cat.snr_thresh = first
+
+
+def do_pixel_noise_check(cat, subdir) -> None:
+    """Sweep the noisy-pixel excision threshold (make_plots.py:96-119).
+
+    Requires ``cat.pixel_noise``.  Temporarily sets snr_thresh=1 and
+    filter_noisy_pixels=True like the reference; each threshold is set
+    BEFORE its plot (the reference's dN/dX block reuses the previous
+    loop's stale 0.25^2 threshold for the curve it labels "N < 0.5",
+    make_plots.py:110 — a label/threshold mismatch not replicated)."""
+    plt = _plt()
+    subdir = Path(subdir)
+    subdir.mkdir(parents=True, exist_ok=True)
+    old_snr, old_thresh = cat.snr_thresh, cat.noise_thresh
+    old_filter = cat.filter_noisy_pixels
+    cat.snr_thresh = 1
+    cat.filter_noisy_pixels = True
+    sweeps = [(0.5**2, "N < 0.5"), (1.0, "N < 1"), (0.25**2, "N < 0.25")]
+    for thresh, label in sweeps:
+        cat.noise_thresh = thresh
+        plot_omega_dla(cat, zmax=5, label=label, twosigma=(thresh == 0.5**2))
+    plt.legend(loc=0)
+    plt.savefig(subdir / "omega_gp_pix_noise.pdf")
+    plt.clf()
+    for thresh, label in sweeps:
+        cat.noise_thresh = thresh
+        plot_line_density(cat, zmax=5, label=label)
+    plt.legend(loc=0)
+    plt.savefig(subdir / "dndx_gp_pix_noise.pdf")
+    plt.clf()
+    cat.snr_thresh, cat.noise_thresh = old_snr, old_thresh
+    cat.filter_noisy_pixels = old_filter
 
 
 def do_lowzcut_check(cat, subdir) -> None:

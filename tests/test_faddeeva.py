@@ -85,3 +85,59 @@ def test_voigt_absorption_fast_close_to_accurate():
     acc = np.asarray(voigt_absorption(lam, z, nhi, fast=False))
     fastp = np.asarray(voigt_absorption(lam, z, nhi, fast=True))
     assert np.max(np.abs(acc - fastp)) < 2e-5
+
+
+def test_g_function_vs_dawson_everywhere():
+    """The global rational G(x) = 2xF(x)-1 against scipy's Dawson F:
+    true relative accuracy in the wing (|x| >= 3.5, where the
+    Lorentzian term dominates Re w), absolute-with-exp-slack nearer the
+    core (where e^{-x^2} dominates) -- the exact contract the fit was
+    weighted for."""
+    from scipy.special import dawsn
+
+    from gp_dla_detection_tpu.ops.faddeeva import g_function
+
+    # 2x dawsn(x) - 1 cancels catastrophically in f64 beyond x ~ 1e4
+    # (G ~ 1/(2x^2) sinks below the eps of the ~1 terms), so the oracle
+    # switches to the asymptotic series G = sum (2m-1)!!/(2x^2)^m there
+    # (truncation < 1e-13 relative at x >= 30).
+    x = np.concatenate(
+        [np.linspace(0.0, 12.0, 60001), 10 ** np.linspace(1.08, 6.0, 4001)]
+    )
+    u = 0.5 / x[x >= 30.0] ** 2
+    series = np.zeros_like(u)
+    for c in (2027025.0, 135135.0, 10395.0, 945.0, 105.0, 15.0, 3.0, 1.0):
+        series = (series + c) * u
+    exact = np.where(
+        x >= 30.0,
+        np.concatenate([np.zeros((x < 30.0).sum()), series]),
+        2.0 * x * dawsn(x) - 1.0,
+    )
+    ours = np.asarray(g_function(x))
+    y_max = LINE_YS.max()
+    slack = (np.sqrt(np.pi) / (2 * y_max)) * np.exp(-np.minimum(x * x, 200.0))
+    rel = np.abs(ours - exact) / np.maximum(np.abs(exact), slack)
+    assert rel.max() < 8e-6
+    # wing region: strict relative accuracy
+    wing = x >= 3.5
+    assert np.max(np.abs(ours[wing] - exact[wing]) / exact[wing]) < 8e-6
+
+
+def test_wofz_real_fast_property():
+    """Property-based spot checks across the (x, y) DLA domain."""
+    from hypothesis import given, settings, strategies as st
+    from scipy.special import wofz
+
+    from gp_dla_detection_tpu.ops.faddeeva import wofz_real_fast
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(min_value=-5e4, max_value=5e4, allow_nan=False),
+        st.floats(min_value=1e-7, max_value=5e-4),
+    )
+    def check(x, y):
+        exact = wofz(x + 1j * y).real
+        ours = float(np.asarray(wofz_real_fast(np.float64(x), np.float64(y))))
+        assert abs(ours - exact) <= 1.2e-5 * abs(exact)
+
+    check()

@@ -43,6 +43,8 @@ def test_do_data_plots_writes_tables(tmp_path, capsys):
 
 
 def test_robustness_sweeps_run(tmp_path):
+    from gp_dla_detection_tpu.analysis.plots import do_pixel_noise_check
+
     cat = make_synthetic_catalogue(n_certain=10, n_empty=60, n_weak=10)
     cat.snrs = np.full(cat.p_dla.size, 5.0)
     do_check_p_thresh(cat, tmp_path)
@@ -51,6 +53,19 @@ def test_robustness_sweeps_run(tmp_path):
     assert (tmp_path / "dndx_gp_pthresh.pdf").exists()
     assert (tmp_path / "omega_gp_snr.pdf").exists()
     assert (tmp_path / "dndx_gp_zqso.pdf").exists()
+
+    # pixel-noise sweep (make_plots.py:96-119) needs pixel_noise arrays
+    rng = np.random.default_rng(0)
+    cat.pixel_noise = [
+        np.where(rng.uniform(size=100) < 0.1, 1.0, 0.01)
+        for _ in range(cat.p_dla.size)
+    ]
+    old = (cat.snr_thresh, cat.noise_thresh, cat.filter_noisy_pixels)
+    do_pixel_noise_check(cat, tmp_path)
+    assert (tmp_path / "omega_gp_pix_noise.pdf").exists()
+    assert (tmp_path / "dndx_gp_pix_noise.pdf").exists()
+    # sweep restores all toggles it touched
+    assert old == (cat.snr_thresh, cat.noise_thresh, cat.filter_noisy_pixels)
 
 
 def test_latex_formatting():
