@@ -186,38 +186,42 @@ def wofz_real(x, y):
     return jnp.where(outer, w_cf, inner_val)
 
 
-# --- the global G(x) rational fit -------------------------------------
+# --- the global G(x) polynomial fit -----------------------------------
 #
 # G(x) = 2x F(x) - 1 (F = Dawson) is the whole x-dependence of the
-# Lorentzian term of Re w at small y.  One rational covers ALL real x in
-# the compactifying variable s = 1/(1 + x^2/_G_A):  G = s * P(s)/Q(s),
+# Lorentzian term of Re w at small y.  One fit covers ALL real x in
+# the compactifying variable s = 1/(1 + x^2/_G_A):  G = s * P(s),
 # which reproduces both the core (s -> 1) and the asymptotic wing
-# G ~ 1/(2x^2) (s -> 0, where P(0) converges to _G_A/... the exact wing
-# slope — the fit discovers 1/12 = 0.5/_G_A by itself).  This replaces
-# the previous two-branch scheme (degree-32 Chebyshev-Dawson inside a
-# radius + 8-term asymptotic series outside): no branch select, no
-# clamp, ~19 VPU flops per element instead of ~70.
+# G ~ 1/(2x^2) (s -> 0, where s*P converges to the exact wing slope —
+# the fit discovers P(0) = _G_A/2 / _G_A = 1/2 ... by itself).  This
+# replaces the previous two-branch scheme (degree-32 Chebyshev-Dawson
+# inside a radius + 8-term asymptotic series outside): no branch
+# select, no clamp.  A denominator-free polynomial at degree 16
+# reaches the same 6.2e-6 weighted-error floor as the earlier
+# degree-(12/2) rational while removing one of its two division-class
+# ops (divisions are multi-op sequences on the TPU VPU; only the
+# s = 1/(1+x^2/A) reciprocal remains): ~2 fma more, ~5 flops less,
+# per element per Lyman line on every full-grid Voigt axis.
 _G_A = 6.0
-_G_NUM_DEG = 12
-_G_DEN_DEG = 2
+_G_NUM_DEG = 16
 
 
 @functools.lru_cache(maxsize=None)
-def _g_global_coeffs() -> tuple[tuple[float, ...], tuple[float, ...]]:
-    """(P, Q) power coefficients (ascending, in s) of the global G fit.
+def _g_global_coeffs() -> tuple[float, ...]:
+    """Power coefficients (ascending, in s) of the global G fit.
 
     Fitted once at import against our own Weideman evaluation
     (G = sqrt(pi) x Im w(x + i0) - 1), so no external special-function
     library is needed.  Fitting G *directly* matters: a Dawson-function
     fit amplifies its error by 2x/G(x) ~ 1.4e3 where G is the difference
-    of two near-equal terms.  Sanathanan-Koerner iteration; the error
-    weight is relative to max(|G|, (sqrt(pi)/2y_max) e^{-x^2}) — beyond
-    |x|~3.5 G dominates Re w and needs true relative accuracy, nearer
-    the core the Gaussian term dominates and absolute slack grows as
-    e^{-x^2}/y; after SK settles, a peak-boosting reweight flattens the
-    maxima where they hurt the composite.  Achieved (vs scipy.wofz,
+    of two near-equal terms.  Iteratively reweighted least squares; the
+    error weight is relative to max(|G|, (sqrt(pi)/2y_max) e^{-x^2}) —
+    beyond |x|~3.5 G dominates Re w and needs true relative accuracy,
+    nearer the core the Gaussian term dominates and absolute slack
+    grows as e^{-x^2}/y; a peak-boosting reweight flattens the maxima
+    where they hurt the composite.  Achieved (vs scipy.wofz,
     tests/test_faddeeva.py): <= 7.5e-6 rel in f32 at the largest
-    Lyman-series y, <= 2e-6 at the others; Q root-free (min ~0.4).
+    Lyman-series y, <= 2e-6 at the others.
     """
     x = np.concatenate(
         [
@@ -238,48 +242,37 @@ def _g_global_coeffs() -> tuple[tuple[float, ...], tuple[float, ...]]:
     den = np.maximum(np.abs(g), slack)
     s = 1.0 / (1.0 + x * x / _G_A)
     vm = np.vander(s, _G_NUM_DEG + 1, increasing=True)
-    vn = np.vander(s, _G_DEN_DEG + 1, increasing=True)[:, 1:]
-    q = np.ones_like(s)
     extra = np.ones_like(s)
     best = None
-    for it in range(60):
-        wgt = extra / (den * np.abs(q))
-        a = np.concatenate(
-            [wgt[:, None] * vm * s[:, None], -(wgt * g)[:, None] * vn],
-            axis=1,
-        )
+    for it in range(80):
+        wgt = extra / den
+        a = wgt[:, None] * vm * s[:, None]
         sol, *_ = np.linalg.lstsq(a, wgt * g, rcond=None)
-        p_c, q_c = sol[: _G_NUM_DEG + 1], sol[_G_NUM_DEG + 1 :]
-        q = 1.0 + vn @ q_c
-        err = np.abs(s * (vm @ p_c) / q - g) / den
+        err = np.abs(s * (vm @ sol) - g) / den
         mx = err.max()
         if best is None or mx < best[0]:
-            best = (mx, p_c.copy(), q_c.copy())
-        if it >= 20:
+            best = (mx, sol.copy())
+        if it >= 10:
             extra *= np.sqrt(1.0 + err / mx)
             extra /= extra.mean()
-    _, p_c, q_c = best
-    return (
-        tuple(float(c) for c in p_c),
-        (1.0, *(float(c) for c in q_c)),
-    )
+    _, p_c = best
+    return tuple(float(c) for c in p_c)
 
 
 def g_function(x):
-    """G(x) = 2x F(x) - 1 for ALL real x by the global rational fit
-    (two divisions, Pallas-safe, even in x).  Single definition shared
+    """G(x) = 2x F(x) - 1 for ALL real x by the global polynomial fit
+    (one reciprocal, Pallas-safe, even in x).  Single definition shared
     by the fast path and both windowed Voigt implementations: the
     in-window overwrite/correction must complete exactly this function
     (wofz_real_fast = exp_core + (2y/sqrt(pi)) g_function)."""
-    p_c, q_c = _g_global_coeffs()
+    p_c = _g_global_coeffs()
     x2 = x * x
     one = jnp.ones_like(x2)
     s = one / (one + x2 * (1.0 / _G_A))
     num = jnp.full_like(s, p_c[-1])
     for c in p_c[-2::-1]:
         num = num * s + c
-    den = (q_c[2] * s + q_c[1]) * s + 1.0
-    return s * num / den
+    return s * num
 
 
 def exp_core(x2, y):

@@ -17,12 +17,44 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["interp1", "interp_columns"]
+__all__ = [
+    "interp1",
+    "interp_columns",
+    "interp1_uniform",
+    "interp_columns_uniform",
+]
 
 
 def _bracket(xp, x):
     """Indices/weights of the bracketing interval for each x (clamped)."""
     idx = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0, xp.shape[0] - 2)
+    x0 = xp[idx]
+    x1 = xp[idx + 1]
+    t = (x - x0) / (x1 - x0)
+    return idx, t
+
+
+def _bracket_uniform(xp, x):
+    """_bracket for a UNIFORMLY spaced xp: the interval index comes from
+    arithmetic instead of an O(log n) binary search of gather/compare
+    steps (a large cost on TPU, where each step is a vector gather).
+
+    One ±1 correction against the actual knots makes the result
+    bit-identical to :func:`_bracket` even when xp's values carry
+    rounding at the ulp level (e.g. a float32 arange-built grid), so the
+    generic and uniform paths are interchangeable on such grids.  Grids
+    that are not uniform to within one cell of the arithmetic guess are
+    outside this function's contract — use :func:`_bracket`.
+    """
+    n = xp.shape[0]
+    inv_dx = (n - 1) / (xp[-1] - xp[0])
+    idx = jnp.clip(
+        jnp.floor((x - xp[0]) * inv_dx).astype(jnp.int32), 0, n - 2
+    )
+    # searchsorted(side="right") semantics at the knots: x == xp[i]
+    # brackets [i, i+1) with t = 0
+    idx = jnp.where(x < xp[idx], idx - 1, idx)
+    idx = jnp.clip(jnp.where(x >= xp[idx + 1], idx + 1, idx), 0, n - 2)
     x0 = xp[idx]
     x1 = xp[idx + 1]
     t = (x - x0) / (x1 - x0)
@@ -44,4 +76,18 @@ def interp_columns(xp, columns, x):
     columns (the reference's M_interpolator, process_qsos.m:67-68).
     """
     idx, t = _bracket(xp, x)
+    return columns[idx, :] * (1.0 - t)[:, None] + columns[idx + 1, :] * t[:, None]
+
+
+def interp1_uniform(xp, fp, x):
+    """:func:`interp1` for uniformly spaced xp (bit-identical on such
+    grids, without the binary search — the inference hot path: the
+    learned model's rest grid is arange-built, params.py)."""
+    idx, t = _bracket_uniform(xp, x)
+    return fp[idx] * (1.0 - t) + fp[idx + 1] * t
+
+
+def interp_columns_uniform(xp, columns, x):
+    """:func:`interp_columns` for uniformly spaced xp."""
+    idx, t = _bracket_uniform(xp, x)
     return columns[idx, :] * (1.0 - t)[:, None] + columns[idx + 1, :] * t[:, None]
