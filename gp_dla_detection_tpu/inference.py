@@ -267,15 +267,22 @@ def _prepare_spectrum(
     # interpolate the learned model onto this spectrum (process_qsos.m:138-143);
     # the model rest grid is arange-built (params.NullModelParams
     # .rest_wavelengths, set_parameters.m:33-35), so the uniform-grid
-    # bracketing applies — bit-identical to the generic searchsorted
-    # path, minus the per-query binary search (~19% of a B=1024
-    # inference step on v5e went to this interpolation)
-    from .ops.interp import interp1_uniform, interp_columns_uniform
+    # bracketing applies, and mu/M/log_omega share one bracketing and
+    # one fused row gather — bit-identical to the generic searchsorted
+    # path, at ~half the cost of even the uniform per-array version
+    # (the searchsorted original was ~19% of a B=1024 inference step)
+    from .ops.interp import interp_stack_uniform
 
     grid = jnp.asarray(model_grid, dtype)
-    mu = interp1_uniform(grid, jnp.asarray(model_mu, dtype), rest)
-    M = interp_columns_uniform(grid, jnp.asarray(model_M, dtype), rest)
-    log_omega = interp1_uniform(grid, jnp.asarray(model_log_omega, dtype), rest)
+    mu, log_omega, M = interp_stack_uniform(
+        grid,
+        (
+            jnp.asarray(model_mu, dtype),
+            jnp.asarray(model_log_omega, dtype),
+            jnp.asarray(model_M, dtype),
+        ),
+        rest,
+    )
 
     # Lyα-forest scaling of omega^2 (process_qsos.m:145-147)
     c_0 = jnp.exp(jnp.asarray(log_c_0, dtype))

@@ -22,6 +22,7 @@ __all__ = [
     "interp_columns",
     "interp1_uniform",
     "interp_columns_uniform",
+    "interp_stack_uniform",
 ]
 
 
@@ -91,3 +92,35 @@ def interp_columns_uniform(xp, columns, x):
     """:func:`interp_columns` for uniformly spaced xp."""
     idx, t = _bracket_uniform(xp, x)
     return columns[idx, :] * (1.0 - t)[:, None] + columns[idx + 1, :] * t[:, None]
+
+
+def interp_stack_uniform(xp, stack, x):
+    """Interpolate several quantities over ONE shared uniform grid with
+    one bracketing and one row gather.
+
+    ``stack``: sequence of (n,) or (n, k) arrays on the grid ``xp``.
+    Returns the interpolated arrays in the same shapes ((m,) or (m, k)).
+
+    TPU rationale: row gathers dominate the model-interpolation step of
+    inference prepare; fusing [values | next-values] of every quantity
+    into a single (n-1, 2w) table turns 2 gathers per quantity into one
+    gather total.  Each output element is still computed as
+    fp[idx]*(1-t) + fp[idx+1]*t, so results are BIT-identical to
+    :func:`interp1_uniform` / :func:`interp_columns_uniform` (and hence
+    to the generic searchsorted path on uniform grids).
+    """
+    arrs = [a if a.ndim == 2 else a[:, None] for a in map(jnp.asarray, stack)]
+    widths = [a.shape[1] for a in arrs]
+    f = jnp.concatenate(arrs, axis=1)
+    ff = jnp.concatenate([f[:-1], f[1:]], axis=1)       # (n-1, 2w)
+    idx, t = _bracket_uniform(xp, x)
+    rows = ff[idx, :]
+    w = f.shape[1]
+    out = rows[:, :w] * (1.0 - t)[:, None] + rows[:, w:] * t[:, None]
+    pieces = []
+    start = 0
+    for a, width in zip(stack, widths):
+        piece = out[:, start : start + width]
+        pieces.append(piece[:, 0] if jnp.asarray(a).ndim == 1 else piece)
+        start += width
+    return pieces

@@ -161,13 +161,29 @@ def log_mvnpdf_low_rank(y, mu, M, d, mask=None):
     inv_d = jnp.where(valid, 1.0 / d_safe, 0.0)
     yc = jnp.where(valid, yc, 0.0)
 
-    P = pair_products(M)
-    w = inv_d
     u = yc * inv_d
     quad0 = jnp.sum(yc * u, axis=-1)
     logdet_d = jnp.sum(jnp.where(valid, jnp.log(d_safe), 0.0), axis=-1)
     n_eff = jnp.sum(valid, axis=-1).astype(dtype)
-    return woodbury_log_p(M, P, w, u, quad0, logdet_d, n_eff)
+
+    # ONE weight vector per call: the Gram B = M' diag(w) M comes from a
+    # direct (k, n) x (n, k) MXU matmul.  The pair-product formulation
+    # (woodbury_log_p) pays off only when many weight vectors share one
+    # M (training: spectra axis; sampled evidence: QMC axis) — here it
+    # would materialize an (n, k(k+1)/2) table per call for a single
+    # (1, t) result row, pure HBM traffic on the inference null path.
+    prec = (
+        jax.lax.Precision.HIGH
+        if dtype == jnp.float32
+        else jax.lax.Precision.HIGHEST
+    )
+    k = M.shape[-1]
+    B = jnp.matmul(
+        jnp.swapaxes(M, -1, -2), M * inv_d[..., None], precision=prec
+    ) + jnp.eye(k, dtype=dtype)
+    b = jnp.matmul(u[..., None, :], M, precision=prec)[..., 0, :]
+    bBb, logdet_B = batched_spd_quad_logdet(B, b)
+    return -0.5 * (quad0 - bBb + logdet_d + logdet_B + n_eff * LOG_2PI)
 
 
 @partial(jax.jit, static_argnames=())

@@ -44,6 +44,27 @@ def test_uniform_bracketing_bit_identical_on_model_grid(dtype):
     np.testing.assert_array_equal(refc, unic)
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_stack_interp_bit_identical(dtype):
+    """The fused one-gather stack interpolation must equal the per-array
+    uniform variants bitwise (it is the inference hot path)."""
+    from gp_dla_detection_tpu.ops.interp import interp_stack_uniform
+
+    grid = NullModelParams().rest_wavelengths().astype(dtype)
+    rng = np.random.default_rng(2)
+    mu = rng.normal(size=grid.size).astype(dtype)
+    lo = rng.normal(size=grid.size).astype(dtype)
+    M = rng.normal(size=(grid.size, 7)).astype(dtype)
+    x = np.concatenate(
+        [rng.uniform(grid[0] - 1, grid[-1] + 1, 3000), grid[:: 13]]
+    ).astype(dtype)
+
+    mu_i, lo_i, M_i = interp_stack_uniform(grid, (mu, lo, M), x)
+    np.testing.assert_array_equal(np.asarray(mu_i), np.asarray(interp1_uniform(grid, mu, x)))
+    np.testing.assert_array_equal(np.asarray(lo_i), np.asarray(interp1_uniform(grid, lo, x)))
+    np.testing.assert_array_equal(np.asarray(M_i), np.asarray(interp_columns_uniform(grid, M, x)))
+
+
 def test_generic_bracketing_on_nonuniform_grid():
     """The generic path (used for per-spectrum wavelength grids, which
     are uniform in log lambda, not lambda) matches numpy.interp inside
