@@ -249,3 +249,77 @@ def test_multi_matlab_roundtrip(multi_problem, tmp_path):
     # sample discreteness: the best joint pair must place its two
     # absorbers near the two injected redshifts (one per axis)
     assert abs(zs[0] - 2.45) < 0.12 and abs(zs[1] - 2.85) < 0.12, zs
+
+
+def test_two_dla_pallas_full_lyman_series(multi_problem):
+    """Pair kernel at num_lines=31 (the reference kernel's default,
+    voigt.c:266): the fresh axis's per-line windows must track all 31
+    line centers while the resampled axis accumulates its full-grid
+    optical depth, for BOTH absorbers of each pair.  Interpret mode
+    (the 31-line kernel does not lower on real v5e, CLAUDE.md); XLA f64
+    is the oracle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gp_dla_detection_tpu.inference import compute_sample_window
+    from gp_dla_detection_tpu.multi_dla import make_batch_dla2_fn
+    from gp_dla_detection_tpu.params import kms_to_z
+
+    params, model, spectra, offsets, nhis, prior_z, prior_num, res = multi_problem
+    params31 = dataclasses.replace(params, num_lines=31)
+    S = 96
+    order = np.argsort(offsets[:S])
+    off = offsets[:S][order]
+    nh = nhis[:S][order]
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, S, size=(len(spectra), S))
+    off_b = off[base]
+    nh_b = nh[base]
+    min_sep = kms_to_z(3000.0)
+
+    model_args = lambda dt: (
+        jnp.asarray(model.rest_wavelengths, dt),
+        jnp.asarray(model.mu, dt),
+        jnp.asarray(model.M, dt),
+        jnp.asarray(model.log_omega, dt),
+    )
+    spec_args = lambda dt: (
+        jnp.asarray(spectra.wavelengths, dt),
+        jnp.asarray(spectra.flux, dt),
+        jnp.asarray(spectra.noise_variance, dt),
+        jnp.asarray(spectra.mask),
+        jnp.asarray(spectra.z_qso, dt),
+    )
+
+    fn_xla = make_batch_dla2_fn(model, params31, S, 48, min_sep, "xla")
+    a = np.asarray(
+        fn_xla(
+            *spec_args(np.float64), *model_args(np.float64),
+            jnp.asarray(off), jnp.asarray(nh),
+            jnp.asarray(off_b), jnp.asarray(nh_b),
+        ),
+        np.float64,
+    )
+
+    window = compute_sample_window(
+        off, 128, spectra.wavelengths.shape[1] + 2 * params31.instrument.width
+    )
+    fn_pl = make_batch_dla2_fn(
+        model, params31, S, 48, min_sep, "pallas_interpret", window, tile=128
+    )
+    b = np.asarray(
+        fn_pl(
+            *spec_args(np.float32), *model_args(np.float32),
+            jnp.asarray(off, jnp.float32), jnp.asarray(nh, jnp.float32),
+            jnp.asarray(off_b, jnp.float32), jnp.asarray(nh_b, jnp.float32),
+        ),
+        np.float64,
+    )
+
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1.0)
+    # f32 roundoff accumulates over 31 lines x TWO absorbers' optical
+    # depths (measured worst ~1.8e-4; the single-absorber 31-line bound
+    # is 5e-5, the 3-line pair driver bound 1e-2)
+    assert np.nanmax(rel) < 5e-4
