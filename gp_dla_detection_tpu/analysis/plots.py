@@ -41,6 +41,24 @@ def _plt():
     return plt
 
 
+def _restoring(cat, *attrs):
+    """Context manager: save the named catalogue attributes and restore
+    them on exit (success OR failure) — the sweeps must not leak their
+    temporary thresholds/toggles into the caller's catalogue."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        saved = [(a, getattr(cat, a)) for a in attrs]
+        try:
+            yield
+        finally:
+            for a, v in saved:
+                setattr(cat, a, v)
+
+    return ctx()
+
+
 def _errorbar(plt, *args, **kwargs):
     """plt.errorbar, minus a matplotlib quirk: its error-upcast probe
     calls math.isfinite on the first element of tuple errors, which for
@@ -224,16 +242,15 @@ def do_check_p_thresh(cat, subdir) -> None:
     plt = _plt()
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
-    old_sample = cat.p_thresh_sample
-    for thresh in (old_sample, 1e-2):
-        cat.p_thresh_sample = thresh
-        plot_line_density(cat, zmax=5, label=f"p_sample > {thresh}")
-    cat.p_thresh_sample = old_sample
-    old = cat.p_thresh_spec
-    for thresh in (0.1,):
-        cat.p_thresh_spec = thresh
-        plot_line_density(cat, zmax=5, label=f"p_spec > {thresh}")
-    cat.p_thresh_spec = old
+    with _restoring(cat, "p_thresh_sample", "p_thresh_spec"):
+        first = cat.p_thresh_sample
+        for thresh in (first, 1e-2):
+            cat.p_thresh_sample = thresh
+            plot_line_density(cat, zmax=5, label=f"p_sample > {thresh}")
+        cat.p_thresh_sample = first
+        for thresh in (0.1,):
+            cat.p_thresh_spec = thresh
+            plot_line_density(cat, zmax=5, label=f"p_spec > {thresh}")
     plt.legend(loc=0)
     plt.savefig(subdir / "dndx_gp_pthresh.pdf")
     plt.clf()
@@ -244,20 +261,21 @@ def do_snr_check(cat, subdir) -> None:
     plt = _plt()
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
-    first = cat.snr_thresh
-    for snr in (-2, 2, 4):
-        cat.snr_thresh = snr
-        plot_omega_dla(cat, zmax=5, label=f"SNR > {snr}", twosigma=(snr == -2))
-    plt.legend(loc=0)
-    plt.savefig(subdir / "omega_gp_snr.pdf")
-    plt.clf()
-    for snr in (-2, 2, 4):
-        cat.snr_thresh = snr
-        plot_line_density(cat, zmax=5, label=f"SNR > {snr}")
-    plt.legend(loc=0)
-    plt.savefig(subdir / "dndx_gp_snr.pdf")
-    plt.clf()
-    cat.snr_thresh = first
+    with _restoring(cat, "snr_thresh"):
+        for snr in (-2, 2, 4):
+            cat.snr_thresh = snr
+            plot_omega_dla(
+                cat, zmax=5, label=f"SNR > {snr}", twosigma=(snr == -2)
+            )
+        plt.legend(loc=0)
+        plt.savefig(subdir / "omega_gp_snr.pdf")
+        plt.clf()
+        for snr in (-2, 2, 4):
+            cat.snr_thresh = snr
+            plot_line_density(cat, zmax=5, label=f"SNR > {snr}")
+        plt.legend(loc=0)
+        plt.savefig(subdir / "dndx_gp_snr.pdf")
+        plt.clf()
 
 
 def do_pixel_noise_check(cat, subdir) -> None:
@@ -271,25 +289,24 @@ def do_pixel_noise_check(cat, subdir) -> None:
     plt = _plt()
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
-    old_snr, old_thresh = cat.snr_thresh, cat.noise_thresh
-    old_filter = cat.filter_noisy_pixels
-    cat.snr_thresh = 1
-    cat.filter_noisy_pixels = True
-    sweeps = [(0.5**2, "N < 0.5"), (1.0, "N < 1"), (0.25**2, "N < 0.25")]
-    for thresh, label in sweeps:
-        cat.noise_thresh = thresh
-        plot_omega_dla(cat, zmax=5, label=label, twosigma=(thresh == 0.5**2))
-    plt.legend(loc=0)
-    plt.savefig(subdir / "omega_gp_pix_noise.pdf")
-    plt.clf()
-    for thresh, label in sweeps:
-        cat.noise_thresh = thresh
-        plot_line_density(cat, zmax=5, label=label)
-    plt.legend(loc=0)
-    plt.savefig(subdir / "dndx_gp_pix_noise.pdf")
-    plt.clf()
-    cat.snr_thresh, cat.noise_thresh = old_snr, old_thresh
-    cat.filter_noisy_pixels = old_filter
+    with _restoring(cat, "snr_thresh", "noise_thresh", "filter_noisy_pixels"):
+        cat.snr_thresh = 1
+        cat.filter_noisy_pixels = True
+        sweeps = [(0.5**2, "N < 0.5"), (1.0, "N < 1"), (0.25**2, "N < 0.25")]
+        for thresh, label in sweeps:
+            cat.noise_thresh = thresh
+            plot_omega_dla(
+                cat, zmax=5, label=label, twosigma=(thresh == 0.5**2)
+            )
+        plt.legend(loc=0)
+        plt.savefig(subdir / "omega_gp_pix_noise.pdf")
+        plt.clf()
+        for thresh, label in sweeps:
+            cat.noise_thresh = thresh
+            plot_line_density(cat, zmax=5, label=label)
+        plt.legend(loc=0)
+        plt.savefig(subdir / "dndx_gp_pix_noise.pdf")
+        plt.clf()
 
 
 def do_lowzcut_check(cat, subdir) -> None:
@@ -297,14 +314,15 @@ def do_lowzcut_check(cat, subdir) -> None:
     plt = _plt()
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
-    old = cat.lowzcut
-    for cut in (True, False):
-        cat.lowzcut = cut
-        plot_omega_dla(cat, zmax=5, label=f"lowzcut={cut}", twosigma=not cut)
+    with _restoring(cat, "lowzcut"):
+        for cut in (True, False):
+            cat.lowzcut = cut
+            plot_omega_dla(
+                cat, zmax=5, label=f"lowzcut={cut}", twosigma=not cut
+            )
     plt.legend(loc=0)
     plt.savefig(subdir / "omega_gp_lowz.pdf")
     plt.clf()
-    cat.lowzcut = old
 
 
 def do_qso_split(cat, subdir, splits=(2.0, 3.0, 3.5, 6.0)) -> None:
@@ -314,10 +332,10 @@ def do_qso_split(cat, subdir, splits=(2.0, 3.0, 3.5, 6.0)) -> None:
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
     old = cat.condition.copy()
-    for lo, hi in zip(splits[:-1], splits[1:]):
-        cat.condition = old & (cat._z_max > lo) & (cat._z_max < hi)
-        plot_line_density(cat, zmax=5, label=f"{lo} < z_qso < {hi}")
-    cat.condition = old
+    with _restoring(cat, "condition"):
+        for lo, hi in zip(splits[:-1], splits[1:]):
+            cat.condition = old & (cat._z_max > lo) & (cat._z_max < hi)
+            plot_line_density(cat, zmax=5, label=f"{lo} < z_qso < {hi}")
     plt.legend(loc=0)
     plt.savefig(subdir / "dndx_gp_zqso.pdf")
     plt.clf()
@@ -330,10 +348,10 @@ def do_length_split(cat, subdir, splits=(0.0, 0.5, 1.0, 5.0)) -> None:
     subdir.mkdir(parents=True, exist_ok=True)
     old = cat.condition.copy()
     z_diff = cat._z_max - cat._z_min
-    for lo, hi in zip(splits[:-1], splits[1:]):
-        cat.condition = old & (z_diff > lo) & (z_diff < hi)
-        plot_line_density(cat, zmax=5, label=f"{lo} < dz < {hi}")
-    cat.condition = old
+    with _restoring(cat, "condition"):
+        for lo, hi in zip(splits[:-1], splits[1:]):
+            cat.condition = old & (z_diff > lo) & (z_diff < hi)
+            plot_line_density(cat, zmax=5, label=f"{lo} < dz < {hi}")
     plt.legend(loc=0)
     plt.savefig(subdir / "dndx_gp_length.pdf")
     plt.clf()

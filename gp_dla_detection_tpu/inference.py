@@ -207,8 +207,12 @@ def pallas_tile_plan(
 
     budget = _PALLAS_VMEM_ELEMENTS // (2 if two_dla else 1)
     t = min(tile or SAMPLE_TILE, SAMPLE_TILE)
+    # lane-align: tiles must be multiples of the 128-lane Mosaic
+    # minimum, or the kernel fails to lower (a request like tile=192
+    # must plan 128, not halve to the sub-minimum 96)
+    t = max(t // _PALLAS_MIN_TILE * _PALLAS_MIN_TILE, _PALLAS_MIN_TILE)
     while t > _PALLAS_MIN_TILE and num_pixels_ext * t > budget:
-        t //= 2
+        t = max(t // 2 // _PALLAS_MIN_TILE * _PALLAS_MIN_TILE, _PALLAS_MIN_TILE)
     return t if num_pixels_ext * t <= budget else None
 
 
@@ -235,6 +239,79 @@ def pallas_config_ladder(
         t = t // 2 if t > _PALLAS_MIN_TILE else None
     ladder.append(("xla", None))
     return ladder
+
+
+def ladder_configs(
+    backend: str,
+    num_pixels_ext: int,
+    dtype,
+    tile: int | None = None,
+    two_dla: bool = False,
+) -> list[tuple[str, int | None]]:
+    """pallas_config_ladder gated on the pallas-capable dtype, with the
+    shared loud warning when the requested backend cannot even start
+    (spectrum longer than the minimum-tile VMEM ceiling)."""
+    if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
+        configs = pallas_config_ladder(
+            backend, num_pixels_ext, tile=tile, two_dla=two_dla
+        )
+    else:
+        configs = [(backend, None)]
+    if configs[0][0] != backend:
+        import warnings
+
+        warnings.warn(
+            f"spectrum length exceeds the pallas VMEM ceiling even at the "
+            f"minimum tile; using backend={configs[0][0]!r}",
+            stacklevel=3,
+        )
+    return configs
+
+
+class LadderRunner:
+    """Evaluate through a degradation ladder of (backend, tile) configs.
+
+    ``build(backend, tile)`` returns the batch evaluator for one rung;
+    calls walk the ladder on compile/VMEM failure (with a warning)
+    instead of hard-failing — every config the API accepts must
+    complete.  The reached rung persists across calls, so later batches
+    skip the rungs that already failed.  Shared by all four inference
+    drivers (single/two-DLA x local/sharded).
+    """
+
+    def __init__(self, configs, build, what: str = "evidence"):
+        self.configs = list(configs)
+        self.build = build
+        self.what = what
+        self.idx = 0
+        self.fn = build(*self.configs[0])
+
+    @property
+    def config(self) -> tuple[str, int | None]:
+        return self.configs[self.idx]
+
+    def __call__(self, *args):
+        while True:
+            try:
+                out = self.fn(*args)
+                # surface compile/VMEM failures here, not at the fetch
+                jax.block_until_ready(out)
+                return out
+            except Exception:
+                if self.idx + 1 >= len(self.configs):
+                    raise
+                import warnings
+
+                cur = self.configs[self.idx]
+                nxt = self.configs[self.idx + 1]
+                warnings.warn(
+                    f"{self.what} backend {cur[0]!r} (tile={cur[1]}) "
+                    f"failed to compile/fit; falling back to {nxt[0]!r} "
+                    f"(tile={nxt[1]})",
+                    stacklevel=2,
+                )
+                self.idx += 1
+                self.fn = self.build(*nxt)
 
 
 def _prepare_spectrum(
@@ -379,9 +456,14 @@ def spectrum_log_likelihoods(
             "min_z_dla": min_z_dla,
             "max_z_dla": max_z_dla,
         }
+    # pad by replicating the LAST sample: in windowed mode samples are
+    # z-ascending, so this keeps the final chunk sorted and its pad
+    # columns' line cores inside the chunk window (first-sample padding
+    # would put the lowest-z core outside the window, computing
+    # wrong-but-discarded values in the pad columns)
     pad = (-num_samples) % sample_chunk
-    z_pad = jnp.concatenate([z_dlas, jnp.full((pad,), z_dlas[0], dtype)])
-    n_pad = jnp.concatenate([nhis, jnp.full((pad,), nhis[0], dtype)])
+    z_pad = jnp.concatenate([z_dlas, jnp.full((pad,), z_dlas[-1], dtype)])
+    n_pad = jnp.concatenate([nhis, jnp.full((pad,), nhis[-1], dtype)])
     z_chunks = z_pad.reshape(-1, sample_chunk)
     n_chunks = n_pad.reshape(-1, sample_chunk)
 
@@ -691,61 +773,41 @@ def process_spectra(
 
     # Degradation ladder: a pallas request that cannot fit VMEM (long
     # spectra) or lower on this device retries with halved sample tiles,
-    # then the XLA path, instead of hard-failing (the configs the API
-    # accepts must all complete).  The window is sized for SAMPLE_TILE
-    # chunks, so it stays valid for any smaller tile; the XLA fallback
-    # drops it (its chunks are sample_chunk-sized).
-    if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
-        configs = pallas_config_ladder(
-            backend, spectra.wavelengths.shape[1] + 2 * params.instrument.width
-        )
-    else:
-        configs = [(backend, None)]
-    config_idx = 0
-    if configs[0][0] != backend:
-        import warnings
+    # then the XLA path, instead of hard-failing.  The window is sized
+    # for SAMPLE_TILE chunks, so it stays valid for any smaller tile;
+    # the XLA fallback drops it (its chunks are sample_chunk-sized).
+    def build(run_backend, tile):
+        def call(w, f, nv, mk, zq):
+            return batch_log_likelihoods(
+                w, f, nv, mk, zq, *model_args,
+                params=params,
+                sample_chunk=sample_chunk,
+                backend=run_backend,
+                sample_window=sample_window if run_backend != "xla" else None,
+                tile=tile,
+            )
 
-        warnings.warn(
-            f"spectrum length exceeds the pallas VMEM ceiling even at the "
-            f"minimum tile; using backend={configs[0][0]!r}",
-            stacklevel=2,
-        )
+        return call
+
+    runner = LadderRunner(
+        ladder_configs(
+            backend,
+            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            dtype,
+        ),
+        build,
+    )
 
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
-        while True:
-            run_backend, tile = configs[config_idx]
-            try:
-                out = batch_log_likelihoods(
-                    jnp.asarray(batch.wavelengths, dtype),
-                    jnp.asarray(batch.flux, dtype),
-                    jnp.asarray(batch.noise_variance, dtype),
-                    jnp.asarray(batch.mask),
-                    jnp.asarray(batch.z_qso, dtype),
-                    *model_args,
-                    params=params,
-                    sample_chunk=sample_chunk,
-                    backend=run_backend,
-                    sample_window=sample_window if run_backend != "xla" else None,
-                    tile=tile,
-                )
-                # surface compile/VMEM failures here, not at the fetch
-                jax.block_until_ready(out["sample_log_likelihoods_dla"])
-                break
-            except Exception:
-                if config_idx + 1 >= len(configs):
-                    raise
-                import warnings
-
-                nxt = configs[config_idx + 1]
-                warnings.warn(
-                    f"evidence backend {run_backend!r} (tile={tile}) failed "
-                    f"to compile/fit; falling back to {nxt[0]!r} "
-                    f"(tile={nxt[1]})",
-                    stacklevel=2,
-                )
-                config_idx += 1
+        out = runner(
+            jnp.asarray(batch.wavelengths, dtype),
+            jnp.asarray(batch.flux, dtype),
+            jnp.asarray(batch.noise_variance, dtype),
+            jnp.asarray(batch.mask),
+            jnp.asarray(batch.z_qso, dtype),
+        )
         keep = stop - start
         out_null[start:stop] = np.asarray(out["log_likelihood_no_dla"])[:keep]
         out_samples[start:stop] = np.asarray(out["sample_log_likelihoods_dla"])[:keep]

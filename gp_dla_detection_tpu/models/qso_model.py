@@ -39,6 +39,26 @@ class GPModel:
     log_beta: float
     metadata: dict = dataclasses.field(default_factory=dict)
 
+    def __post_init__(self):
+        # the inference engine interpolates this model with arithmetic
+        # (uniform-grid) bracketing (ops/interp.interp_stack_uniform):
+        # correct for any arange-built grid (the framework's training
+        # always uses NullModelParams.rest_wavelengths), silently wrong
+        # for an arbitrary non-uniform grid — so reject those HERE,
+        # where the contract enters, rather than inside a jit
+        grid = np.asarray(self.rest_wavelengths, np.float64)
+        if grid.ndim != 1 or grid.size < 2:
+            raise ValueError("rest_wavelengths must be a 1-D grid")
+        spacing = np.diff(grid)
+        dx = (grid[-1] - grid[0]) / (grid.size - 1)
+        if dx <= 0 or np.max(np.abs(spacing - dx)) > 1e-3 * abs(dx):
+            raise ValueError(
+                "rest_wavelengths must be uniformly spaced and "
+                "increasing (the engine uses uniform-grid model "
+                "interpolation; got spacing range "
+                f"[{spacing.min():.6g}, {spacing.max():.6g}])"
+            )
+
     @property
     def k(self) -> int:
         return self.M.shape[1]

@@ -488,33 +488,24 @@ def process_spectra_multi(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
 
-    # VMEM/lowering degradation ladder (inference.pallas_config_ladder;
-    # two_dla halves the budget: both absorbers' intermediates are live).
-    # A fallback keeps the pallas data layout (sorted fresh axis + unsort
-    # at the end) — the XLA pair evaluator is order-agnostic, so results
-    # are unchanged.
-    from .inference import pallas_config_ladder
+    # VMEM/lowering degradation ladder (two_dla halves the budget: both
+    # absorbers' intermediates are live).  A fallback keeps the pallas
+    # data layout (sorted fresh axis + unsort at the end) — the XLA pair
+    # evaluator is order-agnostic, so results are unchanged.
+    from .inference import LadderRunner, ladder_configs
 
-    if use_pallas:
-        configs = pallas_config_ladder(
+    runner = LadderRunner(
+        ladder_configs(
             backend,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            dtype,
             two_dla=True,
-        )
-    else:
-        configs = [(backend, None)]
-    if configs[0][0] != backend:
-        import warnings
-
-        warnings.warn(
-            f"spectrum length exceeds the pallas VMEM ceiling even at the "
-            f"minimum tile; using backend={configs[0][0]!r}",
-            stacklevel=2,
-        )
-    config_idx = 0
-    fn = make_batch_dla2_fn(
-        model, params, S, sample_chunk, min_sep_z, configs[0][0], window,
-        tile=configs[0][1],
+        ),
+        lambda rb, tile: make_batch_dla2_fn(
+            model, params, S, sample_chunk, min_sep_z, rb,
+            window if rb != "xla" else None, tile=tile,
+        ),
+        what="two-DLA",
     )
 
     # pair lls stored at the compute dtype: (N, S) is the dominant
@@ -580,28 +571,7 @@ def process_spectra_multi(
             off_j, nh_j,
             jnp.asarray(ob, dtype), jnp.asarray(nb, dtype),
         )
-        while True:
-            try:
-                lls = fn(*fn_args)
-                jax.block_until_ready(lls)
-                break
-            except Exception:
-                if config_idx + 1 >= len(configs):
-                    raise
-                import warnings
-
-                nxt = configs[config_idx + 1]
-                warnings.warn(
-                    f"two-DLA backend {configs[config_idx][0]!r} "
-                    f"(tile={configs[config_idx][1]}) failed to compile/"
-                    f"fit; falling back to {nxt[0]!r} (tile={nxt[1]})",
-                    stacklevel=2,
-                )
-                config_idx += 1
-                fn = make_batch_dla2_fn(
-                    model, params, S, sample_chunk, min_sep_z, nxt[0],
-                    window if nxt[0] != "xla" else None, tile=nxt[1],
-                )
+        lls = runner(*fn_args)
         rows = np.asarray(lls)[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:

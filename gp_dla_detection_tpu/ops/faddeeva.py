@@ -192,8 +192,9 @@ def wofz_real(x, y):
 # Lorentzian term of Re w at small y.  One fit covers ALL real x in
 # the compactifying variable s = 1/(1 + x^2/_G_A):  G = s * P(s),
 # which reproduces both the core (s -> 1) and the asymptotic wing
-# G ~ 1/(2x^2) (s -> 0, where s*P converges to the exact wing slope —
-# the fit discovers P(0) = _G_A/2 / _G_A = 1/2 ... by itself).  This
+# G ~ 1/(2x^2) (s -> 0: there s ~ _G_A/x^2, so the exact wing slope
+# requires P(0) = 1/(2*_G_A) = 1/12 — the fit discovers it by itself).
+# This
 # replaces the previous two-branch scheme (degree-32 Chebyshev-Dawson
 # inside a radius + 8-term asymptotic series outside): no branch
 # select, no clamp.  A denominator-free polynomial at degree 16
@@ -244,7 +245,10 @@ def _g_global_coeffs() -> tuple[float, ...]:
     vm = np.vander(s, _G_NUM_DEG + 1, increasing=True)
     extra = np.ones_like(s)
     best = None
-    for it in range(80):
+    # one plain weighted solve, then 70 peak-reweighted refinements
+    # (iterations with unchanged weights solve the identical lstsq, so
+    # repeating the first solve would be pure warm-up waste)
+    for it in range(71):
         wgt = extra / den
         a = wgt[:, None] * vm * s[:, None]
         sol, *_ = np.linalg.lstsq(a, wgt * g, rcond=None)
@@ -252,9 +256,8 @@ def _g_global_coeffs() -> tuple[float, ...]:
         mx = err.max()
         if best is None or mx < best[0]:
             best = (mx, sol.copy())
-        if it >= 10:
-            extra *= np.sqrt(1.0 + err / mx)
-            extra /= extra.mean()
+        extra *= np.sqrt(1.0 + err / mx)
+        extra /= extra.mean()
     _, p_c = best
     return tuple(float(c) for c in p_c)
 

@@ -159,7 +159,15 @@ def make_lbfgs_runner(
 
             def ls_cond(c):
                 _, _, _, accepted, ls_evals = c
-                return (~accepted) & (ls_evals < max_ls)
+                # the eval budget binds per EVALUATION like the host
+                # optimizer (lbfgs.py): without the second clause a
+                # backtracking search entered at evals = budget-1 could
+                # overshoot by up to max_ls-1 objective evaluations
+                return (
+                    (~accepted)
+                    & (ls_evals < max_ls)
+                    & (st["evals"] + ls_evals < max_fun_evals)
+                )
 
             def ls_body(c):
                 t, _, _, _, ls_evals = c
@@ -194,14 +202,24 @@ def make_lbfgs_runner(
             rho = rho.at[idx].set(jnp.where(store, 1.0 / ys_safe, rho[idx]))
             count = count + store.astype(jnp.int32)
 
+            # a search stopped by the eval budget is not a line-search
+            # FAILURE: leave status _RUNNING so the outer loop/driver
+            # terminates with the MaxFunEvals message instead
+            budget_stop = (~accepted) & (
+                st["evals"] + ls_evals >= max_fun_evals
+            )
             status = jnp.where(
-                ~accepted,
-                _LS_FAILED,
+                budget_stop,
+                _RUNNING,
                 jnp.where(
-                    jnp.max(jnp.abs(step)) <= prog_tol,
-                    _PROG_STEP,
+                    ~accepted,
+                    _LS_FAILED,
                     jnp.where(
-                        jnp.abs(f - f_new) < prog_tol, _PROG_F, _RUNNING
+                        jnp.max(jnp.abs(step)) <= prog_tol,
+                        _PROG_STEP,
+                        jnp.where(
+                            jnp.abs(f - f_new) < prog_tol, _PROG_F, _RUNNING
+                        ),
                     ),
                 ),
             ).astype(jnp.int32)

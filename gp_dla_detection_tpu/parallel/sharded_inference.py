@@ -151,30 +151,32 @@ def process_spectra_sharded(
 
     from ..utils import ProgressMeter
 
-    use_window = (
-        config.windowed_voigt or config.backend == "pallas"
-    ) and dtype == np.float32
-    if config.backend == "pallas":
-        from ..ops.evidence_pallas import SAMPLE_TILE as _window_chunk
-    else:
-        _window_chunk = config.sample_chunk
-    sample_window = (
-        compute_sample_window(
-            offset_samples,
-            _window_chunk,
-            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+    # Window sizes are chunk-dependent (a window bounds one z-sorted
+    # chunk's line-center spread): the pallas kernel chunks by
+    # SAMPLE_TILE, the XLA path by config.sample_chunk — so each backend
+    # gets its OWN window, and a mid-run pallas->xla fallback keeps the
+    # windowed_voigt option honest instead of silently dropping it.
+    num_pixels_ext = spectra.wavelengths.shape[1] + 2 * params.instrument.width
+    window_pallas = None
+    if config.backend in ("pallas", "pallas_interpret") and dtype == np.float32:
+        from ..ops.evidence_pallas import SAMPLE_TILE
+
+        window_pallas = compute_sample_window(
+            offset_samples, SAMPLE_TILE, num_pixels_ext
         )
-        if use_window
+    window_xla = (
+        compute_sample_window(
+            offset_samples, config.sample_chunk, num_pixels_ext
+        )
+        if config.windowed_voigt and dtype == np.float32
         else None
     )
     # On multi-device meshes the Pallas evidence kernel must run as a
     # per-shard program: XLA's SPMD partitioner does not split a TPU
     # custom call, so wrap the batch in shard_map over the data axis
     # (samples replicated — use data-only meshes with this backend).
-    use_pallas = config.backend in ("pallas", "pallas_interpret")
-
     def make_call(run_backend, tile):
-        window = sample_window if run_backend != "xla" else None
+        window = window_xla if run_backend == "xla" else window_pallas
 
         def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
             return batch_log_likelihoods(
@@ -211,26 +213,12 @@ def process_spectra_sharded(
             )
         return call_batch
 
-    # VMEM/lowering degradation ladder (see inference.pallas_config_ladder)
-    from ..inference import pallas_config_ladder
+    # VMEM/lowering degradation ladder (see inference.LadderRunner)
+    from ..inference import LadderRunner, ladder_configs
 
-    if use_pallas and dtype == np.float32:
-        configs = pallas_config_ladder(
-            config.backend,
-            spectra.wavelengths.shape[1] + 2 * params.instrument.width,
-        )
-    else:
-        configs = [(config.backend, None)]
-    if configs[0][0] != config.backend:
-        import warnings
-
-        warnings.warn(
-            f"spectrum length exceeds the pallas VMEM ceiling even at the "
-            f"minimum tile; using backend={configs[0][0]!r}",
-            stacklevel=2,
-        )
-    config_idx = 0
-    call_batch = make_call(*configs[0])
+    runner = LadderRunner(
+        ladder_configs(config.backend, num_pixels_ext, dtype), make_call
+    )
 
     meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
@@ -254,25 +242,7 @@ def process_spectra_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
         )
-        while True:
-            try:
-                out = call_batch(*batch_args)
-                jax.block_until_ready(out["sample_log_likelihoods_dla"])
-                break
-            except Exception:
-                if config_idx + 1 >= len(configs):
-                    raise
-                import warnings
-
-                nxt = configs[config_idx + 1]
-                warnings.warn(
-                    f"evidence backend {configs[config_idx][0]!r} "
-                    f"(tile={configs[config_idx][1]}) failed to compile/fit;"
-                    f" falling back to {nxt[0]!r} (tile={nxt[1]})",
-                    stacklevel=2,
-                )
-                config_idx += 1
-                call_batch = make_call(*configs[config_idx])
+        out = runner(*batch_args)
         keep = stop - start
         null_ll = fetch_global(out["log_likelihood_no_dla"])[:keep]
         from .streaming import fetch_rows

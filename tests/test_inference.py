@@ -460,3 +460,16 @@ def test_process_spectra_long_spectrum_completes_via_fallback():
         res_p.sample_log_likelihoods_dla, res_x.sample_log_likelihoods_dla
     )
     np.testing.assert_allclose(res_p.p_dlas, res_x.p_dlas)
+
+
+def test_pallas_tile_plan_lane_aligned():
+    """Tile plans must be multiples of the 128-lane Mosaic minimum: a
+    request like tile=192 plans 128 (halving to the sub-minimum 96
+    would fail to lower), and never returns below the minimum."""
+    from gp_dla_detection_tpu.inference import pallas_tile_plan
+
+    assert pallas_tile_plan(4000, tile=192) == 128
+    for num_px in (1286, 3200, 4000, 8000):
+        for tile in (129, 192, 200, 256, 300, None):
+            plan = pallas_tile_plan(num_px, tile=tile)
+            assert plan is None or (plan % 128 == 0 and 128 <= plan <= 256)
