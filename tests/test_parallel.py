@@ -362,3 +362,42 @@ def test_f16_streaming_preserves_posteriors(problem):
         packed.sample_log_likelihoods_dla - exact.sample_log_likelihoods_dla
     )
     assert np.all(err <= 2e-3 * np.maximum(np.abs(resid), 1.0))
+
+
+def test_sharded_windowed_xla_matches_plain(problem):
+    """windowed_voigt=True on the XLA backend must actually window (it
+    was silently dropped before the ladder refactor) and agree with the
+    plain path to windowed-approximation accuracy (the window covers
+    every chunk's line cores; outside them only the negligible-core
+    Gaussian term differs)."""
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh()
+    base = ShardedRunConfig(
+        per_device_batch=1, sample_chunk=32, dtype="float32",
+        stream_dtype="float32",
+    )
+    import dataclasses
+
+    plain = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh, config=base,
+    )
+    windowed = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh,
+        config=dataclasses.replace(base, windowed_voigt=True),
+    )
+    scale = np.maximum(np.abs(plain.sample_log_likelihoods_dla), 1.0)
+    assert (
+        np.max(
+            np.abs(
+                windowed.sample_log_likelihoods_dla
+                - plain.sample_log_likelihoods_dla
+            )
+            / scale
+        )
+        < 5e-5
+    )
+    np.testing.assert_allclose(
+        windowed.p_dlas, plain.p_dlas, rtol=1e-3, atol=1e-6
+    )
