@@ -399,21 +399,21 @@ def do_2dla_plots(cat, subdir) -> None:
     subdir = Path(subdir)
     subdir.mkdir(parents=True, exist_ok=True)
     assert cat.second_dla, "catalogue has no second-DLA posterior"
-    plot_cddf(cat, zmax=5, label="2 DLA")
-    cat.second_dla = False
-    plot_cddf(cat, zmax=5, label="1 DLA")
-    cat.second_dla = True
-    plt.xlim(1e20, 1e23)
-    plt.legend(loc=0)
-    plt.savefig(subdir / "cddf_gp_2dla.pdf")
-    plt.clf()
-    plot_line_density(cat, zmax=5, label="2 DLA")
-    cat.second_dla = False
-    plot_line_density(cat, zmax=5, label="1 DLA")
-    cat.second_dla = True
-    plt.legend(loc=0)
-    plt.savefig(subdir / "dndx_gp_2dla.pdf")
-    plt.clf()
+    with _restoring(cat, "second_dla"):
+        plot_cddf(cat, zmax=5, label="2 DLA")
+        cat.second_dla = False
+        plot_cddf(cat, zmax=5, label="1 DLA")
+        plt.xlim(1e20, 1e23)
+        plt.legend(loc=0)
+        plt.savefig(subdir / "cddf_gp_2dla.pdf")
+        plt.clf()
+        cat.second_dla = True
+        plot_line_density(cat, zmax=5, label="2 DLA")
+        cat.second_dla = False
+        plot_line_density(cat, zmax=5, label="1 DLA")
+        plt.legend(loc=0)
+        plt.savefig(subdir / "dndx_gp_2dla.pdf")
+        plt.clf()
 
 
 def do_compare_plots(cat_a, cat_b, subdir, labels=("A", "B")) -> None:

@@ -58,17 +58,33 @@ def _table_shell(ncol: int, headers: list[str], body: str, caption: str,
     return out
 
 
+
+def _load_bins(txtname) -> np.ndarray:
+    """Read a statistic .txt (stat-component rows x bin columns) into
+    (bins, components).  A single-bin file loads 1-D from np.loadtxt,
+    which a bare .T would leave un-transposed."""
+    raw = np.loadtxt(txtname)
+    return raw[None, :] if raw.ndim == 1 else raw.T
+
+
+def _half_bin_width(table: np.ndarray) -> float:
+    """Half the bin spacing from the first two bin centers; a
+    single-bin table carries no spacing information, so its interval
+    collapses to the center instead of crashing."""
+    return float(table[1, 0] - table[0, 0]) / 2.0 if len(table) > 1 else 0.0
+
+
 def load_table(txtname: str | Path, colheaders, caption: str = "",
                omega: bool = False) -> str:
     """z-binned statistic table (dN/dX or Omega_DLA; make_tables.py:28-60)."""
-    table = np.loadtxt(txtname).T
+    table = _load_bins(txtname)
     prec = 4
     if omega:
         table[:, 2:] *= 1000
         prec = 3
     nrow, ncol = table.shape
     assert ncol == len(colheaders) + 4
-    xerr = (table[1, 0] - table[0, 0]) / 2.0
+    xerr = _half_bin_width(table)
     body = ""
     for row in table:
         cells = [
@@ -84,7 +100,7 @@ def load_table(txtname: str | Path, colheaders, caption: str = "",
 
 def load_cddf_table(txtname: str | Path, caption: str = "") -> str:
     """CDDF table in units of 1e-21 (make_tables.py:62-90)."""
-    table = np.loadtxt(txtname).T
+    table = _load_bins(txtname)
     ncol = table.shape[1]
     scalefact = 1e-21
     scalestr = " $( 10^{ -21 } )$"
@@ -94,7 +110,7 @@ def load_cddf_table(txtname: str | Path, caption: str = "") -> str:
         "$68$\\% limits" + scalestr,
         "$95$\\% limits" + scalestr,
     ]
-    xerr = (table[1, 0] - table[0, 0]) / 2.0
+    xerr = _half_bin_width(table)
     body = ""
     for row in table:
         if row[1] == row[3] == row[5] == 0.0:

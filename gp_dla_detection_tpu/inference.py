@@ -745,7 +745,10 @@ def process_spectra(
 
     num_samples = len(np.asarray(offset_samples))
     out_null = np.empty(n)
-    out_samples = np.empty((n, num_samples))
+    # the (N, S) sample matrix is the dominant host-memory term at
+    # survey scale (162k x 10k f32 = 6.5 GB; f64 would double it for
+    # values computed at the run dtype anyway) — store at that dtype
+    out_samples = np.empty((n, num_samples), np.dtype(dtype))
     out_min_z = np.empty(n)
     out_max_z = np.empty(n)
 
@@ -762,7 +765,10 @@ def process_spectra(
     )
 
     sample_window = None
-    if backend == "pallas" and np.dtype(dtype) == np.float32:
+    # gate matches the sharded driver: interpret mode runs the SAME
+    # windowed kernel as production pallas, so interpret tests/debug
+    # runs cover the windowed code path
+    if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
         from .ops.evidence_pallas import SAMPLE_TILE
 
         sample_window = compute_sample_window(

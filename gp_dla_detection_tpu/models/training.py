@@ -224,17 +224,9 @@ def learn_gp_model(
     if params is None:
         params = Parameters()
 
-    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
-        import warnings
+    from ..inference import resolve_dtype
 
-        warnings.warn(
-            "learn_gp_model(dtype=float64) requested but jax_enable_x64 "
-            "is off — JAX would silently truncate to float32. Training "
-            "in float32; enable x64 (jax.config.update('jax_enable_x64',"
-            " True)) for the double-precision path.",
-            stacklevel=2,
-        )
-        dtype = jnp.float32
+    dtype = resolve_dtype(dtype, "learn_gp_model")
 
     init = initialize_model_params(data, params)
     init = {k: jnp.asarray(v, dtype) for k, v in init.items()}

@@ -271,6 +271,34 @@ def pallas_sample_log_likelihoods(
             "parity mode."
         )
 
+    # Pad the pixel axis so the EXTENDED grid P6 is a multiple of the
+    # 128-lane alignment: the windowed kernel's dynamic window start is
+    # clamped to 128-aligned values <= P6 - W (with W itself rounded up
+    # to a 128 multiple), so coverage ends (P6 - W) % 128 px short of
+    # the red edge — an unaligned grid whose remainder exceeds the
+    # window margin would leave the highest-z samples' line cores
+    # UNCORRECTED, accumulating the rational G's negative core as
+    # positive optical depth and overflowing exp to inf.  Padding is
+    # masked (zero weight) and replicates the last wavelength, so
+    # evidences are unchanged.
+    ppad = (-P6) % 128
+    if ppad:
+        last = lambda a: jnp.repeat(a[:, -1:], ppad, axis=1)
+        ext_wavelengths = jnp.concatenate(
+            [ext_wavelengths, last(ext_wavelengths)], axis=1
+        )
+        zeros = jnp.zeros((B, ppad), dtype)
+        flux = jnp.concatenate([flux, zeros], axis=1)
+        mu = jnp.concatenate([mu, zeros], axis=1)
+        omega2 = jnp.concatenate([omega2, zeros], axis=1)
+        noise_variance = jnp.concatenate([noise_variance, zeros], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((B, ppad), bool)], axis=1
+        )
+        M = jnp.concatenate([M, jnp.zeros((B, ppad, k), dtype)], axis=1)
+        P += ppad
+        P6 += ppad
+
     two_dla = z_dlas2 is not None
     pad = (-S) % tile
     if pad:
@@ -288,12 +316,16 @@ def pallas_sample_log_likelihoods(
     S_pad = S + pad
 
     maskf = mask.astype(dtype)
-    # neutralize masked pixels against non-finite flux/noise (NaN flux at
-    # ivar==0 pixels, inf noise variance): the kernel relies on maskf
-    # multiplication, but NaN*0 = NaN; the XLA path uses where() guards
+    # neutralize masked pixels against non-finite values (NaN flux at
+    # ivar==0 pixels, inf noise variance, omega2 = exp(2*log_omega)
+    # overflowing where the model is extrapolated far beyond the rest
+    # grid into a short spectrum's masked padding): the kernel relies on
+    # maskf multiplication, but NaN*0 = NaN and log(inf)*0 = NaN in
+    # logdet_d; the XLA path uses where() guards
     flux = jnp.where(mask, flux, 0.0)
     noise_variance = jnp.where(mask, noise_variance, 0.0)
     mu = jnp.where(mask, mu, 0.0)
+    omega2 = jnp.where(mask, omega2, 0.0)
     # leading singleton dims keep every block's trailing two dims equal
     # to the array's (the Mosaic tiling constraint for (1, X) blocks)
     expand = lambda a: a[:, None, :]

@@ -145,7 +145,10 @@ def process_spectra_sharded(
         ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     out_null = np.empty(n)
-    out_samples = np.empty((n, num_samples))
+    # the (N, S) sample matrix is the dominant host-memory term at
+    # survey scale (162k x 10k f32 = 6.5 GB; f64 would double it for
+    # values computed at the run dtype anyway) — store at that dtype
+    out_samples = np.empty((n, num_samples), np.dtype(dtype))
     out_min_z = np.empty(n)
     out_max_z = np.empty(n)
 

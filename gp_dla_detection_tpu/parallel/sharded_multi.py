@@ -145,26 +145,18 @@ def process_spectra_multi_sharded(
     # VMEM/lowering degradation ladder; a fallback keeps the pallas
     # data layout (sorted fresh axis, unsort at the end) — the XLA pair
     # evaluator is order-agnostic, so results are unchanged
-    from ..inference import pallas_config_ladder
+    from ..inference import LadderRunner, ladder_configs
 
-    if use_pallas:
-        configs = pallas_config_ladder(
+    runner = LadderRunner(
+        ladder_configs(
             config.backend,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            dtype,
             two_dla=True,
-        )
-    else:
-        configs = [(config.backend, None)]
-    if configs[0][0] != config.backend:
-        import warnings
-
-        warnings.warn(
-            f"spectrum length exceeds the pallas VMEM ceiling even at the "
-            f"minimum tile; using backend={configs[0][0]!r}",
-            stacklevel=2,
-        )
-    config_idx = 0
-    fn = make_fn(*configs[0])
+        ),
+        make_fn,
+        what="two-DLA",
+    )
 
     n_data = mesh.shape[DATA_AXIS]
     super_batch = config.per_device_batch * n_data
@@ -250,25 +242,7 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(ob, dtype), data_spec2),
             jax.device_put(np.asarray(nb, dtype), data_spec2),
         )
-        while True:
-            try:
-                lls = fn(*fn_args)
-                jax.block_until_ready(lls)
-                break
-            except Exception:
-                if config_idx + 1 >= len(configs):
-                    raise
-                import warnings
-
-                nxt = configs[config_idx + 1]
-                warnings.warn(
-                    f"two-DLA backend {configs[config_idx][0]!r} "
-                    f"(tile={configs[config_idx][1]}) failed to compile/"
-                    f"fit; falling back to {nxt[0]!r} (tile={nxt[1]})",
-                    stacklevel=2,
-                )
-                config_idx += 1
-                fn = make_fn(*configs[config_idx])
+        lls = runner(*fn_args)
         from .streaming import fetch_rows
 
         rows = fetch_rows(lls, config.stream_dtype)[: stop - start]

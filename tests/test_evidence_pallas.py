@@ -181,3 +181,114 @@ def test_pallas_windowed_matches_xla():
     b = np.asarray(out_pl["sample_log_likelihoods_dla"], np.float64)
     scale = np.maximum(np.abs(a), 1.0)
     assert np.max(np.abs(a - b) / scale) < 5e-5
+
+
+def test_windowed_unaligned_grid_red_edge():
+    """Regression: an extended grid whose length is NOT a multiple of
+    the 128-lane alignment used to leave its last (P6 - W) % 128 pixels
+    unreachable by the windowed core correction — highest-z samples'
+    cores went uncorrected and overflowed exp to inf.  The kernel now
+    pads the pixel axis to alignment (masked), so every sample is
+    finite and matches the full-grid kernel."""
+    from gp_dla_detection_tpu.inference import compute_sample_window
+
+    # P = 1200 -> P6 = 1206, remainder 1206 % 128 = 54 > the ~43 px
+    # margin slack (the confirmed-failing configuration)
+    prob = make_problem(B=2, P=1200, S=256, k=4, seed=3)
+    params, model, spectra, offsets, nhis = prob
+    window = compute_sample_window(offsets, 128, 1206)
+
+    args = (
+        jnp.asarray(spectra.wavelengths, np.float32),
+        jnp.asarray(spectra.flux, np.float32),
+        jnp.asarray(spectra.noise_variance, np.float32),
+        jnp.asarray(spectra.mask),
+        jnp.asarray(spectra.z_qso, np.float32),
+        jnp.asarray(model.rest_wavelengths, np.float32),
+        jnp.asarray(model.mu, np.float32),
+        jnp.asarray(model.M, np.float32),
+        jnp.asarray(model.log_omega, np.float32),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets, np.float32),
+        jnp.asarray(nhis, np.float32),
+    )
+    out_win = batch_log_likelihoods(
+        *args, params=params, sample_chunk=32,
+        backend="pallas_interpret", sample_window=window, tile=128,
+    )
+    out_full = batch_log_likelihoods(
+        *args, params=params, sample_chunk=32,
+        backend="pallas_interpret", sample_window=None, tile=128,
+    )
+    a = np.asarray(out_full["sample_log_likelihoods_dla"], np.float64)
+    b = np.asarray(out_win["sample_log_likelihoods_dla"], np.float64)
+    assert np.isfinite(b).all()
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 5e-4
+
+
+def test_masked_nonfinite_omega2_neutralized():
+    """Regression: a non-finite omega2 at a MASKED pixel (f32 exp
+    overflow of the extrapolated log_omega on a short spectrum's padded
+    tail) used to poison logdet_d (0 * log(inf) = NaN) for every sample
+    of that spectrum in the Pallas kernel; the XLA path's where() guards
+    were already immune."""
+    from gp_dla_detection_tpu.ops.evidence_pallas import (
+        pallas_sample_log_likelihoods,
+    )
+    from gp_dla_detection_tpu.ops.low_rank_mvn import (
+        batched_dla_log_likelihoods,
+    )
+    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+
+    rng = np.random.default_rng(5)
+    B, P, S, k = 1, 384, 128, 4
+    params = Parameters(null_model=NullModelParams(k=k))
+    z = np.array([2.8])
+    lam = 10 ** (np.log10(911.9 * (1 + z[0])) + 1e-4 * np.arange(P))[None, :]
+    ext = np.concatenate(
+        [
+            lam[:, :1] * 10 ** (-1e-4 * np.arange(3, 0, -1))[None, :],
+            lam,
+            lam[:, -1:] * 10 ** (1e-4 * np.arange(1, 4))[None, :],
+        ],
+        axis=1,
+    )
+    flux = rng.normal(1, 0.3, (B, P))
+    noise = rng.uniform(0.05, 0.2, (B, P))
+    mask = np.ones((B, P), bool)
+    mask[0, -8:] = False
+    mu = 1.0 + 0.1 * np.sin(np.arange(P) / 40)[None, :]
+    M = rng.normal(size=(B, P, k)) * 0.08
+    omega2 = np.full((B, P), 0.04)
+    omega2[0, -4:] = np.inf          # masked tail, overflowed model
+    z_dlas = np.sort(rng.uniform(2.2, 2.75, (B, S)), axis=1)
+    nhis = 10 ** rng.uniform(20, 21.5, (B, S))
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    out = np.asarray(
+        pallas_sample_log_likelihoods(
+            f32(ext), f32(flux), f32(mu), f32(M), f32(omega2), f32(noise),
+            jnp.asarray(mask), f32(z_dlas), f32(nhis),
+            num_lines=params.num_lines, instrument=params.instrument,
+            tile=128, interpret=True,
+        )
+    )
+    assert np.isfinite(out).all()
+
+    # oracle: the where()-guarded XLA path on identical inputs
+    absorption = voigt_absorption(
+        f32(ext[0]), f32(z_dlas[0]), f32(nhis[0]),
+        num_lines=params.num_lines, instrument=params.instrument,
+    )
+    ref = np.asarray(
+        batched_dla_log_likelihoods(
+            f32(flux[0]), f32(mu[0]), f32(M[0]),
+            f32(np.where(mask[0], omega2[0], 0.0)), f32(noise[0]),
+            jnp.asarray(mask[0]), absorption,
+        )
+    )
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(out[0] - ref) / scale) < 2e-4
