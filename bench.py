@@ -2,7 +2,8 @@
 
 Workload: the full per-spectrum Bayesian model selection of
 process_qsos.m at production scale — 10,000 QMC (z_DLA, log N_HI)
-samples x 1280-pixel padded spectra x rank-20 GP (null + 10k DLA
+samples x 1274-pixel padded spectra (the production pixel_pad:
+extended grid 1280 px, an exact 128-lane multiple) x rank-20 GP (null + 10k DLA
 evidences each, Voigt profiles with 3 Lyman-series lines and
 instrumental broadening) — in float32 on the local accelerator.
 Batch of 1024 spectra per chip (a v5e-64 survey run holds ~2.5k per
@@ -28,7 +29,7 @@ import numpy as np
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
-def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1280,
+def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
          k: int = 20, sample_chunk: int = 2500, iters: int = 3,
          backend: str = "auto") -> None:
     import jax
@@ -143,7 +144,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--num-samples", type=int, default=10000)
-    p.add_argument("--pixels", type=int, default=1280)
+    p.add_argument("--pixels", type=int, default=1274)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--sample-chunk", type=int, default=2500)
     p.add_argument("--iters", type=int, default=3)

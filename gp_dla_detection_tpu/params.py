@@ -140,8 +140,15 @@ class Parameters:
     min_z_cut_kms: float = 3000.0
 
     # TPU execution parameters (no reference equivalent: padding policy
-    # replacing the reference's ragged per-spectrum slicing)
-    pixel_pad: int = 1280  # fixed padded width for observed-frame spectra
+    # replacing the reference's ragged per-spectrum slicing).
+    # 1274 keeps ~7 px of slack over the longest possible truncated
+    # DR12Q spectrum (~1267 px: rest [910, 1217.75] Å at 1e-4 dex plus
+    # the extra edge pixels) AND makes the convolution-extended grid
+    # pixel_pad + 2*width = 1280 an exact multiple of the TPU's
+    # 128-lane alignment — the windowed Pallas kernel pads unaligned
+    # grids itself for correctness, at ~(-P6 mod 128) extra pixels of
+    # elementwise work per sample, so aligned widths are free speed.
+    pixel_pad: int = 1274  # fixed padded width for observed-frame spectra
 
     # base directory for all data (set_parameters.m:76)
     base_directory: str = "data"
