@@ -221,23 +221,31 @@ def pallas_config_ladder(
     num_pixels_ext: int,
     tile: int | None = None,
     two_dla: bool = False,
-) -> list[tuple[str, int | None]]:
-    """(backend, tile) configs from fastest to safest.
+    windowed: bool = True,
+) -> list[tuple[str, int | None, bool]]:
+    """(backend, tile, windowed) configs from fastest to safest.
 
-    For a pallas backend: the planned tile, then progressively halved
-    tiles down to one lane group, then the XLA fallback.  Drivers walk
-    this ladder when a kernel fails to fit (scoped VMEM OOM) or to lower
-    on the current device, instead of hard-failing on a config the API
-    accepts.
+    For a pallas backend: the planned tile windowed, then the same tile
+    full-grid, then progressively halved tiles (each windowed then
+    full-grid) down to one lane group, then the XLA fallback.  Drivers
+    walk this ladder when a kernel fails to fit (scoped VMEM OOM) or to
+    lower on the current device, instead of hard-failing on a config
+    the API accepts.  The window rung matters beyond VMEM: the 31-line
+    WINDOWED kernel crashes the TPU compiler (31 dynamic-slice window
+    passes) while the 31-line full-grid kernel compiles and runs —
+    dropping the window keeps such runs on the fused kernel instead of
+    falling all the way back to XLA.
     """
     if backend not in ("pallas", "pallas_interpret"):
-        return [(backend, None)]
-    ladder: list[tuple[str, int | None]] = []
+        return [(backend, None, False)]
+    ladder: list[tuple[str, int | None, bool]] = []
     t = pallas_tile_plan(num_pixels_ext, tile, two_dla)
     while t is not None and t >= _PALLAS_MIN_TILE:
-        ladder.append((backend, t))
+        if windowed:
+            ladder.append((backend, t, True))
+        ladder.append((backend, t, False))
         t = t // 2 if t > _PALLAS_MIN_TILE else None
-    ladder.append(("xla", None))
+    ladder.append(("xla", None, False))
     return ladder
 
 
@@ -247,16 +255,18 @@ def ladder_configs(
     dtype,
     tile: int | None = None,
     two_dla: bool = False,
-) -> list[tuple[str, int | None]]:
+    windowed: bool = True,
+) -> list[tuple[str, int | None, bool]]:
     """pallas_config_ladder gated on the pallas-capable dtype, with the
     shared loud warning when the requested backend cannot even start
     (spectrum longer than the minimum-tile VMEM ceiling)."""
     if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
         configs = pallas_config_ladder(
-            backend, num_pixels_ext, tile=tile, two_dla=two_dla
+            backend, num_pixels_ext, tile=tile, two_dla=two_dla,
+            windowed=windowed,
         )
     else:
-        configs = [(backend, None)]
+        configs = [(backend, None, False)]
     if configs[0][0] != backend:
         import warnings
 
@@ -304,10 +314,14 @@ class LadderRunner:
 
                 cur = self.configs[self.idx]
                 nxt = self.configs[self.idx + 1]
+                desc = lambda c: (
+                    f"{c[0]!r} (tile={c[1]}"
+                    + (", windowed" if c[2] else "")
+                    + ")"
+                )
                 warnings.warn(
-                    f"{self.what} backend {cur[0]!r} (tile={cur[1]}) "
-                    f"failed to compile/fit; falling back to {nxt[0]!r} "
-                    f"(tile={nxt[1]})",
+                    f"{self.what} backend {desc(cur)} failed to "
+                    f"compile/fit; falling back to {desc(nxt)}",
                     stacklevel=2,
                 )
                 self.idx += 1
@@ -782,14 +796,14 @@ def process_spectra(
     # then the XLA path, instead of hard-failing.  The window is sized
     # for SAMPLE_TILE chunks, so it stays valid for any smaller tile;
     # the XLA fallback drops it (its chunks are sample_chunk-sized).
-    def build(run_backend, tile):
+    def build(run_backend, tile, windowed):
         def call(w, f, nv, mk, zq):
             return batch_log_likelihoods(
                 w, f, nv, mk, zq, *model_args,
                 params=params,
                 sample_chunk=sample_chunk,
                 backend=run_backend,
-                sample_window=sample_window if run_backend != "xla" else None,
+                sample_window=sample_window if windowed else None,
                 tile=tile,
             )
 
@@ -800,6 +814,7 @@ def process_spectra(
             backend,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
             dtype,
+            windowed=sample_window is not None,
         ),
         build,
     )

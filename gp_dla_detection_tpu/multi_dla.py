@@ -500,10 +500,11 @@ def process_spectra_multi(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
             dtype,
             two_dla=True,
+            windowed=window is not None,
         ),
-        lambda rb, tile: make_batch_dla2_fn(
+        lambda rb, tile, windowed: make_batch_dla2_fn(
             model, params, S, sample_chunk, min_sep_z, rb,
-            window if rb != "xla" else None, tile=tile,
+            window if windowed else None, tile=tile,
         ),
         what="two-DLA",
     )

@@ -178,8 +178,12 @@ def process_spectra_sharded(
     # per-shard program: XLA's SPMD partitioner does not split a TPU
     # custom call, so wrap the batch in shard_map over the data axis
     # (samples replicated — use data-only meshes with this backend).
-    def make_call(run_backend, tile):
-        window = window_xla if run_backend == "xla" else window_pallas
+    def make_call(run_backend, tile, windowed=True):
+        window = (
+            window_xla
+            if run_backend == "xla"
+            else (window_pallas if windowed else None)
+        )
 
         def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
             return batch_log_likelihoods(
@@ -220,7 +224,11 @@ def process_spectra_sharded(
     from ..inference import LadderRunner, ladder_configs
 
     runner = LadderRunner(
-        ladder_configs(config.backend, num_pixels_ext, dtype), make_call
+        ladder_configs(
+            config.backend, num_pixels_ext, dtype,
+            windowed=window_pallas is not None,
+        ),
+        make_call,
     )
 
     meter = ProgressMeter(n, unit="spectra") if progress else None

@@ -117,10 +117,10 @@ def process_spectra_multi_sharded(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
-    def make_fn(run_backend, tile):
+    def make_fn(run_backend, tile, windowed=True):
         fn = make_batch_dla2_fn(
             model, params, S, config.sample_chunk, min_sep_z,
-            run_backend, window if run_backend != "xla" else None, tile=tile,
+            run_backend, window if windowed else None, tile=tile,
         )
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             # per-shard Pallas program (see sharded_inference): shard_map
@@ -153,6 +153,7 @@ def process_spectra_multi_sharded(
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
             dtype,
             two_dla=True,
+            windowed=window is not None,
         ),
         make_fn,
         what="two-DLA",

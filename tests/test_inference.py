@@ -403,11 +403,19 @@ def test_pallas_tile_plan_and_ladder():
     assert pallas_tile_plan(1286, two_dla=True) == 256
     assert pallas_tile_plan(3300, two_dla=True) is None
 
-    assert pallas_config_ladder("xla", 1286) == [("xla", None)]
+    assert pallas_config_ladder("xla", 1286) == [("xla", None, False)]
+    # per tile: windowed first, then full-grid (the 31-line windowed
+    # kernel crashes the TPU compiler while full-grid compiles — the
+    # full-grid rung keeps such runs on the fused kernel)
     assert pallas_config_ladder("pallas", 1286) == [
-        ("pallas", 256), ("pallas", 128), ("xla", None),
+        ("pallas", 256, True), ("pallas", 256, False),
+        ("pallas", 128, True), ("pallas", 128, False),
+        ("xla", None, False),
     ]
-    assert pallas_config_ladder("pallas", 7000) == [("xla", None)]
+    assert pallas_config_ladder("pallas", 1286, windowed=False) == [
+        ("pallas", 256, False), ("pallas", 128, False), ("xla", None, False),
+    ]
+    assert pallas_config_ladder("pallas", 7000) == [("xla", None, False)]
 
 
 def test_process_spectra_long_spectrum_completes_via_fallback():
