@@ -481,3 +481,51 @@ def test_pallas_tile_plan_lane_aligned():
         for tile in (129, 192, 200, 256, 300, None):
             plan = pallas_tile_plan(num_px, tile=tile)
             assert plan is None or (plan % 128 == 0 and 128 <= plan <= 256)
+
+
+def test_ladder_runner_walks_rungs_and_persists():
+    """LadderRunner retries the next rung on failure with a warning,
+    and LATER calls start from the reached rung (failed rungs are not
+    retried per batch)."""
+    import warnings
+
+    from gp_dla_detection_tpu.inference import LadderRunner
+
+    configs = [
+        ("pallas", 256, True),
+        ("pallas", 256, False),
+        ("xla", None, False),
+    ]
+    calls = []
+
+    def build(backend, tile, windowed):
+        def fn(x):
+            calls.append((backend, tile, windowed))
+            if windowed:
+                raise RuntimeError("windowed lowering failed")
+            return x + 1
+
+        return fn
+
+    runner = LadderRunner(configs, build)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert runner(1) == 2
+    assert runner.config == ("pallas", 256, False)
+    assert [str(w.message) for w in caught] == [
+        "evidence backend 'pallas' (tile=256, windowed) failed to "
+        "compile/fit; falling back to 'pallas' (tile=256)"
+    ]
+    # second call goes straight to the reached rung
+    n = len(calls)
+    assert runner(5) == 6
+    assert calls[n:] == [("pallas", 256, False)]
+
+    # exhausting the ladder re-raises the original failure
+    always_fail = LadderRunner(
+        [("pallas", 128, True)], lambda *c: (lambda x: 1 / 0)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ZeroDivisionError):
+        always_fail(0)
