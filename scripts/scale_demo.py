@@ -24,7 +24,12 @@ from pathlib import Path
 import numpy as np
 
 
-def main(n_spectra: int = 1024, backend: str = "pallas", seed: int = 7) -> None:
+def main(
+    n_spectra: int = 1024,
+    backend: str = "pallas",
+    seed: int = 7,
+    num_samples: int = 10000,
+) -> None:
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
@@ -38,9 +43,18 @@ def main(n_spectra: int = 1024, backend: str = "pallas", seed: int = 7) -> None:
     from gp_dla_detection_tpu.samples import generate_dla_samples
     from gp_dla_detection_tpu.utils import enable_compilation_cache
 
+    import dataclasses
+
     enable_compilation_cache()
     rng = np.random.default_rng(seed)
     params = Parameters(null_model=NullModelParams(k=20))
+    if num_samples != params.dla_sampling.num_dla_samples:
+        params = dataclasses.replace(
+            params,
+            dla_sampling=dataclasses.replace(
+                params.dla_sampling, num_dla_samples=num_samples
+            ),
+        )
     grid = params.null_model.rest_wavelengths()
     P = params.pixel_pad
 
@@ -100,13 +114,19 @@ def main(n_spectra: int = 1024, backend: str = "pallas", seed: int = 7) -> None:
     print(json.dumps({"stage": "prepare", "seconds": round(time.time() - t_prep, 1)}))
 
     ckpt = Path(tempfile.mkdtemp(prefix="scale_demo_"))
+    mesh = make_mesh()
+    n_data = mesh.devices.size
+    # size the super-batch to the workload: padding a small run up to
+    # 256/device wastes compute (tests run this at n_spectra=6)
+    pdb = max(1, min(256, -(-n_spectra // n_data)))
     try:
         t0 = time.time()
         res = process_spectra_multi_sharded(
             model, samples.offset_samples, samples.nhi_samples, spectra,
-            prior_z, prior_num, params=params, mesh=make_mesh(),
+            prior_z, prior_num, params=params, mesh=mesh,
             config=ShardedRunConfig(
-                per_device_batch=256, sample_chunk=2500,
+                per_device_batch=pdb,
+                sample_chunk=min(2500, num_samples),
                 dtype="float32", backend=backend,
                 checkpoint_dir=str(ckpt),
             ),
@@ -141,5 +161,6 @@ if __name__ == "__main__":
     p.add_argument("--n-spectra", type=int, default=1024)
     p.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--num-samples", type=int, default=10000)
     a = p.parse_args()
-    main(a.n_spectra, a.backend, a.seed)
+    main(a.n_spectra, a.backend, a.seed, a.num_samples)
