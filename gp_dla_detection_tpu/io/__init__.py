@@ -6,6 +6,7 @@ from .matio import (
     read_mat,
     write_dla_samples_mat,
     write_mat,
+    write_multi_processed_mat,
     write_processed_mat,
     write_snrs_mat,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "read_mat",
     "write_mat",
     "write_processed_mat",
+    "write_multi_processed_mat",
     "write_dla_samples_mat",
     "write_snrs_mat",
     "load_catalogue_from_matlab",

@@ -81,8 +81,15 @@ def _read_header(buf: memoryview, offset: int) -> tuple[dict, int]:
                 # inside a numeric card's comment must not suppress it)
                 stripped = value.lstrip()
                 if stripped.startswith("'"):
+                    # find the CLOSING quote, skipping FITS-escaped ''
+                    # pairs (an apostrophe inside the value)
                     q = value.find("'")
-                    q2 = value.find("'", q + 1)
+                    q2 = q
+                    while True:
+                        q2 = value.find("'", q2 + 1)
+                        if q2 == -1 or value[q2 + 1 : q2 + 2] != "'":
+                            break
+                        q2 += 1
                     value = value[: q2 + 1] if q2 != -1 else value
                 else:
                     value = value.split("/")[0]
@@ -101,7 +108,11 @@ def _card_int(cards: dict, key: str, default=None) -> int:
 
 
 def _card_str(cards: dict, key: str) -> str:
-    v = cards.get(key, "")
+    v = cards.get(key, "").strip()
+    if v.startswith("'") and v.endswith("'") and len(v) >= 2:
+        # quoted string: strip the delimiters, unescape FITS '' pairs,
+        # and drop only TRAILING blanks (significant per the standard)
+        return v[1:-1].replace("''", "'").rstrip()
     return v.strip("' ").strip()
 
 
@@ -190,11 +201,21 @@ def _header_block(cards: list[str]) -> bytes:
 
 def _card(key: str, value, comment: str = "") -> str:
     if isinstance(value, bool):
-        v = "T" if value else "F"
-        return f"{key:<8}= {v:>20} / {comment}"
-    if isinstance(value, str):
-        return f"{key:<8}= '{value}'".ljust(40) + f" / {comment}"
-    return f"{key:<8}= {value:>20} / {comment}"
+        head = f"{key:<8}= {'T' if value else 'F':>20}"
+    elif isinstance(value, str):
+        quoted = value.replace("'", "''")  # FITS apostrophe escaping
+        head = f"{key:<8}= '{quoted}'".ljust(30)
+    else:
+        head = f"{key:<8}= {value:>20}"
+    if len(head) > 80:
+        # a silently-overflowing card would shift the whole 80-char
+        # card grid and corrupt every later card — fail loudly instead
+        raise ValueError(
+            f"header card value for {key!r} exceeds the 80-character "
+            f"FITS card limit ({len(head)} chars)"
+        )
+    # comments are not significant: truncate rather than overflow
+    return (f"{head} / {comment}")[:80]
 
 
 def write_bintable(
@@ -206,7 +227,13 @@ def write_bintable(
     conv_cols = []
     for name, col in zip(names, columns):
         col = np.asarray(col)
-        if col.dtype.kind in "SU":
+        if col.dtype.kind == "b":
+            # FITS logical column: 'T'/'F' bytes with TFORM 'L' (the
+            # reader's dedicated branch), so bool round-trips as bool
+            col = np.where(col, np.uint8(ord("T")), np.uint8(ord("F")))
+            fields.append((name, "u1"))
+            tforms.append("L")
+        elif col.dtype.kind in "SU":
             width = int(col.dtype.itemsize if col.dtype.kind == "S" else col.dtype.itemsize // 4)
             col = np.char.ljust(col.astype(f"S{width}"), width)
             fields.append((name, f"S{width}"))
@@ -214,7 +241,7 @@ def write_bintable(
         else:
             kind_map = {"f8": ("D", ">f8"), "f4": ("E", ">f4"),
                         "i8": ("K", ">i8"), "i4": ("J", ">i4"),
-                        "i2": ("I", ">i2"), "u1": ("B", "u1"), "b1": ("B", "u1")}
+                        "i2": ("I", ">i2"), "u1": ("B", "u1")}
             key = col.dtype.str.lstrip("<>|=")
             code, dt = kind_map[key]
             repeat = 1 if col.ndim == 1 else col.shape[1]

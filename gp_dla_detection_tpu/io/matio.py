@@ -75,15 +75,26 @@ def write_mat(path: str | Path, arrays: dict) -> None:
         f.write(_matlab_header())
 
 
-def read_mat(path: str | Path) -> dict:
+def read_mat(path: str | Path, keys=None) -> dict:
     """Read a v7.3 .mat (or plain HDF5) file; arrays in MATLAB
-    orientation exactly as h5py exposes them (the reference's view)."""
+    orientation exactly as h5py exposes them (the reference's view).
+
+    ``keys``: iterable of dataset names to materialize (missing names
+    are skipped).  Default (None) loads every dataset — fine for the
+    framework's own compact exports, but a reference-scale processed
+    file carries multi-GB fields the analysis never touches
+    (log_posteriors etc.), so the catalogue loader below passes the
+    exact field list instead.
+    """
     import h5py
 
     out = {}
+    wanted = None if keys is None else set(keys)
     with h5py.File(Path(path), "r") as f:
         def visit(name, obj):
-            if isinstance(obj, h5py.Dataset):
+            if isinstance(obj, h5py.Dataset) and (
+                wanted is None or name in wanted
+            ):
                 out[name] = np.asarray(obj)
         f.visititems(visit)
     return out
@@ -206,8 +217,15 @@ def load_catalogue_from_matlab(
     """
     from ..analysis.cddf import DLACatalogue
 
-    proc = read_mat(processed_file)
-    samp = read_mat(sample_file)
+    proc = read_mat(
+        processed_file,
+        keys=(
+            "sample_log_likelihoods_dla", "base_sample_inds",
+            "model_posteriors", "p_dlas", "min_z_dlas", "max_z_dlas",
+            "log_likelihoods_dla",
+        ),
+    )
+    samp = read_mat(sample_file, keys=("offset_samples", "log_nhi_samples"))
 
     sll = np.asarray(proc["sample_log_likelihoods_dla"])
     extra = {}

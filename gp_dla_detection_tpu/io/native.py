@@ -24,20 +24,41 @@ _lib = None
 _lib_error: str | None = None
 
 
+def _make() -> None:
+    subprocess.run(
+        ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+        capture_output=True, text=True,
+    )
+
+
 def load_library(rebuild: bool = False):
-    """Load (building on first use) the native library; None on failure."""
+    """Load (building on first use) the native library; None on failure.
+
+    `make -s` always runs (a no-op when the .so is newer than the
+    source): an existing library must never shadow edited sources, and
+    a stale/incompatible binary (e.g. copied from another machine) gets
+    one rebuild-and-retry before the native path is disabled.
+    """
     global _lib, _lib_error
     if _lib is not None and not rebuild:
         return _lib
     if _lib_error is not None and not rebuild:
         return None  # build already failed; don't re-spawn make per call
     try:
-        if rebuild or not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                capture_output=True, text=True,
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            _make()
+        except (OSError, subprocess.CalledProcessError):
+            # no toolchain: an existing (e.g. previously built) library
+            # may still load; a missing one fails below
+            if not _LIB_PATH.exists():
+                raise
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            # incompatible prebuilt binary: rebuild from source and retry
+            _LIB_PATH.unlink(missing_ok=True)
+            _make()
+            lib = ctypes.CDLL(str(_LIB_PATH))
         lib.gpdla_read_spec_batch.restype = ctypes.c_int
         lib.gpdla_read_spec_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),

@@ -163,7 +163,14 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
   long row_bytes = hdr.get_long("NAXIS1", 0);
   long nrows = hdr.get_long("NAXIS2", 0);
   long tfields = hdr.get_long("TFIELDS", 0);
-  if (row_bytes <= 0 || nrows <= 0 || tfields <= 0) return -6;
+  // nrows == 0 is a VALID empty table (parity with the numpy reader,
+  // which returns empty arrays and lets the preloader filter the
+  // quasar gracefully); only malformed headers are parse failures
+  if (row_bytes <= 0 || nrows < 0 || tfields <= 0) return -6;
+  // reject sizes whose product could wrap size_t (crafted NAXIS cards
+  // would otherwise bypass the bounds check below and read far past
+  // the file buffer); generous caps, far above any real speclite file
+  if (row_bytes > (1L << 24) || nrows > (1L << 32)) return -6;
 
   std::vector<Column> cols(static_cast<size_t>(tfields));
   size_t col_off = 0;
@@ -200,7 +207,12 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
     return -9;
 
   long n = std::min<long>(nrows, max_pixels);
-  if (off + static_cast<size_t>(row_bytes) * nrows > buf.size()) return -10;
+  // row_bytes <= 2^24 and nrows <= 2^32 (checked above), so the
+  // product fits in 64 bits without wrapping
+  if (off > buf.size() ||
+      static_cast<size_t>(row_bytes) * static_cast<size_t>(nrows) >
+          buf.size() - off)
+    return -10;
   const unsigned char* data =
       reinterpret_cast<const unsigned char*>(buf.data()) + off;
   for (long r = 0; r < n; r++) {

@@ -56,3 +56,49 @@ def test_native_missing_file(spec_files, tmp_path):
     w, f, nv, pm, lengths = read_spec_batch(paths, max_pixels=512)
     assert lengths[0] > 0 and lengths[2] > 0
     assert lengths[1] < 0
+
+
+def test_empty_bintable_matches_python(tmp_path):
+    """A valid but EMPTY COADD table is data, not a parse failure: both
+    readers return length 0 so the preloader filters the quasar
+    gracefully instead of aborting the batch."""
+    path = tmp_path / "empty.fits"
+    z = np.zeros(0)
+    write_spec_file(path, z, z, z, z.astype(np.int32))
+
+    w, f, nv, pm = read_spec(path)
+    assert len(w) == 0
+
+    if native_available():
+        *_, lengths = read_spec_batch([path])
+        assert lengths[0] == 0
+
+
+def test_bool_column_roundtrip(tmp_path):
+    """bool columns must round-trip as bool (FITS logical 'L'), not
+    uint8 0/1 — ~mask on a uint8 produces 254/255, not logical not."""
+    from gp_dla_detection_tpu.io import read_bintable, write_bintable
+
+    path = tmp_path / "flags.fits"
+    flags = np.array([True, False, True, True])
+    write_bintable(path, ["IN_DR9", "X"], [flags, np.arange(4.0)])
+    table = read_bintable(path)
+    got = table["IN_DR9"]
+    assert got.dtype == bool
+    np.testing.assert_array_equal(got, flags)
+
+
+def test_quoted_header_values_and_overlong_cards(tmp_path):
+    """FITS-escaped apostrophes in string cards survive a round trip;
+    an overlong card raises instead of silently shifting the header
+    grid."""
+    from gp_dla_detection_tpu.io import read_bintable, write_bintable
+    from gp_dla_detection_tpu.io.fits import _card
+
+    path = tmp_path / "quote.fits"
+    write_bintable(path, ["O'HARA"], [np.arange(3.0)])
+    table = read_bintable(path)
+    np.testing.assert_array_equal(table["O'HARA"], np.arange(3.0))
+
+    with pytest.raises(ValueError, match="80-character"):
+        _card("TTYPE1", "X" * 75)
