@@ -75,7 +75,9 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
         windowed = chosen == "pallas"
         chunk = SAMPLE_TILE if chosen == "pallas" else sample_chunk
         sample_window = (
-            compute_sample_window(offsets, chunk, pixels + 6)
+            compute_sample_window(
+                offsets, chunk, pixels + 2 * params.instrument.width
+            )
             if windowed
             else None
         )
@@ -123,7 +125,7 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
     outs = [reduced(*args) for _ in range(iters)]
     fetched = np.asarray(outs[-1])
     elapsed = (time.perf_counter() - t0) / iters
-    assert bool(np.isfinite(fetched[batch_size:]).all())
+    assert bool(np.isfinite(fetched).all())  # null AND sample halves
 
     value = batch_size / elapsed
     print(

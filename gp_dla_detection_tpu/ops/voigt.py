@@ -26,7 +26,12 @@ import numpy as np
 from ..params import InstrumentParams
 from . import lyman_series as lines
 
-__all__ = ["voigt_absorption", "instrumental_broadening", "WINDOW_MARGIN"]
+__all__ = [
+    "voigt_absorption",
+    "instrumental_broadening",
+    "extend_wavelengths",
+    "WINDOW_MARGIN",
+]
 
 # Slack reserved on EACH side of a z-sorted chunk's line-center spread in
 # the windowed fast paths: covers the |x|<7 Doppler core (~2 px), the
@@ -37,6 +42,24 @@ WINDOW_MARGIN = 40
 
 _SQRT_2 = float(np.sqrt(2.0))
 _SQRT_2PI = float(np.sqrt(2.0 * np.pi))
+
+
+def extend_wavelengths(
+    wavelengths: np.ndarray, instrument: InstrumentParams | None = None
+) -> np.ndarray:
+    """Host-side convolution padding: ``width`` log-continuation pixels
+    at each end (process_qsos.m:169-177), for callers that build
+    absorption profiles directly with :func:`voigt_absorption` (the
+    jitted engine equivalent is inference._extend_wavelengths).  Keeps
+    injection scripts in sync with params.instrument instead of
+    hand-rolling the 3-pixel construction."""
+    if instrument is None:
+        instrument = InstrumentParams()
+    w, dex = instrument.width, instrument.pixel_spacing
+    lam = np.asarray(wavelengths)
+    left = lam[..., :1] * 10.0 ** (-dex * np.arange(w, 0, -1))
+    right = lam[..., -1:] * 10.0 ** (dex * np.arange(1, w + 1))
+    return np.concatenate([left, lam, right], axis=-1)
 
 
 def instrumental_broadening(raw_profile, instrument: InstrumentParams):

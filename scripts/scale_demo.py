@@ -33,7 +33,10 @@ def main(
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
-    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+    from gp_dla_detection_tpu.ops.voigt import (
+        extend_wavelengths,
+        voigt_absorption,
+    )
     from gp_dla_detection_tpu.parallel import (
         ShardedRunConfig,
         make_mesh,
@@ -87,16 +90,15 @@ def main(
         # ~35% of sightlines host 1 DLA, ~10% host 2
         n_dla = rng.choice([0, 1, 2], p=[0.55, 0.35, 0.10])
         zmin = lam[i, 0] / lya - 1 + 0.02
-        zmax = lam[i, -1] / lya - 1 - params.max_z_cut
+        # inject only inside the engine's searchable range (capped at
+        # the last MODELLED pixel, rest <= max_lambda)
+        lam_search_max = min(
+            lam[i, -1], params.null_model.max_lambda * (1 + z_qso[i])
+        )
+        zmax = lam_search_max / lya - 1 - params.max_z_cut
         for z_dla in rng.uniform(zmin, zmax, n_dla):
             nhi = 10 ** rng.uniform(20.3, 21.8)
-            ext = np.concatenate(
-                [
-                    lam[i, :1] * 10 ** (-1e-4 * np.arange(3, 0, -1)),
-                    lam[i],
-                    lam[i, -1:] * 10 ** (1e-4 * np.arange(1, 4)),
-                ]
-            )
+            ext = extend_wavelengths(lam[i], params.instrument)
             f *= np.asarray(voigt_absorption(ext, z_dla, nhi, num_lines=3))
         injected[i] = n_dla
         flux[i] = f
@@ -137,8 +139,10 @@ def main(
 
     picks = np.argmax(res.model_posteriors, axis=1)
     acc = float(np.mean(picks == np.minimum(injected, 2)))
-    detect = float(np.mean(picks[injected >= 1] >= 1))
-    clean_fp = float(np.mean(picks[injected == 0] >= 1))
+    # np.mean over an empty selection is NaN (invalid JSON downstream)
+    rate = lambda sel: float(np.mean(sel)) if sel.size else None
+    detect = rate(picks[injected >= 1] >= 1)
+    clean_fp = rate(picks[injected == 0] >= 1)
     print(
         json.dumps(
             {
@@ -149,8 +153,10 @@ def main(
                 "seconds": round(total, 1),
                 "spectra_per_sec_end_to_end": round(n_spectra / total, 1),
                 "exact_multiplicity_acc": round(acc, 3),
-                "detection_rate": round(detect, 3),
-                "clean_false_positive_rate": round(clean_fp, 3),
+                "detection_rate": None if detect is None else round(detect, 3),
+                "clean_false_positive_rate": (
+                    None if clean_fp is None else round(clean_fp, 3)
+                ),
             }
         )
     )

@@ -134,11 +134,12 @@ def fabricate_release(root: Path, params):
             1.0,
         ) + rng.normal(0, noise_sd, n_px)
         for z_dla, log_n in dlas_by_thing.get(int(thing_ids[i]), []):
-            ext = np.concatenate([
-                lam[:1] * 10 ** (-1e-4 * np.arange(3, 0, -1)), lam,
-                lam[-1:] * 10 ** (1e-4 * np.arange(1, 4)),
-            ])
-            from gp_dla_detection_tpu.ops.voigt import voigt_absorption as va
+            from gp_dla_detection_tpu.ops.voigt import (
+                extend_wavelengths,
+                voigt_absorption as va,
+            )
+
+            ext = extend_wavelengths(lam)
             f *= np.asarray(va(ext, z_dla, 10.0 ** log_n, num_lines=3))
         plate_dir = spec_dir / str(plates[i]); plate_dir.mkdir(exist_ok=True)
         write_bintable(

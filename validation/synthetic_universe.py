@@ -24,7 +24,10 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
     from gp_dla_detection_tpu.analysis import AbsorptionPath, DLACatalogue
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
-    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+    from gp_dla_detection_tpu.ops.voigt import (
+        extend_wavelengths,
+        voigt_absorption,
+    )
     from gp_dla_detection_tpu.parallel import (
         ShardedRunConfig,
         make_mesh,
@@ -62,8 +65,6 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
     lya = 1215.6701
     injected = []
     flux = np.empty((n_spectra, P))
-    params_min_z = []
-    params_max_z = []
     for i in range(n_spectra):
         rest = lam[i] / (1 + z_qso[i])
         mu_i = np.interp(rest, grid, model.mu)
@@ -72,9 +73,13 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
 
         zmin = max(lam[i, 0] / lya - 1, 911.7633 * (1 + z_qso[i]) / lya - 1
                    + params.min_z_cut)
-        zmax = lam[i, -1] / lya - 1 - params.max_z_cut
-        params_min_z.append(zmin)
-        params_max_z.append(zmax)
+        # the engine's search range tops out at the last MODELLED pixel
+        # (rest <= max_lambda, _prepare_spectrum), not the last pixel of
+        # the grid — injecting beyond it would deflate recovered dN/dX
+        lam_search_max = min(
+            lam[i, -1], params.null_model.max_lambda * (1 + z_qso[i])
+        )
+        zmax = lam_search_max / lya - 1 - params.max_z_cut
         dX = float(path(zmin, zmax))
         n_dla = rng.poisson(rate_dndx * dX)
         n_dla = min(n_dla, 1)  # the model selects between 0 and 1 DLA
@@ -88,11 +93,7 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
             a = 1.0 - 1.8
             nlo, nhi_ = 10**20.3, 10**22.0
             nhi = (rng.uniform() * (nhi_**a - nlo**a) + nlo**a) ** (1 / a)
-            ext = np.concatenate([
-                lam[i, :1] * 10 ** (-1e-4 * np.arange(3, 0, -1)),
-                lam[i],
-                lam[i, -1:] * 10 ** (1e-4 * np.arange(1, 4)),
-            ])
+            ext = extend_wavelengths(lam[i], params.instrument)
             absorption = np.asarray(
                 voigt_absorption(ext, z_dla, nhi, num_lines=3)
             )
@@ -131,7 +132,6 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
     )
 
     # --- truth vs recovery ------------------------------------------------
-    inj = np.array([(z, n) for _, z, n in injected])
     n_inj = len(injected)
     detections = results.p_dlas > 0.9
     inj_idx = np.array([i for i, _, _ in injected])
@@ -143,11 +143,15 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
     z_lo, z_hi = 2.0, 3.4
     z_cent, dNdX, dndx68, dndx95, _ = cat.line_density(z_min=z_lo, z_max=z_hi)
     dX_total = cat.path_length(z_lo, z_hi)
-    z_edges = np.linspace(z_lo, z_hi, len(z_cent) + 1)
+    # line_density DROPS zero-path bins, so recover each returned
+    # center's true bin edges from the full grid it binned on instead
+    # of relinspacing over the kept count (misaligned when bins drop)
+    nbins = max(int((z_hi - z_lo) * cat.bins_per_z), 1)
+    width = (z_hi - z_lo) / nbins
     recovered_total = float(
         sum(
-            dNdX[b] * cat.path_length(z_edges[b], z_edges[b + 1])
-            for b in range(len(z_cent))
+            dNdX[b] * cat.path_length(zc - width / 2, zc + width / 2)
+            for b, zc in enumerate(z_cent)
         )
     )
     recovered_rate = recovered_total / dX_total
@@ -217,7 +221,10 @@ def main_multi(n_spectra: int = 256, rate_dndx: float = 0.35, seed: int = 21):
     from gp_dla_detection_tpu.analysis import AbsorptionPath
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
-    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
+    from gp_dla_detection_tpu.ops.voigt import (
+        extend_wavelengths,
+        voigt_absorption,
+    )
     from gp_dla_detection_tpu.parallel import (
         ShardedRunConfig,
         make_mesh,
@@ -259,15 +266,19 @@ def main_multi(n_spectra: int = 256, rate_dndx: float = 0.35, seed: int = 21):
         )
         zmin = max(lam[i, 0] / lya - 1, 911.7633 * (1 + z_qso[i]) / lya - 1
                    + params.min_z_cut)
-        zmax = lam[i, -1] / lya - 1 - params.max_z_cut
+        lam_search_max = min(
+            lam[i, -1], params.null_model.max_lambda * (1 + z_qso[i])
+        )
+        zmax = lam_search_max / lya - 1 - params.max_z_cut
         dX = float(path(zmin, zmax))
         n_dla = min(rng.poisson(rate_dndx * dX), 2)
         zs: list[float] = []
+        zgrid = np.linspace(zmin, zmax, 4001)
+        cdf = path(zmin, zgrid) / dX
         for _ in range(n_dla):
             for _attempt in range(20):
                 u = rng.uniform()
-                zgrid = np.linspace(zmin, zmax, 4001)
-                z_dla = float(np.interp(u, path(zmin, zgrid) / dX, zgrid))
+                z_dla = float(np.interp(u, cdf, zgrid))
                 if all(
                     abs(np.log1p(z_dla) - np.log1p(z0)) > np.log1p(min_sep)
                     for z0 in zs
@@ -279,11 +290,7 @@ def main_multi(n_spectra: int = 256, rate_dndx: float = 0.35, seed: int = 21):
             a = 1.0 - 1.8
             nlo, nhi_ = 10**20.3, 10**22.0
             nhi = (rng.uniform() * (nhi_**a - nlo**a) + nlo**a) ** (1 / a)
-            ext = np.concatenate([
-                lam[i, :1] * 10 ** (-1e-4 * np.arange(3, 0, -1)),
-                lam[i],
-                lam[i, -1:] * 10 ** (1e-4 * np.arange(1, 4)),
-            ])
+            ext = extend_wavelengths(lam[i], params.instrument)
             f *= np.asarray(voigt_absorption(ext, z_dla, nhi, num_lines=3))
             injected.setdefault(i, []).append((z_dla, np.log10(nhi)))
         flux[i] = f
@@ -373,12 +380,20 @@ def main_multi(n_spectra: int = 256, rate_dndx: float = 0.35, seed: int = 21):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--n-spectra", type=int, default=512)
-    p.add_argument("--rate", type=float, default=0.12)
+    p.add_argument("--n-spectra", type=int, default=None,
+                   help="default: 512 single / 256 multi")
+    p.add_argument("--rate", type=float, default=None,
+                   help="injected dN/dX (default: 0.12 single / 0.35 multi)")
     p.add_argument("--multi", action="store_true",
                    help="two-DLA injection/recovery instead of single")
     args = p.parse_args()
     if args.multi:
-        main_multi(min(args.n_spectra, 256), max(args.rate, 0.35))
+        main_multi(
+            args.n_spectra if args.n_spectra is not None else 256,
+            args.rate if args.rate is not None else 0.35,
+        )
     else:
-        main(args.n_spectra, args.rate)
+        main(
+            args.n_spectra if args.n_spectra is not None else 512,
+            args.rate if args.rate is not None else 0.12,
+        )
