@@ -136,8 +136,8 @@ def test_fits_header_comment_with_apostrophe(tmp_path):
     raw = bytearray((tmp_path / "t.fits").read_bytes())
     # rewrite the extension's NAXIS2 card with an apostrophe-bearing comment
     idx = raw.find(b"NAXIS2 ")
-    card = b"NAXIS2  =                    4 / table's row count"
-    raw[idx : idx + len(card)] = card.ljust(len(card))
+    card = b"NAXIS2  =                    4 / table's row count".ljust(80)
+    raw[idx : idx + len(card)] = card
     (tmp_path / "t2.fits").write_bytes(bytes(raw))
     table = read_bintable(tmp_path / "t2.fits")
     np.testing.assert_allclose(table["A"], np.arange(4.0))

@@ -17,7 +17,6 @@ from gp_dla_detection_tpu.params import NullModelParams, Parameters
 
 
 def test_base_sample_inds_resample_posterior():
-    rng = np.random.default_rng(0)
     sll = np.full((2, 100), -50.0)
     sll[0, 7] = 0.0   # spectrum 0's posterior concentrates on sample 7
     sll[1, 42] = 0.0

@@ -58,6 +58,7 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
         mp = f["multi_model_posteriors"]
     assert mp.shape == (8, 3)
     ok = np.isfinite(mp).all(axis=1)
+    assert ok.any()  # an all-NaN posterior must not pass vacuously
     np.testing.assert_allclose(mp[ok].sum(axis=1), 1.0, rtol=1e-12)
 
     # the analysis layer loads the multi artifact directly

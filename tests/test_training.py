@@ -334,7 +334,10 @@ def test_lbfgs_line_search_failure_not_converged():
         return f, g
 
     res = minimize_lbfgs(fg, np.zeros(1), max_iterations=5, max_fun_evals=100)
-    assert not res.converged or res.f <= 0.0
+    # the start point (f=0) is the only reachable return, so res.f is
+    # always 0 here — the assertion must be on the convergence claim
+    assert not res.converged
+    assert res.f == 0.0 and res.x[0] == 0.0
 
 
 def test_device_lbfgs_rosenbrock():
