@@ -30,7 +30,7 @@ BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
 def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
-         k: int = 20, sample_chunk: int = 2500, iters: int = 3,
+         k: int = 20, sample_chunk: int = 2500, iters: int = 5,
          backend: str = "auto") -> None:
     import jax
 
@@ -149,7 +149,7 @@ if __name__ == "__main__":
     p.add_argument("--pixels", type=int, default=1274)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--sample-chunk", type=int, default=2500)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     a = p.parse_args()
     main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters,
