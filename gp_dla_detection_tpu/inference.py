@@ -41,8 +41,12 @@ from .params import LYA_WAVELENGTH, LYMAN_LIMIT, Parameters
 __all__ = [
     "PaddedSpectra",
     "InferenceResults",
+    "LadderRunner",
     "dla_rate_priors",
     "correct_prior_dla_flags",
+    "fetch_with_ladder",
+    "force_completion",
+    "ladder_recoverable",
     "spectrum_log_likelihoods",
     "batch_log_likelihoods",
     "process_spectra",
@@ -278,15 +282,87 @@ def ladder_configs(
     return configs
 
 
+def ladder_recoverable(exc: BaseException) -> bool:
+    """True for compile/lowering/VMEM-class failures — the ones a
+    degradation ladder can fix by choosing a smaller/safer config.
+
+    Data-dependent errors (bad shapes from a caller, assertion failures,
+    numerics guards) return False: silently retrying those on
+    progressively slower configs would mask the real bug behind a
+    warning, possibly "succeeding" on a rung that hides it.
+    """
+    try:
+        from jax.errors import JaxRuntimeError as _XlaError
+    except ImportError:  # older jax
+        from jaxlib.xla_extension import XlaRuntimeError as _XlaError
+    if isinstance(exc, (_XlaError, NotImplementedError, MemoryError)):
+        # XlaRuntimeError covers TPU compile failures, Mosaic lowering
+        # errors, and RESOURCE_EXHAUSTED (scoped-VMEM OOM) at execution;
+        # NotImplementedError is how Pallas lowering reports unsupported
+        # ops on the current device
+        return True
+    text = f"{type(exc).__name__}: {exc}"
+    return any(
+        p in text
+        for p in (
+            "RESOURCE_EXHAUSTED",
+            "Mosaic",
+            "mosaic",
+            "VMEM",
+            "vmem",
+            "lower",
+            "compil",
+            "out of memory",
+            "XLA",
+            "Pallas",
+            "pallas",
+            # pallas_call's CPU lowering rejection ("Only interpret mode
+            # is supported on CPU backend") is a ValueError by type but a
+            # device-capability failure by nature
+            "interpret mode",
+        )
+    )
+
+
+def force_completion(out) -> None:
+    """Complete ``out``'s execution and surface any failure NOW.
+
+    ``jax.block_until_ready`` alone is not enough on remote backends
+    (axon: it returns before remote execution finishes, so an
+    execution-time failure would escape to the caller's later fetch) —
+    also pull one tiny scalar reduction through the host, which blocks
+    until the producing computation has actually run.
+    """
+    jax.block_until_ready(out)
+    leaves = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(out)
+        if hasattr(leaf, "dtype")
+        and getattr(leaf, "is_fully_addressable", True)
+        and jnp.issubdtype(leaf.dtype, jnp.number)
+        and leaf.size
+    ]
+    if leaves:
+        np.asarray(jnp.sum(min(leaves, key=lambda leaf: leaf.size)))
+
+
 class LadderRunner:
     """Evaluate through a degradation ladder of (backend, tile) configs.
 
-    ``build(backend, tile)`` returns the batch evaluator for one rung;
-    calls walk the ladder on compile/VMEM failure (with a warning)
-    instead of hard-failing — every config the API accepts must
-    complete.  The reached rung persists across calls, so later batches
-    skip the rungs that already failed.  Shared by all four inference
-    drivers (single/two-DLA x local/sharded).
+    ``build(backend, tile, windowed)`` returns the batch evaluator for
+    one rung; calls walk the ladder on compile/lowering/VMEM failure
+    (with a warning) instead of hard-failing — every config the API
+    accepts must complete.  Any other exception type re-raises
+    immediately (see :func:`ladder_recoverable`).  The reached rung
+    persists across calls, so later batches skip the rungs that already
+    failed.  Shared by all four inference drivers (single/two-DLA x
+    local/sharded).
+
+    Dispatch is async once a rung is verified: only the FIRST call on
+    each rung forces completion (surfacing compile/VMEM failures
+    immediately); later calls enqueue and return, letting drivers
+    overlap compute with result fetches.  A failure that surfaces at a
+    driver's fetch instead is routed back through :meth:`recover`.
     """
 
     def __init__(self, configs, build, what: str = "evidence"):
@@ -295,37 +371,71 @@ class LadderRunner:
         self.what = what
         self.idx = 0
         self.fn = build(*self.configs[0])
+        self._verified = False
 
     @property
-    def config(self) -> tuple[str, int | None]:
+    def config(self) -> tuple[str, int | None, bool]:
         return self.configs[self.idx]
+
+    def _advance(self, exc: BaseException) -> bool:
+        """Move to the next rung if ``exc`` is ladder-recoverable and a
+        rung remains; False means the caller should re-raise."""
+        if not ladder_recoverable(exc) or self.idx + 1 >= len(self.configs):
+            return False
+        import warnings
+
+        cur = self.configs[self.idx]
+        nxt = self.configs[self.idx + 1]
+        desc = lambda c: (
+            f"{c[0]!r} (tile={c[1]}" + (", windowed" if c[2] else "") + ")"
+        )
+        reason = f"{type(exc).__name__}: {exc}"
+        if len(reason) > 300:
+            reason = reason[:300] + "..."
+        warnings.warn(
+            f"{self.what} backend {desc(cur)} failed to "
+            f"compile/fit; falling back to {desc(nxt)} [{reason}]",
+            stacklevel=3,
+        )
+        self.idx += 1
+        self.fn = self.build(*nxt)
+        self._verified = False
+        return True
 
     def __call__(self, *args):
         while True:
             try:
                 out = self.fn(*args)
-                # surface compile/VMEM failures here, not at the fetch
-                jax.block_until_ready(out)
+                if not self._verified:
+                    # surface compile/VMEM failures here, not at the
+                    # fetch; once a rung survives one full batch, later
+                    # batches dispatch asynchronously
+                    force_completion(out)
+                    self._verified = True
                 return out
-            except Exception:
-                if self.idx + 1 >= len(self.configs):
+            except Exception as exc:
+                if not self._advance(exc):
                     raise
-                import warnings
 
-                cur = self.configs[self.idx]
-                nxt = self.configs[self.idx + 1]
-                desc = lambda c: (
-                    f"{c[0]!r} (tile={c[1]}"
-                    + (", windowed" if c[2] else "")
-                    + ")"
-                )
-                warnings.warn(
-                    f"{self.what} backend {desc(cur)} failed to "
-                    f"compile/fit; falling back to {desc(nxt)}",
-                    stacklevel=2,
-                )
-                self.idx += 1
-                self.fn = self.build(*nxt)
+    def recover(self, exc: BaseException) -> None:
+        """Walk the ladder after ``exc`` surfaced at a result fetch
+        (dispatch being async past the first batch of a rung);
+        re-raises when the error is not ladder-recoverable or the
+        ladder is exhausted."""
+        if not self._advance(exc):
+            raise exc
+
+
+def fetch_with_ladder(runner: LadderRunner, out, args, fetch):
+    """``fetch(out)`` with ladder recovery: if the asynchronously
+    dispatched execution failed after :class:`LadderRunner` returned,
+    walk the ladder and re-run this batch on the new rung."""
+    while True:
+        try:
+            return fetch(out)
+        except Exception as exc:
+            runner.recover(exc)  # re-raises when not recoverable
+            out = runner(*args)
 
 
 def _prepare_spectrum(
@@ -819,21 +929,25 @@ def process_spectra(
         build,
     )
 
+    fetch = lambda o: {k: np.asarray(v) for k, v in o.items()}
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
-        out = runner(
+        args = (
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),
             jnp.asarray(batch.noise_variance, dtype),
             jnp.asarray(batch.mask),
             jnp.asarray(batch.z_qso, dtype),
         )
+        # dispatch is async past each rung's first batch; a failure
+        # surfacing at the fetch below still walks the ladder
+        out = fetch_with_ladder(runner, runner(*args), args, fetch)
         keep = stop - start
-        out_null[start:stop] = np.asarray(out["log_likelihood_no_dla"])[:keep]
-        out_samples[start:stop] = np.asarray(out["sample_log_likelihoods_dla"])[:keep]
-        out_min_z[start:stop] = np.asarray(out["min_z_dla"])[:keep]
-        out_max_z[start:stop] = np.asarray(out["max_z_dla"])[:keep]
+        out_null[start:stop] = out["log_likelihood_no_dla"][:keep]
+        out_samples[start:stop] = out["sample_log_likelihoods_dla"][:keep]
+        out_min_z[start:stop] = out["min_z_dla"][:keep]
+        out_max_z[start:stop] = out["max_z_dla"][:keep]
         if progress:
             print(f"processed {stop}/{n} spectra", flush=True)
 

@@ -46,12 +46,24 @@ class GPModel:
         # always uses NullModelParams.rest_wavelengths), silently wrong
         # for an arbitrary non-uniform grid — so reject those HERE,
         # where the contract enters, rather than inside a jit
-        grid = np.asarray(self.rest_wavelengths, np.float64)
+        stored = np.asarray(self.rest_wavelengths)
+        grid = stored.astype(np.float64)
         if grid.ndim != 1 or grid.size < 2:
             raise ValueError("rest_wavelengths must be a 1-D grid")
         spacing = np.diff(grid)
         dx = (grid[-1] - grid[0]) / (grid.size - 1)
-        if dx <= 0 or np.max(np.abs(spacing - dx)) > 1e-3 * abs(dx):
+        # tolerance scales with the STORED dtype's ulp at the grid
+        # magnitude: an arange-built grid round-tripped through float32
+        # carries spacing jitter up to ~2 ulp(grid[-1]) (~2.9e-4 Å at
+        # 1216 Å), which a fixed relative-spacing bound would spuriously
+        # reject at coarse dx
+        eps = (
+            np.finfo(stored.dtype).eps
+            if np.issubdtype(stored.dtype, np.floating)
+            else np.finfo(np.float64).eps
+        )
+        tol = max(1e-3 * abs(dx), 4.0 * eps * float(np.max(np.abs(grid))))
+        if dx <= 0 or np.max(np.abs(spacing - dx)) > tol:
             raise ValueError(
                 "rest_wavelengths must be uniformly spaced and "
                 "increasing (the engine uses uniform-grid model "

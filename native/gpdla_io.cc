@@ -65,9 +65,12 @@ struct Header {
       if (kv.first == key) return &kv.second;
     return nullptr;
   }
-  long get_long(const char* key, long dflt = -1) const {
+  // NAXIS-class values are read into a fixed 64-bit type: on ILP32
+  // targets a 32-bit long would both truncate the parse and make the
+  // (1 << 32) overflow guard below undefined behavior
+  int64_t get_long(const char* key, int64_t dflt = -1) const {
     const std::string* v = find(key);
-    return v ? std::strtol(v->c_str(), nullptr, 10) : dflt;
+    return v ? std::strtoll(v->c_str(), nullptr, 10) : dflt;
   }
   std::string get_str(const char* key) const {
     const std::string* v = find(key);
@@ -115,18 +118,18 @@ bool read_header(const std::vector<char>& buf, size_t* off, Header* hdr) {
 }
 
 size_t data_size(const Header& hdr) {
-  long bitpix = hdr.get_long("BITPIX", 8);
-  long naxis = hdr.get_long("NAXIS", 0);
+  int64_t bitpix = hdr.get_long("BITPIX", 8);
+  int64_t naxis = hdr.get_long("NAXIS", 0);
   if (naxis == 0) return 0;
-  size_t size = std::labs(bitpix) / 8;
-  for (long i = 1; i <= naxis; i++) {
+  size_t size = static_cast<size_t>(std::llabs(bitpix)) / 8;
+  for (int64_t i = 1; i <= naxis; i++) {
     char key[32];
-    std::snprintf(key, sizeof key, "NAXIS%ld", i);
+    std::snprintf(key, sizeof key, "NAXIS%lld", static_cast<long long>(i));
     size *= static_cast<size_t>(hdr.get_long(key, 0));
   }
   size *= static_cast<size_t>(hdr.get_long("GCOUNT", 1));
   size += static_cast<size_t>(hdr.get_long("PCOUNT", 0)) *
-          (std::labs(bitpix) / 8);
+          (static_cast<size_t>(std::llabs(bitpix)) / 8);
   return size;
 }
 
@@ -160,9 +163,9 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
   // first extension must be the COADD BINTABLE
   if (!read_header(buf, &off, &hdr)) return -4;
   if (hdr.get_str("XTENSION") != "BINTABLE") return -5;
-  long row_bytes = hdr.get_long("NAXIS1", 0);
-  long nrows = hdr.get_long("NAXIS2", 0);
-  long tfields = hdr.get_long("TFIELDS", 0);
+  int64_t row_bytes = hdr.get_long("NAXIS1", 0);
+  int64_t nrows = hdr.get_long("NAXIS2", 0);
+  int64_t tfields = hdr.get_long("TFIELDS", 0);
   // nrows == 0 is a VALID empty table (parity with the numpy reader,
   // which returns empty arrays and lets the preloader filter the
   // quasar gracefully); only malformed headers are parse failures
@@ -170,7 +173,7 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
   // reject sizes whose product could wrap size_t (crafted NAXIS cards
   // would otherwise bypass the bounds check below and read far past
   // the file buffer); generous caps, far above any real speclite file
-  if (row_bytes > (1L << 24) || nrows > (1L << 32)) return -6;
+  if (row_bytes > (int64_t{1} << 24) || nrows > (int64_t{1} << 32)) return -6;
 
   std::vector<Column> cols(static_cast<size_t>(tfields));
   size_t col_off = 0;
@@ -206,7 +209,7 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
       c_andmask->code != 'J')
     return -9;
 
-  long n = std::min<long>(nrows, max_pixels);
+  int64_t n = std::min<int64_t>(nrows, max_pixels);
   // row_bytes <= 2^24 and nrows <= 2^32 (checked above), so the
   // product fits in 64 bits without wrapping
   if (off > buf.size() ||
@@ -215,7 +218,7 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
     return -10;
   const unsigned char* data =
       reinterpret_cast<const unsigned char*>(buf.data()) + off;
-  for (long r = 0; r < n; r++) {
+  for (int64_t r = 0; r < n; r++) {
     const unsigned char* row = data + static_cast<size_t>(r) * row_bytes;
     float fl = bef32(row + c_flux->offset);
     float ll = bef32(row + c_loglam->offset);

@@ -372,6 +372,35 @@ def test_gpmodel_interpolate_matches_engine_prep(setup):
         )
 
 
+def test_gp_model_grid_validation_tolerates_f32_storage():
+    """The uniform-spacing gate scales with the stored dtype's ulp: an
+    arange-built grid round-tripped through float32 (spacing jitter
+    ~2 ulp at 1216 Å) must be accepted; a genuinely non-uniform grid
+    must still be rejected (ADVICE r2)."""
+    import pytest as _pytest
+
+    grid64 = np.arange(911.75, 1215.76, 0.25)
+    n, k = grid64.size, 2
+
+    def make(grid):
+        return GPModel(
+            rest_wavelengths=grid,
+            mu=np.ones(n),
+            M=np.zeros((n, k)),
+            log_omega=np.zeros(n),
+            log_c_0=0.0,
+            log_tau_0=0.0,
+            log_beta=0.0,
+        )
+
+    make(grid64)
+    make(grid64.astype(np.float32))  # f32 rounding jitter is fine
+    bad = grid64.copy()
+    bad[100] += 0.1  # 40% of dx: a real non-uniformity
+    with _pytest.raises(ValueError, match="uniformly spaced"):
+        make(bad)
+
+
 def test_search_range_policy_methods():
     """Parameters' z_DLA range policy (set_parameters.m:65-73) is the
     single definition used by the engine."""
@@ -512,20 +541,92 @@ def test_ladder_runner_walks_rungs_and_persists():
         warnings.simplefilter("always")
         assert runner(1) == 2
     assert runner.config == ("pallas", 256, False)
-    assert [str(w.message) for w in caught] == [
+    # the warning names both rungs AND carries the original error text
+    # so misclassified failures stay visible (ADVICE r2)
+    assert len(caught) == 1
+    msg = str(caught[0].message)
+    assert msg.startswith(
         "evidence backend 'pallas' (tile=256, windowed) failed to "
         "compile/fit; falling back to 'pallas' (tile=256)"
-    ]
+    )
+    assert "RuntimeError: windowed lowering failed" in msg
     # second call goes straight to the reached rung
     n = len(calls)
     assert runner(5) == 6
     assert calls[n:] == [("pallas", 256, False)]
 
     # exhausting the ladder re-raises the original failure
-    always_fail = LadderRunner(
-        [("pallas", 128, True)], lambda *c: (lambda x: 1 / 0)
-    )
+    def fail_oom(*c):
+        def fn(x):
+            raise RuntimeError("RESOURCE_EXHAUSTED: scoped vmem")
+
+        return fn
+
+    always_fail = LadderRunner([("pallas", 128, True)], fail_oom)
     import pytest as _pytest
 
-    with _pytest.raises(ZeroDivisionError):
+    with _pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         always_fail(0)
+
+
+def test_ladder_runner_reraises_non_resource_errors():
+    """A data/shape error on the fastest rung must propagate, not walk
+    the ladder: degrading would mask the real bug (VERDICT r2 #7)."""
+    import pytest as _pytest
+
+    from gp_dla_detection_tpu.inference import LadderRunner, ladder_recoverable
+
+    configs = [("pallas", 256, True), ("xla", None, False)]
+    calls = []
+
+    def build(backend, tile, windowed):
+        def fn(x):
+            calls.append(backend)
+            raise ValueError("operands have incompatible shapes (2, 3) vs (4,)")
+
+        return fn
+
+    runner = LadderRunner(configs, build)
+    with _pytest.raises(ValueError, match="incompatible shapes"):
+        runner(1)
+    assert calls == ["pallas"]  # never reached the XLA rung
+
+    # classification: resource/compile-class errors recover, data errors
+    # re-raise, jax runtime errors always recover
+    assert ladder_recoverable(RuntimeError("RESOURCE_EXHAUSTED: vmem"))
+    assert ladder_recoverable(RuntimeError("Mosaic failed to compile kernel"))
+    assert ladder_recoverable(NotImplementedError("unsupported in pallas"))
+    assert not ladder_recoverable(ValueError("bad shapes"))
+    assert not ladder_recoverable(AssertionError("nan in result"))
+    assert not ladder_recoverable(ZeroDivisionError("division by zero"))
+    from jax.errors import JaxRuntimeError
+
+    assert ladder_recoverable(JaxRuntimeError("INTERNAL: device error"))
+
+
+def test_fetch_with_ladder_recovers_async_failures():
+    """A failure surfacing at the result fetch (dispatch being async
+    past a rung's first batch) walks the ladder and re-runs the batch;
+    non-recoverable fetch errors re-raise."""
+    import pytest as _pytest
+
+    from gp_dla_detection_tpu.inference import LadderRunner, fetch_with_ladder
+
+    configs = [("pallas", 256, True), ("xla", None, False)]
+    runner = LadderRunner(configs, lambda b, t, w: (lambda x: (b, x + 1)))
+
+    def fetch(out):
+        backend, val = out
+        if backend == "pallas":
+            raise RuntimeError("RESOURCE_EXHAUSTED: ran out of vmem")
+        return val
+
+    with _pytest.warns(UserWarning, match="falling back"):
+        assert fetch_with_ladder(runner, runner(7), (7,), fetch) == 8
+    assert runner.config == ("xla", None, False)
+
+    def bad_fetch(out):
+        raise ValueError("corrupt result")
+
+    with _pytest.raises(ValueError, match="corrupt result"):
+        fetch_with_ladder(runner, runner(7), (7,), bad_fetch)
