@@ -29,6 +29,41 @@ import numpy as np
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
 
 
+def _synthetic_problem(batch_size, num_samples, pixels, k, seed=0):
+    """Shared synthetic workload for both benchmark modes: padded
+    spectra spanning the production z range, the learned-model arrays,
+    and the QMC sample set, all float32."""
+    from gp_dla_detection_tpu.params import NullModelParams, Parameters
+
+    rng = np.random.default_rng(seed)
+    dtype = np.float32
+    params = Parameters(null_model=NullModelParams(k=k))
+    grid = params.null_model.rest_wavelengths().astype(dtype)
+
+    z = rng.uniform(2.5, 3.4, batch_size).astype(dtype)
+    lam = np.stack(
+        [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(pixels)) for zz in z]
+    ).astype(dtype)
+    offsets = rng.uniform(size=num_samples).astype(dtype)
+    return {
+        "params": params,
+        "grid": grid,
+        "wavelengths": lam,
+        "flux": rng.normal(1, 0.3, (batch_size, pixels)).astype(dtype),
+        "noise_variance": rng.uniform(0.05, 0.2, (batch_size, pixels)).astype(dtype),
+        "mask": rng.uniform(size=(batch_size, pixels)) > 0.03,
+        "z_qso": z,
+        "mu": (1 + 0.1 * np.sin(grid / 40)).astype(dtype),
+        "M": (rng.normal(size=(grid.size, k)) * 0.08).astype(dtype),
+        "log_omega": np.log(0.2 + 0 * grid).astype(dtype),
+        "log_c_0": float(np.log(0.1)),
+        "log_tau_0": float(np.log(0.0023)),
+        "log_beta": float(np.log(3.65)),
+        "offsets": offsets,
+        "nhis": (10 ** rng.uniform(20, 22.5, num_samples)).astype(dtype),
+    }
+
+
 def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
          k: int = 20, sample_chunk: int = 2500, iters: int = 5,
          backend: str = "auto") -> None:
@@ -42,33 +77,25 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
 
     enable_compilation_cache()
     from gp_dla_detection_tpu.ops.evidence_pallas import SAMPLE_TILE
-    from gp_dla_detection_tpu.params import NullModelParams, Parameters
 
-    rng = np.random.default_rng(0)
-    dtype = np.float32
-    params = Parameters(null_model=NullModelParams(k=k))
-    grid = params.null_model.rest_wavelengths().astype(dtype)
-
-    z = rng.uniform(2.5, 3.4, batch_size).astype(dtype)
-    lam = np.stack(
-        [10 ** (np.log10(911.9 * (1 + zz)) + 1e-4 * np.arange(pixels)) for zz in z]
-    ).astype(dtype)
-    offsets = rng.uniform(size=num_samples).astype(dtype)
+    prob = _synthetic_problem(batch_size, num_samples, pixels, k)
+    params = prob["params"]
+    offsets = prob["offsets"]
     args = (
-        jax.numpy.asarray(lam),
-        jax.numpy.asarray(rng.normal(1, 0.3, (batch_size, pixels)).astype(dtype)),
-        jax.numpy.asarray(rng.uniform(0.05, 0.2, (batch_size, pixels)).astype(dtype)),
-        jax.numpy.asarray(rng.uniform(size=(batch_size, pixels)) > 0.03),
-        jax.numpy.asarray(z),
-        jax.numpy.asarray(grid),
-        jax.numpy.asarray((1 + 0.1 * np.sin(grid / 40)).astype(dtype)),
-        jax.numpy.asarray((rng.normal(size=(grid.size, k)) * 0.08).astype(dtype)),
-        jax.numpy.asarray(np.log(0.2 + 0 * grid).astype(dtype)),
-        float(np.log(0.1)),
-        float(np.log(0.0023)),
-        float(np.log(3.65)),
+        jax.numpy.asarray(prob["wavelengths"]),
+        jax.numpy.asarray(prob["flux"]),
+        jax.numpy.asarray(prob["noise_variance"]),
+        jax.numpy.asarray(prob["mask"]),
+        jax.numpy.asarray(prob["z_qso"]),
+        jax.numpy.asarray(prob["grid"]),
+        jax.numpy.asarray(prob["mu"]),
+        jax.numpy.asarray(prob["M"]),
+        jax.numpy.asarray(prob["log_omega"]),
+        prob["log_c_0"],
+        prob["log_tau_0"],
+        prob["log_beta"],
         jax.numpy.asarray(offsets),
-        jax.numpy.asarray((10 ** rng.uniform(20, 22.5, num_samples)).astype(dtype)),
+        jax.numpy.asarray(prob["nhis"]),
     )
 
     def make_run(chosen: str):
@@ -140,6 +167,77 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
     )
 
 
+def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
+                num_samples: int = 10000, pixels: int = 1274, k: int = 20,
+                backend: str = "pallas", checkpoint: bool = True,
+                pipeline_depth: int = 2) -> None:
+    """Sustained END-TO-END throughput through the production sharded
+    driver: device_put + execute + f16 result streaming + background
+    checkpointing per super-batch — everything a survey run pays, not
+    just the happy kernel loop.  The kernel metric (plain `bench.py`)
+    and this driver metric bracket the system: kernel = device ceiling,
+    driver = what a user actually sustains.
+    """
+    import tempfile
+    import jax  # noqa: F401  (device init before timing)
+
+    from gp_dla_detection_tpu.inference import PaddedSpectra
+    from gp_dla_detection_tpu.models.qso_model import GPModel
+    from gp_dla_detection_tpu.parallel.sharded_inference import (
+        ShardedRunConfig,
+        process_spectra_sharded,
+    )
+    from gp_dla_detection_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    prob = _synthetic_problem(n_spectra, num_samples, pixels, k)
+    model = GPModel(
+        rest_wavelengths=prob["grid"], mu=prob["mu"], M=prob["M"],
+        log_omega=prob["log_omega"], log_c_0=prob["log_c_0"],
+        log_tau_0=prob["log_tau_0"], log_beta=prob["log_beta"],
+    )
+    spectra = PaddedSpectra(
+        prob["wavelengths"], prob["flux"], prob["noise_variance"],
+        prob["mask"], prob["z_qso"],
+    )
+    rng = np.random.default_rng(1)
+    prior_z = rng.uniform(2.0, 4.0, 4096)
+    prior_flags = rng.uniform(size=4096) < 0.1
+
+    def run(sl, ckpt_dir):
+        cfg = ShardedRunConfig(
+            per_device_batch=per_device_batch, backend=backend,
+            dtype="float32", stream_dtype="float16",
+            checkpoint_dir=ckpt_dir, pipeline_depth=pipeline_depth,
+        )
+        return process_spectra_sharded(
+            model, prob["offsets"], prob["nhis"], spectra.slice(sl),
+            prior_z, prior_flags, config=cfg,
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # warm-up: one super-batch populates the jit cache at the run
+        # shapes, so the timed section measures sustained throughput
+        run(slice(0, per_device_batch), None)
+        t0 = time.perf_counter()
+        res = run(slice(0, n_spectra), f"{tmp}/ckpt" if checkpoint else None)
+        elapsed = time.perf_counter() - t0
+    assert np.isfinite(res.log_likelihoods_dla).all()
+
+    value = n_spectra / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "spectra/sec/chip (sustained end-to-end driver, "
+                f"{num_samples} QMC samples, f16 streaming, checkpointing)",
+                "value": round(value, 3),
+                "unit": "spectra/s",
+                "vs_baseline": round(value / BASELINE_SPECTRA_PER_SEC_PER_CHIP, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -150,7 +248,22 @@ if __name__ == "__main__":
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--sample-chunk", type=int, default=2500)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--backend", default=None,
+                   choices=[None, "auto", "xla", "pallas"])
+    p.add_argument("--driver", action="store_true",
+                   help="sustained end-to-end driver benchmark instead of "
+                   "the kernel loop")
+    p.add_argument("--n-spectra", type=int, default=8192,
+                   help="--driver: total spectra for the sustained run")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="--driver: disable per-batch checkpointing")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="--driver: super-batches in flight (1 = serial)")
     a = p.parse_args()
-    main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk, a.iters,
-         a.backend)
+    if a.driver:
+        main_driver(a.n_spectra, a.batch_size, a.num_samples, a.pixels, a.k,
+                    a.backend or "pallas", not a.no_checkpoint,
+                    a.pipeline_depth)
+    else:
+        main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk,
+             a.iters, a.backend or "auto")

@@ -1,0 +1,128 @@
+"""Compute/transfer overlap for the sharded drivers.
+
+The reference processes quasars strictly serially and saves once at the
+end (process_qsos.m:88-220, :234-249).  The r2 sharded drivers already
+batched and checkpointed, but still ran
+
+    device_put -> execute -> block -> fetch -> savez -> next batch
+
+on one critical path, leaving the chip idle ~95% of wall time (the
+40.1 s scale demo contained ~2.2 s of device compute).  This module
+supplies the two pieces that break that serialization:
+
+  - :func:`run_pipelined` — a bounded in-flight dispatch/complete loop:
+    batch i+1's host->device transfer and execution are enqueued before
+    batch i's results are fetched, so the device computes while the host
+    waits on the (tunnel-bound) result transfer.  JAX dispatch is async;
+    the LadderRunner only forces completion on the first batch of a rung
+    (inference.LadderRunner), so "dispatch" really is enqueue-and-return.
+  - :class:`BackgroundWriter` — a single-worker ordered writer moving
+    np.savez_compressed checkpoint/manifest writes off the critical
+    path (zlib releases the GIL, so compression genuinely overlaps).
+
+Checkpoint files are written atomically (tmp + os.replace): a SIGKILL
+mid-write leaves either the old state or the new state, never a corrupt
+npz/manifest — load-bearing for the kill/resume contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "BackgroundWriter",
+    "atomic_savez",
+    "atomic_write_json",
+    "run_pipelined",
+]
+
+
+def run_pipelined(items, dispatch, complete, depth: int = 2):
+    """Run ``complete(item, dispatch(item))`` over ``items`` with up to
+    ``depth`` dispatched items in flight.
+
+    ``dispatch`` should enqueue device work and return without blocking
+    (its return value is handed to ``complete`` unchanged); ``complete``
+    fetches results and does host-side bookkeeping.  ``depth=1``
+    degenerates to the serial loop; ``depth=2`` is classic double
+    buffering (one batch computing while the previous one drains).
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    inflight: deque = deque()
+    for item in items:
+        inflight.append((item, dispatch(item)))
+        while len(inflight) >= depth:
+            done_item, state = inflight.popleft()
+            complete(done_item, state)
+    while inflight:
+        done_item, state = inflight.popleft()
+        complete(done_item, state)
+
+
+class BackgroundWriter:
+    """Ordered background execution of checkpoint writes.
+
+    One worker thread keeps writes (and the manifest updates that must
+    follow them) in submission order.  Worker exceptions surface at the
+    next :meth:`submit` or at :meth:`close` — never silently.  As a
+    context manager, the success path closes (waits + re-raises); an
+    exceptional exit abandons pending writes without masking the
+    original error.
+    """
+
+    def __init__(self):
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="gpdla-ckpt"
+        )
+        self._pending: deque = deque()
+
+    def submit(self, fn, *args) -> None:
+        while self._pending and self._pending[0].done():
+            self._pending.popleft().result()  # re-raise worker errors
+        self._pending.append(self._pool.submit(fn, *args))
+
+    def close(self) -> None:
+        try:
+            while self._pending:
+                self._pending.popleft().result()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self) -> "BackgroundWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.close()
+        else:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+        return False
+
+
+def atomic_savez(path: str | Path, **arrays) -> None:
+    """np.savez_compressed with atomic replace (no torn files on kill)."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_json(path: str | Path, obj) -> None:
+    """JSON dump with atomic replace (manifests survive a mid-write kill)."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

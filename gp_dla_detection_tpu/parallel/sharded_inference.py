@@ -62,6 +62,10 @@ class ShardedRunConfig:
     # lossless where posterior weight survives) | "bfloat16" |
     # "float32" (exact opt-out).  f64 runs are never narrowed.
     stream_dtype: str | None = "float16"
+    # max super-batches in flight on the device (parallel/overlap.py):
+    # 2 = double buffering (batch i+1 computes while batch i's results
+    # drain through the fetch); 1 = the serial r2 behaviour
+    pipeline_depth: int = 2
 
 
 def process_spectra_sharded(
@@ -233,6 +237,7 @@ def process_spectra_sharded(
 
     meter = ProgressMeter(n, unit="spectra") if progress else None
     batch_starts = list(range(0, n, super_batch))
+    todo: list[tuple[int, int, int, Path | None]] = []
     for bi, start in enumerate(batch_starts):
         stop = min(start + super_batch, n)
         ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
@@ -242,10 +247,41 @@ def process_spectra_sharded(
                 out_samples[start:stop] = f["sample_log_likelihoods_dla"]
                 out_min_z[start:stop] = f["min_z_dla"]
                 out_max_z[start:stop] = f["max_z_dla"]
+            if meter is not None:
+                meter.update(stop - start)
             continue
+        todo.append((bi, start, stop, ckpt_file))
 
+    # Compute/transfer overlap (see parallel/overlap.py): dispatch batch
+    # i+1 before fetching batch i's results (the LadderRunner blocks
+    # only on the first batch of a rung), and push checkpoint writes to
+    # a background thread.  Replaces the reference's serial per-quasar
+    # loop + end-only save (process_qsos.m:88-220, :234-249).
+    from ..inference import fetch_with_ladder
+    from .overlap import (
+        BackgroundWriter,
+        atomic_savez,
+        atomic_write_json,
+        run_pipelined,
+    )
+    from .streaming import fetch_packed_rows, pack_rows
+
+    def pack(out):
+        # enqueue the f16 wire-format packing NOW, directly behind this
+        # batch's main computation on the device queue — packing at
+        # fetch time would run after the NEXT batch's compute and stall
+        # the pipeline (single device stream)
+        return (
+            out["log_likelihood_no_dla"],
+            pack_rows(out["sample_log_likelihoods_dla"], config.stream_dtype),
+            out["min_z_dla"],
+            out["max_z_dla"],
+        )
+
+    def dispatch(item):
+        bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
-        batch_args = (
+        args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
@@ -253,46 +289,64 @@ def process_spectra_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
         )
-        out = runner(*batch_args)
-        keep = stop - start
-        null_ll = fetch_global(out["log_likelihood_no_dla"])[:keep]
-        from .streaming import fetch_rows
+        return args, pack(runner(*args))
 
-        sample_ll = fetch_rows(
-            out["sample_log_likelihoods_dla"], config.stream_dtype
-        )[:keep]
-        min_z = fetch_global(out["min_z_dla"])[:keep]
-        max_z = fetch_global(out["max_z_dla"])[:keep]
-        out_null[start:stop] = null_ll
-        out_samples[start:stop] = sample_ll
-        out_min_z[start:stop] = min_z
-        out_max_z[start:stop] = max_z
+    def fetch(packed):
+        null_ll, rows, min_z, max_z = packed
+        return (
+            fetch_global(null_ll),
+            fetch_packed_rows(rows),
+            fetch_global(min_z),
+            fetch_global(max_z),
+        )
 
-        if ckpt_file and is_coordinator():
-            # multi-process runs: one writer (process 0); every process
-            # holds the full gathered results, so resume only needs the
-            # checkpoint files visible from each host (shared fs)
-            np.savez_compressed(
-                ckpt_file,
-                log_likelihood_no_dla=null_ll,
-                sample_log_likelihoods_dla=sample_ll,
-                min_z_dla=min_z,
-                max_z_dla=max_z,
+    def write_checkpoint(ckpt_file, bi, null_ll, sample_ll, min_z, max_z):
+        # multi-process runs: one writer (process 0); every process
+        # holds the full gathered results, so resume only needs the
+        # checkpoint files visible from each host (shared fs)
+        atomic_savez(
+            ckpt_file,
+            log_likelihood_no_dla=null_ll,
+            sample_log_likelihoods_dla=sample_ll,
+            min_z_dla=min_z,
+            max_z_dla=max_z,
+        )
+        done.add(bi)
+        atomic_write_json(
+            manifest_path,
+            {
+                "completed_batches": sorted(done),
+                "total_batches": len(batch_starts),
+                "num_spectra": n,
+                "super_batch": super_batch,
+                "num_samples": num_samples,
+            },
+        )
+
+    with BackgroundWriter() as writer:
+
+        def complete(item, state):
+            bi, start, stop, ckpt_file = item
+            args, packed = state
+            null_ll, sample_ll, min_z, max_z = fetch_with_ladder(
+                runner, packed, args, fetch, repack=pack
             )
-            done.add(bi)
-            manifest_path.write_text(
-                json.dumps(
-                    {
-                        "completed_batches": sorted(done),
-                        "total_batches": len(batch_starts),
-                        "num_spectra": n,
-                        "super_batch": super_batch,
-                        "num_samples": num_samples,
-                    }
+            keep = stop - start
+            null_ll, sample_ll = null_ll[:keep], sample_ll[:keep]
+            min_z, max_z = min_z[:keep], max_z[:keep]
+            out_null[start:stop] = null_ll
+            out_samples[start:stop] = sample_ll
+            out_min_z[start:stop] = min_z
+            out_max_z[start:stop] = max_z
+            if ckpt_file and is_coordinator():
+                writer.submit(
+                    write_checkpoint,
+                    ckpt_file, bi, null_ll, sample_ll, min_z, max_z,
                 )
-            )
-        if meter is not None:
-            meter.update(stop - start)
+            if meter is not None:
+                meter.update(stop - start)
+
+        run_pipelined(todo, dispatch, complete, depth=config.pipeline_depth)
 
     post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
     return InferenceResults(

@@ -212,6 +212,7 @@ def process_spectra_multi_sharded(
 
     out2 = np.empty((n, S), dtype)
     meter = ProgressMeter(n, unit="spectra") if progress else None
+    todo: list[tuple[int, int, int, Path | None]] = []
     for bi, start in enumerate(range(0, n, super_batch)):
         stop = min(start + super_batch, n)
         ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
@@ -221,7 +222,21 @@ def process_spectra_multi_sharded(
             if meter is not None:
                 meter.update(stop - start)
             continue
+        todo.append((bi, start, stop, ckpt_file))
 
+    # compute/transfer overlap + background checkpoint writes, exactly
+    # as in process_spectra_sharded (see parallel/overlap.py)
+    from ..inference import fetch_with_ladder
+    from .overlap import (
+        BackgroundWriter,
+        atomic_savez,
+        atomic_write_json,
+        run_pipelined,
+    )
+    from .streaming import fetch_packed_rows, pack_rows
+
+    def dispatch(item):
+        bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
         pad_rows = super_batch - (stop - start)
         ob = np.concatenate(
@@ -232,7 +247,7 @@ def process_spectra_multi_sharded(
             [nh_base[start:stop]]
             + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
         )
-        fn_args = (
+        args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
@@ -243,29 +258,42 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(ob, dtype), data_spec2),
             jax.device_put(np.asarray(nb, dtype), data_spec2),
         )
-        lls = runner(*fn_args)
-        from .streaming import fetch_rows
+        # pack the f16 wire format at dispatch time (device queue order;
+        # see sharded_inference.dispatch)
+        return args, pack_rows(runner(*args), config.stream_dtype)
 
-        rows = fetch_rows(lls, config.stream_dtype)[: stop - start]
-        out2[start:stop] = rows[:, unsort] if use_pallas else rows
-        if ckpt_file and is_coordinator():
-            np.savez_compressed(
-                ckpt_file, sample_log_likelihoods_dla2=out2[start:stop]
-            )
-            done.add(bi)
-            manifest_path.write_text(
-                json.dumps(
-                    {
-                        "num_spectra": n,
-                        "super_batch": super_batch,
-                        "num_samples": S,
-                        "base_seed": base_seed,
-                        "completed_batches": sorted(done),
-                    }
+    def write_checkpoint(ckpt_file, bi, rows):
+        atomic_savez(ckpt_file, sample_log_likelihoods_dla2=rows)
+        done.add(bi)
+        atomic_write_json(
+            manifest_path,
+            {
+                "num_spectra": n,
+                "super_batch": super_batch,
+                "num_samples": S,
+                "base_seed": base_seed,
+                "completed_batches": sorted(done),
+            },
+        )
+
+    with BackgroundWriter() as writer:
+
+        def complete(item, state):
+            bi, start, stop, ckpt_file = item
+            args, packed = state
+            rows = fetch_with_ladder(
+                runner, packed, args, fetch_packed_rows,
+                repack=lambda o: pack_rows(o, config.stream_dtype),
+            )[: stop - start]
+            out2[start:stop] = rows[:, unsort] if use_pallas else rows
+            if ckpt_file and is_coordinator():
+                writer.submit(
+                    write_checkpoint, ckpt_file, bi, np.array(out2[start:stop])
                 )
-            )
-        if meter is not None:
-            meter.update(stop - start)
+            if meter is not None:
+                meter.update(stop - start)
+
+        run_pipelined(todo, dispatch, complete, depth=config.pipeline_depth)
 
     return finalize_multi(
         single, out2, base, spectra.z_qso, prior_z_qsos, prior_num_dlas,

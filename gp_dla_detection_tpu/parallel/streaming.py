@@ -27,7 +27,7 @@ import numpy as np
 
 from .mesh import fetch_global
 
-__all__ = ["fetch_rows"]
+__all__ = ["fetch_rows", "pack_rows", "fetch_packed_rows"]
 
 
 @partial(jax.jit, static_argnames=("wire_dtype",))
@@ -41,6 +41,37 @@ def _pack_rows(sll, wire_dtype):
     return resid, row_max.astype(jnp.float32)
 
 
+def pack_rows(sll, stream_dtype: str | None):
+    """ENQUEUE the narrow-dtype packing of a (B, S) device matrix and
+    return the device-side packed representation (no host transfer).
+
+    Split from :func:`fetch_rows` so pipelined drivers can put the pack
+    computation on the device queue right behind the batch that
+    produced it — packing at fetch time would execute AFTER the next
+    batch's main computation (single device stream), stalling the fetch.
+    """
+    if (
+        stream_dtype in (None, "float32", "native")
+        or sll.dtype != jnp.float32
+    ):
+        return ("plain", sll)
+    if stream_dtype not in ("float16", "bfloat16"):
+        raise ValueError(
+            f"unknown stream_dtype {stream_dtype!r} "
+            "(float16|bfloat16|float32|None)"
+        )
+    resid, row_max = _pack_rows(sll, jnp.dtype(stream_dtype))
+    return ("packed", resid, row_max)
+
+
+def fetch_packed_rows(packed) -> np.ndarray:
+    """Host fetch + reconstruction of a :func:`pack_rows` result."""
+    if packed[0] == "plain":
+        return fetch_global(packed[1])
+    _, resid, row_max = packed
+    return fetch_global(resid).astype(np.float32) + fetch_global(row_max)[:, None]
+
+
 def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:
     """Fetch a (B, S) device log-likelihood matrix to a host f32 array.
 
@@ -48,15 +79,4 @@ def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:
     (see module docstring); "float32" | None -> plain fetch.  Non-f32
     inputs (f64 parity mode) are always fetched as computed.
     """
-    if (
-        stream_dtype in (None, "float32", "native")
-        or sll.dtype != jnp.float32
-    ):
-        return fetch_global(sll)
-    if stream_dtype not in ("float16", "bfloat16"):
-        raise ValueError(
-            f"unknown stream_dtype {stream_dtype!r} "
-            "(float16|bfloat16|float32|None)"
-        )
-    resid, row_max = _pack_rows(sll, jnp.dtype(stream_dtype))
-    return fetch_global(resid).astype(np.float32) + fetch_global(row_max)[:, None]
+    return fetch_packed_rows(pack_rows(sll, stream_dtype))
