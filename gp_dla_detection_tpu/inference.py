@@ -426,16 +426,23 @@ class LadderRunner:
             raise exc
 
 
-def fetch_with_ladder(runner: LadderRunner, out, args, fetch):
+def fetch_with_ladder(runner: LadderRunner, out, args, fetch, repack=None):
     """``fetch(out)`` with ladder recovery: if the asynchronously
     dispatched execution failed after :class:`LadderRunner` returned,
-    walk the ladder and re-run this batch on the new rung."""
+    walk the ladder and re-run this batch on the new rung.
+
+    ``repack`` (optional) post-processes ``runner(*args)`` on the retry
+    path into whatever representation ``fetch`` expects — used by
+    drivers that enqueue result packing at dispatch time.
+    """
     while True:
         try:
             return fetch(out)
         except Exception as exc:
             runner.recover(exc)  # re-raises when not recoverable
             out = runner(*args)
+            if repack is not None:
+                out = repack(out)
 
 
 def _prepare_spectrum(
@@ -538,11 +545,24 @@ def spectrum_log_likelihoods(
     params: Parameters,
     sample_chunk: int = 1000,
     sample_window: int | None = None,
+    reference_misaligned_absorption: bool = False,
 ):
     """Null + per-sample DLA log likelihoods for one padded spectrum.
 
     Pure jittable function of arrays; the sample axis is processed in
     lax.map chunks of ``sample_chunk`` to bound the (S, P) working set.
+
+    ``reference_misaligned_absorption=True`` reproduces the reference's
+    absorption-alignment quirk bit-structurally (process_qsos.m:180:
+    ``ind = ~this_pixel_mask(ind)`` — after ``ind`` was already
+    restricted to unmasked pixels this is all-true, so MATLAB's logical
+    indexing takes the FIRST nnz values of the in-range absorption
+    profile, shifting it whenever a masked pixel lies in the modelling
+    range).  Off by default: the aligned profile is the scientifically
+    intended behaviour (module docstring); the switch exists so a
+    MATLAB-output comparison can hold on every spectrum, completing the
+    quirk-switch family (training ``prior_in_value``, ascii
+    ``reference_quirk_drop_name``).
 
     Returns dict with log_likelihood_no_dla, sample_log_likelihoods_dla
     (S,), min_z_dla, max_z_dla.
@@ -569,6 +589,21 @@ def spectrum_log_likelihoods(
         unsort = jnp.argsort(order)
     z_dlas = min_z_dla + (max_z_dla - min_z_dla) * offsets
     padded_wavelengths = prep["padded_wavelengths"]
+
+    misalign_idx = None
+    if reference_misaligned_absorption:
+        # The in-range window is a contiguous pixel interval, so the
+        # reference's "first nnz" selection maps the j-th VALID pixel to
+        # the absorption value at in-range pixel i0 + j (i0 = first
+        # in-range pixel, j counting valid pixels only); on a uniform
+        # log-lambda grid the profile value at that pixel equals the
+        # reference's (computed on the in-range + log-pad grid).
+        rest = wavelengths / (1.0 + z_qso)
+        nm = params.null_model
+        in_range = (rest >= nm.min_lambda) & (rest <= nm.max_lambda)
+        i0 = jnp.argmax(in_range)  # first in-range pixel (0 if none)
+        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        misalign_idx = jnp.clip(i0 + rank, 0, wavelengths.shape[0] - 1)
 
     num_samples = offsets.shape[0]
     if num_samples == 0:
@@ -612,6 +647,10 @@ def spectrum_log_likelihoods(
                 num_lines=params.num_lines,
                 instrument=params.instrument,
             )
+        if misalign_idx is not None:
+            # reference quirk (see docstring): valid pixel j reads the
+            # absorption computed for in-range pixel i0 + j
+            absorption = absorption[:, misalign_idx]
         return batched_dla_log_likelihoods(
             flux, mu, M, omega2, noise_variance, valid, absorption
         )
@@ -632,7 +671,14 @@ def spectrum_log_likelihoods(
 
 @partial(
     jax.jit,
-    static_argnames=("params", "sample_chunk", "backend", "sample_window", "tile"),
+    static_argnames=(
+        "params",
+        "sample_chunk",
+        "backend",
+        "sample_window",
+        "tile",
+        "reference_misaligned_absorption",
+    ),
 )
 def batch_log_likelihoods(
     wavelengths,
@@ -655,6 +701,7 @@ def batch_log_likelihoods(
     backend: str = "xla",
     sample_window: int | None = None,
     tile: int | None = None,
+    reference_misaligned_absorption: bool = False,
 ):
     """vmapped batch version of :func:`spectrum_log_likelihoods`.
 
@@ -682,9 +729,16 @@ def batch_log_likelihoods(
             params,
             sample_chunk,
             sample_window,
+            reference_misaligned_absorption,
         )
         return jax.vmap(fn)(wavelengths, flux, noise_variance, mask, z_qso)
 
+    if reference_misaligned_absorption:
+        raise ValueError(
+            "reference_misaligned_absorption is a MATLAB-parity mode and "
+            "is only implemented on the XLA backend (use backend='xla', "
+            "typically with dtype=float64)"
+        )
     if backend not in ("pallas", "pallas_interpret"):
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -851,13 +905,22 @@ def process_spectra(
     dtype=np.float64,
     progress: bool = False,
     backend: str = "xla",
+    reference_misaligned_absorption: bool = False,
 ) -> InferenceResults:
     """Single-host inference driver over a set of spectra.
 
     The multi-chip sharded driver lives in parallel/sharded_inference.py;
     this one runs fixed-size jitted batches sequentially on the default
     device (padding the final partial batch).
+
+    ``reference_misaligned_absorption``: opt-in reproduction of the
+    reference's absorption-alignment quirk (XLA backend only; see
+    :func:`spectrum_log_likelihoods`).
     """
+    if reference_misaligned_absorption and backend != "xla":
+        raise ValueError(
+            "reference_misaligned_absorption requires backend='xla'"
+        )
     if params is None:
         params = Parameters()
     dtype = resolve_dtype(dtype)
@@ -915,6 +978,7 @@ def process_spectra(
                 backend=run_backend,
                 sample_window=sample_window if windowed else None,
                 tile=tile,
+                reference_misaligned_absorption=reference_misaligned_absorption,
             )
 
         return call

@@ -27,6 +27,34 @@ def test_bench_smoke(capsys, monkeypatch):
     assert out["vs_baseline"] > 0
 
 
+def test_bench_driver_smoke(capsys, monkeypatch):
+    """The sustained end-to-end driver benchmark mode (bench.py
+    --driver): full sharded driver with checkpointing + f16 streaming
+    at toy sizes."""
+    monkeypatch.syspath_prepend(str(ROOT))
+    import bench
+
+    bench.main_driver(
+        n_spectra=12, per_device_batch=4, num_samples=64, pixels=250,
+        k=4, backend="xla",
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert "end-to-end driver" in out["metric"]
+    assert out["unit"] == "spectra/s"
+    assert out["value"] > 0
+
+
+def test_dryrun_multichip_self_verifying(monkeypatch):
+    """The driver-facing multi-chip dry run on the 8-virtual-device CPU
+    mesh, including its internal sharded-vs-replicated equality and
+    pair-validity-geometry assertions."""
+    monkeypatch.syspath_prepend(str(ROOT))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
 def test_scale_demo_smoke(capsys, monkeypatch):
     monkeypatch.syspath_prepend(str(ROOT / "scripts"))
     demo = runpy.run_path(str(ROOT / "scripts" / "scale_demo.py"))

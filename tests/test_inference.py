@@ -67,8 +67,13 @@ def make_spectrum(rng, z_qso=2.8, P=640, n_real=600):
     )
 
 
-def oracle_spectrum(model, spec, offsets, nhis, params):
-    """Reference-semantics per-spectrum computation in numpy/scipy."""
+def oracle_spectrum(model, spec, offsets, nhis, params, misaligned=False):
+    """Reference-semantics per-spectrum computation in numpy/scipy.
+
+    ``misaligned=True`` applies the reference's actual (buggy)
+    absorption selection — the FIRST nnz values of the in-range profile
+    (process_qsos.m:180) — instead of the intended aligned selection.
+    """
     lam = spec.wavelengths[0]
     flux = spec.flux[0]
     noise = spec.noise_variance[0]
@@ -121,7 +126,8 @@ def oracle_spectrum(model, spec, offsets, nhis, params):
     sample_lls = np.empty(len(offsets))
     for s in range(len(offsets)):
         absorption = oracle_voigt(padded, z_dlas[s], nhis[s], params.num_lines)
-        a = absorption[rel_mask]
+        # aligned (intended) vs first-nnz (reference quirk) selection
+        a = absorption[: rel_mask.sum()] if misaligned else absorption[rel_mask]
         sample_lls[s] = dense_ll(
             flux_k, mu * a, M * a[:, None], omega2 * a**2 + noise_k
         )
@@ -169,6 +175,61 @@ def test_single_spectrum_matches_oracle(setup):
     exp_dla_ll = max_ll + np.log(np.mean(np.exp(sample_lls - max_ll)))
     assert abs(results.log_likelihoods_dla[0] - exp_dla_ll) < 1e-8 * abs(exp_dla_ll)
     assert np.isclose(results.p_dlas[0] + results.p_no_dlas[0], 1.0)
+
+
+def test_reference_misaligned_absorption_quirk(setup):
+    """Opt-in reproduction of process_qsos.m:180 (the all-true ``ind``
+    that selects the first nnz absorption pixels): must match the
+    first-nnz oracle on a spectrum with masked in-range pixels, differ
+    from the aligned default there, and be a no-op on a hole-free
+    spectrum."""
+    params, model, spec, offsets, nhis = setup
+    prior_z = np.array([2.0, 2.5, 3.0, 3.5])
+    prior_flags = np.array([True, False, True, False])
+    run = lambda sp, quirk: process_spectra(
+        model, offsets, nhis, sp, prior_z, prior_flags,
+        params=params, batch_size=1, sample_chunk=8,
+        reference_misaligned_absorption=quirk,
+    )
+
+    # spec has 25 masked holes inside the modelling range (make_spectrum)
+    _, lls_misaligned, _, _ = oracle_spectrum(
+        model, spec, offsets, nhis, params, misaligned=True
+    )
+    res_quirk = run(spec, True)
+    np.testing.assert_allclose(
+        res_quirk.sample_log_likelihoods_dla[0], lls_misaligned, rtol=1e-6
+    )
+    res_default = run(spec, False)
+    assert not np.allclose(
+        res_quirk.sample_log_likelihoods_dla[0],
+        res_default.sample_log_likelihoods_dla[0],
+        rtol=1e-6,
+    )
+    # null model is untouched by the quirk
+    np.testing.assert_allclose(
+        res_quirk.log_likelihoods_no_dla, res_default.log_likelihoods_no_dla
+    )
+
+    # no masked pixels in range -> the quirk selects the aligned pixels
+    rng = np.random.default_rng(11)
+    clean = make_spectrum(rng)
+    clean.mask[:, :600] = True  # heal the holes (pad tail stays masked)
+    np.testing.assert_allclose(
+        run(clean, True).sample_log_likelihoods_dla,
+        run(clean, False).sample_log_likelihoods_dla,
+        rtol=1e-12,
+    )
+
+    # the pallas backend refuses the parity mode loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="xla"):
+        process_spectra(
+            model, offsets, nhis, spec, prior_z, prior_flags,
+            params=params, dtype=np.float32, backend="pallas",
+            reference_misaligned_absorption=True,
+        )
 
 
 def test_dla_rate_priors_counting():
