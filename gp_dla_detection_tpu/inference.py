@@ -828,9 +828,11 @@ class InferenceResults:
     p_dlas: np.ndarray
 
     def save(self, path: str | Path) -> None:
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
+        from .utils.atomic_io import atomic_savez
+
+        # atomic: a kill during this (large) write must leave either the
+        # old artifact or the new one, never a torn npz
+        atomic_savez(
             path, **{f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
         )
 

@@ -204,8 +204,6 @@ class MultiDLAResults:
     model_posteriors: np.ndarray              # (N, 3)
 
     def save(self, path: str | Path) -> None:
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
         payload = {
             f.name: getattr(self.single, f.name)
             for f in dataclasses.fields(type(self.single))
@@ -218,7 +216,10 @@ class MultiDLAResults:
             log_priors_two_dla=self.log_priors_two_dla,
             multi_model_posteriors=self.model_posteriors,
         )
-        np.savez_compressed(path, **payload)
+        from .utils.atomic_io import atomic_savez
+
+        # atomic: kill-safe large artifact write (see utils/atomic_io.py)
+        atomic_savez(path, **payload)
 
     @classmethod
     def load(cls, path: str | Path) -> "MultiDLAResults":

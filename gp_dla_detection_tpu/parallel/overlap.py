@@ -27,13 +27,10 @@ npz/manifest — load-bearing for the kill/resume contract.
 
 from __future__ import annotations
 
-import json
-import os
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from pathlib import Path
 
-import numpy as np
+from ..utils.atomic_io import atomic_savez, atomic_write_json
 
 __all__ = [
     "BackgroundWriter",
@@ -106,23 +103,3 @@ class BackgroundWriter:
         return False
 
 
-def atomic_savez(path: str | Path, **arrays) -> None:
-    """np.savez_compressed with atomic replace (no torn files on kill)."""
-    path = Path(path)
-    tmp = path.with_name(path.name + ".tmp")
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-
-
-def atomic_write_json(path: str | Path, obj) -> None:
-    """JSON dump with atomic replace (manifests survive a mid-write kill)."""
-    path = Path(path)
-    tmp = path.with_name(path.name + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(json.dumps(obj))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)

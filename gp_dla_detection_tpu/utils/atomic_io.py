@@ -1,0 +1,42 @@
+"""Atomic file writes (tmp + os.replace).
+
+A SIGKILL mid-write leaves either the old file or the new file, never a
+torn one — load-bearing for the kill/resume contract of every stage
+artifact and per-batch checkpoint (the reference has no such contract:
+process_qsos.m:234-249 saves once at the end and a crash loses the run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["atomic_savez", "atomic_write_json"]
+
+
+def atomic_savez(path: str | Path, **arrays) -> None:
+    """np.savez_compressed with atomic replace (no torn files on kill)."""
+    path = Path(path)
+    if path.suffix != ".npz":  # mirror np.savez's filename behaviour
+        path = path.with_name(path.name + ".npz")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_json(path: str | Path, obj) -> None:
+    """JSON dump with atomic replace (manifests survive a mid-write kill)."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
