@@ -34,6 +34,7 @@ from ..models.qso_model import GPModel
 from ..params import Parameters
 from .mesh import (
     DATA_AXIS,
+    SAMPLE_AXIS,
     data_sharding,
     fetch_global,
     is_coordinator,
@@ -110,18 +111,44 @@ def process_spectra_sharded(
     repl = replicated(mesh)
     sample_spec = sample_sharding(mesh)
 
-    sample_put = (
-        repl
-        if config.backend in ("pallas", "pallas_interpret") and mesh.size > 1
-        else sample_spec
+    use_pallas = config.backend in ("pallas", "pallas_interpret")
+    n_sample = (
+        mesh.shape[SAMPLE_AXIS] if SAMPLE_AXIS in mesh.axis_names else 1
     )
+    # Pallas + sample-axis mesh: the fused kernel runs per shard (XLA's
+    # SPMD partitioner cannot split a TPU custom call), so the QMC
+    # sample axis is split MANUALLY: samples are pre-sorted by z
+    # globally and device_put sharded along 'sample' — each shard gets a
+    # contiguous z-sorted block, which keeps the windowed kernel's
+    # narrow-window contract (consecutive-sample spread only shrinks
+    # under slicing).  Columns are un-sorted on the host after the
+    # gather.  Falls back to replication when S isn't divisible.
+    pallas_sample_sharded = (
+        use_pallas
+        and n_sample > 1
+        and num_samples % n_sample == 0
+        and dtype == np.float32
+    )
+    unsort_cols = None
+    offsets_host = np.asarray(offset_samples, dtype)
+    nhis_host = np.asarray(nhi_samples, dtype)
+    if pallas_sample_sharded:
+        order = np.argsort(offsets_host, kind="stable")
+        unsort_cols = np.argsort(order, kind="stable")
+        offsets_host = offsets_host[order]
+        nhis_host = nhis_host[order]
+        sample_put = sample_spec
+    elif use_pallas and mesh.size > 1:
+        sample_put = repl
+    else:
+        sample_put = sample_spec
     model_args = (
         jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
         jax.device_put(np.asarray(model.mu, dtype), repl),
         jax.device_put(np.asarray(model.M, dtype), repl),
         jax.device_put(np.asarray(model.log_omega, dtype), repl),
-        jax.device_put(np.asarray(offset_samples, dtype), sample_put),
-        jax.device_put(np.asarray(nhi_samples, dtype), sample_put),
+        jax.device_put(offsets_host, sample_put),
+        jax.device_put(nhis_host, sample_put),
     )
 
     ckpt_dir = Path(config.checkpoint_dir) if config.checkpoint_dir else None
@@ -200,8 +227,9 @@ def process_spectra_sharded(
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             # XLA's SPMD partitioner does not split a TPU custom call, so
             # the Pallas kernel runs as a per-shard program via shard_map
-            # over the data axis (samples replicated — use data-only
-            # meshes with this backend).
+            # over the data axis.  The QMC sample axis is split manually
+            # when the mesh has one (z-sorted contiguous blocks, see
+            # above); otherwise samples are replicated per shard.
             try:
                 from jax import shard_map  # jax >= 0.8
                 sm_kwargs = {"check_vma": False}
@@ -211,12 +239,16 @@ def process_spectra_sharded(
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            s1 = P(SAMPLE_AXIS) if pallas_sample_sharded else r
+            ds = (
+                P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
+            )
             call_batch = shard_map(
                 call_batch, mesh=mesh,
-                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r),
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1),
                 out_specs={
                     "log_likelihood_no_dla": d1,
-                    "sample_log_likelihoods_dla": d2,
+                    "sample_log_likelihoods_dla": ds,
                     "min_z_dla": d1,
                     "max_z_dla": d1,
                 },
@@ -331,6 +363,10 @@ def process_spectra_sharded(
             null_ll, sample_ll, min_z, max_z = fetch_with_ladder(
                 runner, packed, args, fetch, repack=pack
             )
+            if unsort_cols is not None:
+                # columns arrive in global z-sorted order (sample-axis
+                # sharding pre-sorts on the host) — restore sample order
+                sample_ll = sample_ll[:, unsort_cols]
             keep = stop - start
             null_ll, sample_ll = null_ll[:keep], sample_ll[:keep]
             min_z, max_z = min_z[:keep], max_z[:keep]

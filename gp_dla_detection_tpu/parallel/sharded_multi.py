@@ -32,6 +32,7 @@ from ..multi_dla import (
 from ..params import Parameters, kms_to_z
 from .mesh import (
     DATA_AXIS,
+    SAMPLE_AXIS,
     data_sharding,
     is_coordinator,
     make_mesh,
@@ -117,14 +118,34 @@ def process_spectra_multi_sharded(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
         )
+    # fused pair kernel + sample-axis mesh: fresh samples are already
+    # z-sorted for the windowed kernel, so each shard can take a
+    # contiguous sorted block of the fresh axis (and the matching base
+    # columns) — see sharded_inference for the single-DLA analogue
+    n_sample = (
+        mesh.shape[SAMPLE_AXIS] if SAMPLE_AXIS in mesh.axis_names else 1
+    )
+    pallas_sample_sharded = (
+        use_pallas and n_sample > 1 and S % n_sample == 0
+    )
+
     def make_fn(run_backend, tile, windowed=True):
+        # per-shard sample count when the fresh axis is sharded; the
+        # XLA ladder rung runs WITHOUT shard_map (sharding propagation
+        # handles it), so it sees the global S
+        s_local = (
+            S // n_sample
+            if pallas_sample_sharded
+            and run_backend in ("pallas", "pallas_interpret")
+            else S
+        )
         fn = make_batch_dla2_fn(
-            model, params, S, config.sample_chunk, min_sep_z,
+            model, params, s_local, config.sample_chunk, min_sep_z,
             run_backend, window if windowed else None, tile=tile,
         )
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             # per-shard Pallas program (see sharded_inference): shard_map
-            # over the data axis, samples replicated on every shard
+            # over the data axis; fresh-sample axis sharded when possible
             try:
                 from jax import shard_map  # jax >= 0.8
                 sm_kwargs = {"check_vma": False}
@@ -134,10 +155,12 @@ def process_spectra_multi_sharded(
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            s1 = P(SAMPLE_AXIS) if pallas_sample_sharded else r
+            ds = P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
             fn = shard_map(
                 fn, mesh=mesh,
-                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
-                out_specs=d2,
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1, ds, ds),
+                out_specs=ds,
                 **sm_kwargs,
             )
         return fn
@@ -164,9 +187,14 @@ def process_spectra_multi_sharded(
     repl = replicated(mesh)
     data_spec = data_sharding(mesh)
     data_spec2 = data_sharding(mesh, 1)
-    # the fresh sample axis rides the 'sample' mesh axis only on the
-    # XLA path (the pallas kernel is a per-device program)
-    samp = replicated(mesh) if use_pallas else sample_sharding(mesh)
+    # the fresh sample axis rides the 'sample' mesh axis on the XLA
+    # path and (via manual z-sorted blocks) on the pallas path when S
+    # divides evenly; otherwise the pallas kernel replicates samples
+    samp = (
+        replicated(mesh)
+        if use_pallas and not pallas_sample_sharded
+        else sample_sharding(mesh)
+    )
 
     off_host = offsets[order] if use_pallas else offsets
     nh_host = nhis[order] if use_pallas else nhis

@@ -126,6 +126,71 @@ def test_sharded_pallas_matches_single_device(problem):
     assert np.nanmax(rel) < 2e-4
 
 
+def test_sharded_pallas_sample_axis(problem):
+    """Fused-kernel SAMPLE-axis sharding: on a (data x sample) mesh the
+    driver pre-sorts the QMC samples by z, gives each shard a contiguous
+    sorted block (keeping the windowed kernel's contract), and restores
+    sample order after the gather — results must match the single-device
+    pallas engine in the ORIGINAL sample order."""
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh(sample_parallelism=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4,
+        "sample": 2,
+    }
+    single = process_spectra(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float32,
+        backend="pallas_interpret",
+    )
+    sharded = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh,
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float32",
+            backend="pallas_interpret", stream_dtype="float32",
+        ),
+    )
+    np.testing.assert_allclose(
+        sharded.sample_log_likelihoods_dla,
+        single.sample_log_likelihoods_dla,
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        sharded.log_likelihoods_no_dla, single.log_likelihoods_no_dla,
+        rtol=2e-4,
+    )
+
+    # two-DLA: fresh axis sharded in z-sorted blocks, base columns ride
+    # along; NaN pattern and values must match the single-device engine
+    from gp_dla_detection_tpu.multi_dla import process_spectra_multi
+    from gp_dla_detection_tpu.parallel import process_spectra_multi_sharded
+
+    prior_num = prior_f.astype(int)
+    m_single = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float32,
+        backend="pallas_interpret",
+    )
+    m_sharded = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=mesh,
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float32",
+            backend="pallas_interpret", stream_dtype="float32",
+        ),
+    )
+    assert np.array_equal(
+        np.isnan(m_sharded.sample_log_likelihoods_dla2),
+        np.isnan(m_single.sample_log_likelihoods_dla2),
+    )
+    rel = np.abs(
+        m_sharded.sample_log_likelihoods_dla2
+        - m_single.sample_log_likelihoods_dla2
+    ) / np.maximum(np.abs(m_single.sample_log_likelihoods_dla2), 1.0)
+    assert np.nanmax(rel) < 2e-4
+
+
 def test_checkpoint_resume(problem, tmp_path):
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     mesh = make_mesh()
