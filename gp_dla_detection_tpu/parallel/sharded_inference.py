@@ -276,7 +276,14 @@ def process_spectra_sharded(
         if bi in done and ckpt_file and ckpt_file.exists():
             with np.load(ckpt_file) as f:
                 out_null[start:stop] = f["log_likelihood_no_dla"]
-                out_samples[start:stop] = f["sample_log_likelihoods_dla"]
+                if "sample_ll_resid" in f:
+                    # f16 wire-format checkpoint: reconstruct exactly as
+                    # the live fetch path does (bit-identical resume)
+                    out_samples[start:stop] = f["sample_ll_resid"].astype(
+                        np.float32
+                    ) + f["sample_ll_row_max"][:, None]
+                else:
+                    out_samples[start:stop] = f["sample_log_likelihoods_dla"]
                 out_min_z[start:stop] = f["min_z_dla"]
                 out_max_z[start:stop] = f["max_z_dla"]
             if meter is not None:
@@ -296,7 +303,7 @@ def process_spectra_sharded(
         atomic_write_json,
         run_pipelined,
     )
-    from .streaming import fetch_packed_rows, pack_rows
+    from .streaming import fetch_packed_host, pack_rows, reconstruct_rows
 
     def pack(out):
         # enqueue the f16 wire-format packing NOW, directly behind this
@@ -327,21 +334,32 @@ def process_spectra_sharded(
         null_ll, rows, min_z, max_z = packed
         return (
             fetch_global(null_ll),
-            fetch_packed_rows(rows),
+            fetch_packed_host(rows),
             fetch_global(min_z),
             fetch_global(max_z),
         )
 
-    def write_checkpoint(ckpt_file, bi, null_ll, sample_ll, min_z, max_z):
+    def write_checkpoint(ckpt_file, bi, null_ll, rows_host, min_z, max_z):
         # multi-process runs: one writer (process 0); every process
         # holds the full gathered results, so resume only needs the
-        # checkpoint files visible from each host (shared fs)
+        # checkpoint files visible from each host (shared fs).
+        # Checkpoints keep the f16 wire format (resid + row max) when
+        # the run streamed one — half the bytes, no recompression of
+        # high-entropy data — and skip zlib entirely (atomic_io note).
+        if rows_host[0] == "packed":
+            payload = {
+                "sample_ll_resid": rows_host[1],
+                "sample_ll_row_max": rows_host[2],
+            }
+        else:
+            payload = {"sample_log_likelihoods_dla": rows_host[1]}
         atomic_savez(
             ckpt_file,
+            compress=False,
             log_likelihood_no_dla=null_ll,
-            sample_log_likelihoods_dla=sample_ll,
             min_z_dla=min_z,
             max_z_dla=max_z,
+            **payload,
         )
         done.add(bi)
         atomic_write_json(
@@ -360,24 +378,38 @@ def process_spectra_sharded(
         def complete(item, state):
             bi, start, stop, ckpt_file = item
             args, packed = state
-            null_ll, sample_ll, min_z, max_z = fetch_with_ladder(
+            null_ll, rows_host, min_z, max_z = fetch_with_ladder(
                 runner, packed, args, fetch, repack=pack
             )
+            keep = stop - start
             if unsort_cols is not None:
                 # columns arrive in global z-sorted order (sample-axis
                 # sharding pre-sorts on the host) — restore sample order
-                sample_ll = sample_ll[:, unsort_cols]
-            keep = stop - start
-            null_ll, sample_ll = null_ll[:keep], sample_ll[:keep]
+                # in the wire representation so checkpoints and results
+                # agree (per-row maxima are order-invariant)
+                rows_host = (
+                    (rows_host[0], rows_host[1][:, unsort_cols])
+                    if rows_host[0] == "plain"
+                    else (
+                        rows_host[0],
+                        rows_host[1][:, unsort_cols],
+                        rows_host[2],
+                    )
+                )
+            rows_host = tuple(
+                a[:keep] if isinstance(a, np.ndarray) else a
+                for a in rows_host
+            )
+            null_ll = null_ll[:keep]
             min_z, max_z = min_z[:keep], max_z[:keep]
             out_null[start:stop] = null_ll
-            out_samples[start:stop] = sample_ll
+            out_samples[start:stop] = reconstruct_rows(rows_host)
             out_min_z[start:stop] = min_z
             out_max_z[start:stop] = max_z
             if ckpt_file and is_coordinator():
                 writer.submit(
                     write_checkpoint,
-                    ckpt_file, bi, null_ll, sample_ll, min_z, max_z,
+                    ckpt_file, bi, null_ll, rows_host, min_z, max_z,
                 )
             if meter is not None:
                 meter.update(stop - start)

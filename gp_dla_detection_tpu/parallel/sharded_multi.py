@@ -246,7 +246,12 @@ def process_spectra_multi_sharded(
         ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
         if bi in done and ckpt_file and ckpt_file.exists():
             with np.load(ckpt_file) as f:
-                out2[start:stop] = f["sample_log_likelihoods_dla2"]
+                if "dla2_resid" in f:
+                    out2[start:stop] = f["dla2_resid"].astype(
+                        np.float32
+                    ) + f["dla2_row_max"][:, None]
+                else:
+                    out2[start:stop] = f["sample_log_likelihoods_dla2"]
             if meter is not None:
                 meter.update(stop - start)
             continue
@@ -261,7 +266,7 @@ def process_spectra_multi_sharded(
         atomic_write_json,
         run_pipelined,
     )
-    from .streaming import fetch_packed_rows, pack_rows
+    from .streaming import fetch_packed_host, pack_rows, reconstruct_rows
 
     def dispatch(item):
         bi, start, stop, ckpt_file = item
@@ -290,8 +295,16 @@ def process_spectra_multi_sharded(
         # see sharded_inference.dispatch)
         return args, pack_rows(runner(*args), config.stream_dtype)
 
-    def write_checkpoint(ckpt_file, bi, rows):
-        atomic_savez(ckpt_file, sample_log_likelihoods_dla2=rows)
+    def write_checkpoint(ckpt_file, bi, rows_host):
+        # f16 wire format when streamed; no zlib (see sharded_inference)
+        if rows_host[0] == "packed":
+            payload = {
+                "dla2_resid": rows_host[1],
+                "dla2_row_max": rows_host[2],
+            }
+        else:
+            payload = {"sample_log_likelihoods_dla2": rows_host[1]}
+        atomic_savez(ckpt_file, compress=False, **payload)
         done.add(bi)
         atomic_write_json(
             manifest_path,
@@ -309,15 +322,29 @@ def process_spectra_multi_sharded(
         def complete(item, state):
             bi, start, stop, ckpt_file = item
             args, packed = state
-            rows = fetch_with_ladder(
-                runner, packed, args, fetch_packed_rows,
+            rows_host = fetch_with_ladder(
+                runner, packed, args, fetch_packed_host,
                 repack=lambda o: pack_rows(o, config.stream_dtype),
-            )[: stop - start]
-            out2[start:stop] = rows[:, unsort] if use_pallas else rows
-            if ckpt_file and is_coordinator():
-                writer.submit(
-                    write_checkpoint, ckpt_file, bi, np.array(out2[start:stop])
+            )
+            keep = stop - start
+            # restore original sample order in the wire representation
+            # (pallas pre-sorts the fresh axis; row maxima are
+            # order-invariant) and trim batch padding
+            def fix(a, is_cols):
+                a = a[:, unsort] if (is_cols and use_pallas) else a
+                return a[:keep]
+
+            if rows_host[0] == "plain":
+                rows_host = ("plain", fix(rows_host[1], True))
+            else:
+                rows_host = (
+                    "packed",
+                    fix(rows_host[1], True),
+                    fix(rows_host[2], False),
                 )
+            out2[start:stop] = reconstruct_rows(rows_host)
+            if ckpt_file and is_coordinator():
+                writer.submit(write_checkpoint, ckpt_file, bi, rows_host)
             if meter is not None:
                 meter.update(stop - start)
 

@@ -27,7 +27,13 @@ import numpy as np
 
 from .mesh import fetch_global
 
-__all__ = ["fetch_rows", "pack_rows", "fetch_packed_rows"]
+__all__ = [
+    "fetch_rows",
+    "pack_rows",
+    "fetch_packed_rows",
+    "fetch_packed_host",
+    "reconstruct_rows",
+]
 
 
 @partial(jax.jit, static_argnames=("wire_dtype",))
@@ -64,12 +70,28 @@ def pack_rows(sll, stream_dtype: str | None):
     return ("packed", resid, row_max)
 
 
+def fetch_packed_host(packed):
+    """Fetch a :func:`pack_rows` result to host WITHOUT reconstructing:
+    ("plain", rows) or ("packed", resid_f16, row_max_f32).  Drivers keep
+    this form for checkpoints (half the bytes of the reconstructed f32
+    matrix) and reconstruct only for the in-memory result arrays."""
+    if packed[0] == "plain":
+        return ("plain", fetch_global(packed[1]))
+    return ("packed", fetch_global(packed[1]), fetch_global(packed[2]))
+
+
+def reconstruct_rows(host_packed) -> np.ndarray:
+    """f32 rows from a :func:`fetch_packed_host` result (deterministic:
+    resumed-from-checkpoint rows are bit-identical to freshly fetched)."""
+    if host_packed[0] == "plain":
+        return np.asarray(host_packed[1])
+    _, resid, row_max = host_packed
+    return resid.astype(np.float32) + row_max[:, None]
+
+
 def fetch_packed_rows(packed) -> np.ndarray:
     """Host fetch + reconstruction of a :func:`pack_rows` result."""
-    if packed[0] == "plain":
-        return fetch_global(packed[1])
-    _, resid, row_max = packed
-    return fetch_global(resid).astype(np.float32) + fetch_global(row_max)[:, None]
+    return reconstruct_rows(fetch_packed_host(packed))
 
 
 def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:

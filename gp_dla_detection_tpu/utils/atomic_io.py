@@ -17,15 +17,22 @@ import numpy as np
 __all__ = ["atomic_savez", "atomic_write_json"]
 
 
-def atomic_savez(path: str | Path, **arrays) -> None:
-    """np.savez_compressed with atomic replace (no torn files on kill)."""
+def atomic_savez(path: str | Path, compress: bool = True, **arrays) -> None:
+    """np.savez(_compressed) with atomic replace (no torn files on kill).
+
+    ``compress=False`` skips zlib entirely — the per-batch checkpoint
+    matrices are high-entropy f32/f16 log-likelihoods that barely
+    compress, and the zlib CPU (and its GIL pressure on the dispatch
+    thread) costs more than the disk bytes save.
+    """
     path = Path(path)
     if path.suffix != ".npz":  # mirror np.savez's filename behaviour
         path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name(path.name + ".tmp")
+    save = np.savez_compressed if compress else np.savez
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
+        save(f, **arrays)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
