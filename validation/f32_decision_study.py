@@ -42,13 +42,16 @@ def build_problem(n_spectra: int, num_samples: int = 10000, seed: int = 77):
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
-    from gp_dla_detection_tpu.ops.voigt import extend_wavelengths, voigt_absorption
+    from gp_dla_detection_tpu.ops.voigt import voigt_absorption
     from gp_dla_detection_tpu.params import NullModelParams
     from gp_dla_detection_tpu.samples import generate_dla_samples
 
+    from gp_dla_detection_tpu.params import DLASamplingParams
+
     rng = np.random.default_rng(seed)
     params = Parameters(
-        null_model=NullModelParams(k=20), num_dla_samples=num_samples
+        null_model=NullModelParams(k=20),
+        dla_sampling=DLASamplingParams(num_dla_samples=num_samples),
     )
     grid = params.null_model.rest_wavelengths()
     model = GPModel(
@@ -68,9 +71,10 @@ def build_problem(n_spectra: int, num_samples: int = 10000, seed: int = 77):
     lam = (911.9 * (1 + z_qso))[:, None] * 10 ** (1e-4 * np.arange(P))[None, :]
     flux = np.empty((n_spectra, P))
     injected = np.zeros(n_spectra, bool)
+    inj: list[tuple[int, float, float]] = []
     for i in range(n_spectra):
         rest = lam[i] / (1 + z_qso[i])
-        f = (
+        flux[i] = (
             np.interp(rest, grid, model.mu)
             + np.interp(rest, grid, model.M @ rng.normal(size=20))
             + rng.normal(0, noise_sd, P)
@@ -85,14 +89,39 @@ def build_problem(n_spectra: int, num_samples: int = 10000, seed: int = 77):
                 / lya - 1 - params.max_z_cut
             )
             if zmax > zmin:
-                z_dla = rng.uniform(zmin, zmax)
-                log_n = rng.uniform(20.0, 22.8)
-                ext = extend_wavelengths(lam[i], params.instrument)
-                f *= np.asarray(
-                    voigt_absorption(ext, z_dla, 10**log_n, num_lines=3)
+                inj.append(
+                    (i, rng.uniform(zmin, zmax), rng.uniform(20.0, 22.8))
                 )
                 injected[i] = True
-        flux[i] = f
+    # batched injection: one vmapped Voigt compile per chunk shape (a
+    # per-spectrum jit call would pay one tunnel round trip each on
+    # remote TPU backends)
+    import jax
+
+    w = params.instrument.width
+    dex = 10 ** (params.instrument.pixel_spacing * np.arange(1, w + 1))
+    vvoigt = jax.jit(
+        jax.vmap(lambda e, z, n: voigt_absorption(e, z, n, num_lines=3))
+    )
+    CH = 256
+    for c0 in range(0, len(inj), CH):
+        chunk = inj[c0 : c0 + CH]
+        pad = CH - len(chunk)
+        chunk = chunk + [chunk[-1]] * pad
+        idx = np.array([i for i, _, _ in chunk])
+        lam_c = lam[idx]
+        ext = np.concatenate(
+            [lam_c[:, :1] / dex[::-1], lam_c, lam_c[:, -1:] * dex], axis=1
+        )
+        absorb = np.asarray(
+            vvoigt(
+                ext,
+                np.array([z for _, z, _ in chunk]),
+                np.array([10.0**ln for _, _, ln in chunk]),
+            )
+        )
+        keep = len(chunk) - pad
+        flux[idx[:keep]] *= absorb[:keep]
     mask = np.ones((n_spectra, P), bool)
     holes = rng.uniform(size=(n_spectra, P)) < 0.005
     mask &= ~holes
