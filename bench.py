@@ -222,7 +222,11 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
         t0 = time.perf_counter()
         res = run(slice(0, n_spectra), f"{tmp}/ckpt" if checkpoint else None)
         elapsed = time.perf_counter() - t0
-    assert np.isfinite(res.log_likelihoods_dla).all()
+    bad = ~np.isfinite(res.log_likelihoods_dla)
+    assert not bad.any(), (
+        f"non-finite DLA evidences for {bad.sum()} spectra "
+        f"(rows {np.flatnonzero(bad)[:8]})"
+    )
 
     value = n_spectra / elapsed
     print(

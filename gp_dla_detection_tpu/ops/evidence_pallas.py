@@ -259,6 +259,17 @@ def pallas_sample_log_likelihoods(
         instrument = InstrumentParams()
     taps = tuple(float(t) for t in instrument.profile())
 
+    # Tracing this kernel builds a deep Python expression stack (the
+    # k=20 Cholesky/solve is fully unrolled: 210 dependent triangle
+    # entries) that overflows CPython's default 1000-frame recursion
+    # limit when the caller itself sits a few dozen frames deep (seen
+    # from the sharded driver's pipelined dispatch).  Raise it for the
+    # trace; never lower a user's higher setting.
+    import sys
+
+    if sys.getrecursionlimit() < 10_000:
+        sys.setrecursionlimit(10_000)
+
     B, S = z_dlas.shape
     P = flux.shape[-1]
     P6 = ext_wavelengths.shape[-1]
