@@ -271,6 +271,27 @@ def pallas_sample_log_likelihoods(
         sys.setrecursionlimit(10_000)
 
     B, S = z_dlas.shape
+    if B == 512:
+        # Empirical XLA:TPU/Mosaic miscompile at EXACTLY this batch
+        # shape (v5e, 2026-08): with B=512 the fused program returns
+        # NaN for the LAST batch row — every sample column AND the
+        # XLA-computed null evidence of that row — while B=256, 384,
+        # 640, 768 and 1024 are bit-clean on identical data, transfers
+        # round-trip exactly, and the same row computes fine at other
+        # batch sizes.  Split into two kernel calls at the verified
+        # B=256 shape (zero extra FLOPs, one extra launch).
+        halves = [
+            pallas_sample_log_likelihoods(
+                ext_wavelengths[sl], flux[sl], mu[sl], M[sl], omega2[sl],
+                noise_variance[sl], mask[sl], z_dlas[sl], nhi[sl],
+                num_lines=num_lines, instrument=instrument,
+                z_dlas2=None if z_dlas2 is None else z_dlas2[sl],
+                nhi2=None if nhi2 is None else nhi2[sl],
+                interpret=interpret, window=window, tile=tile,
+            )
+            for sl in (slice(0, 256), slice(256, 512))
+        ]
+        return jnp.concatenate(halves, axis=0)
     P = flux.shape[-1]
     P6 = ext_wavelengths.shape[-1]
     k = M.shape[-1]

@@ -317,9 +317,16 @@ def process_spectra_sharded(
             out["max_z_dla"],
         )
 
+    import os
+    import time as _time
+
+    timing = bool(os.environ.get("GPDLA_DRIVER_TIMING"))
+
     def dispatch(item):
         bi, start, stop, ckpt_file = item
+        t0 = _time.perf_counter()
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
+        t1 = _time.perf_counter()
         args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
@@ -328,7 +335,16 @@ def process_spectra_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
         )
-        return args, pack(runner(*args))
+        t2 = _time.perf_counter()
+        out = args, pack(runner(*args))
+        if timing:
+            print(
+                f"[driver] batch {bi}: slice {t1 - t0:.3f}s "
+                f"device_put {t2 - t1:.3f}s dispatch "
+                f"{_time.perf_counter() - t2:.3f}s",
+                flush=True,
+            )
+        return out
 
     def fetch(packed):
         null_ll, rows, min_z, max_z = packed
@@ -378,9 +394,11 @@ def process_spectra_sharded(
         def complete(item, state):
             bi, start, stop, ckpt_file = item
             args, packed = state
+            t0 = _time.perf_counter()
             null_ll, rows_host, min_z, max_z = fetch_with_ladder(
                 runner, packed, args, fetch, repack=pack
             )
+            t_fetch = _time.perf_counter() - t0
             keep = stop - start
             if unsort_cols is not None:
                 # columns arrive in global z-sorted order (sample-axis
@@ -410,6 +428,12 @@ def process_spectra_sharded(
                 writer.submit(
                     write_checkpoint,
                     ckpt_file, bi, null_ll, rows_host, min_z, max_z,
+                )
+            if timing:
+                print(
+                    f"[driver] batch {bi}: fetch {t_fetch:.3f}s "
+                    f"store+submit {_time.perf_counter() - t0 - t_fetch:.3f}s",
+                    flush=True,
                 )
             if meter is not None:
                 meter.update(stop - start)
