@@ -391,14 +391,14 @@ def process_spectra_sharded(
 
     with BackgroundWriter() as writer:
 
-        def complete(item, state):
-            bi, start, stop, ckpt_file = item
-            args, packed = state
-            t0 = _time.perf_counter()
-            null_ll, rows_host, min_z, max_z = fetch_with_ladder(
-                runner, packed, args, fetch, repack=pack
-            )
-            t_fetch = _time.perf_counter() - t0
+        def finish_batch(bi, start, stop, ckpt_file, null_ll, rows_host,
+                         min_z, max_z):
+            """Runs on the writer thread: f16->f32 reconstruction, the
+            40 MB result-array stores, and the checkpoint write.  Batch
+            row ranges are disjoint, and finalize_posteriors runs only
+            after writer.close(), so this is race-free — and it removes
+            ~1 s/batch of host work from the dispatch/fetch critical
+            path (measured via GPDLA_DRIVER_TIMING)."""
             keep = stop - start
             if unsort_cols is not None:
                 # columns arrive in global z-sorted order (sample-axis
@@ -425,14 +425,27 @@ def process_spectra_sharded(
             out_min_z[start:stop] = min_z
             out_max_z[start:stop] = max_z
             if ckpt_file and is_coordinator():
-                writer.submit(
-                    write_checkpoint,
-                    ckpt_file, bi, null_ll, rows_host, min_z, max_z,
+                write_checkpoint(
+                    ckpt_file, bi, null_ll, rows_host, min_z, max_z
                 )
+
+        def complete(item, state):
+            bi, start, stop, ckpt_file = item
+            args, packed = state
+            t0 = _time.perf_counter()
+            null_ll, rows_host, min_z, max_z = fetch_with_ladder(
+                runner, packed, args, fetch, repack=pack
+            )
+            t_fetch = _time.perf_counter() - t0
+            writer.submit(
+                finish_batch,
+                bi, start, stop, ckpt_file, null_ll, rows_host,
+                min_z, max_z,
+            )
             if timing:
                 print(
                     f"[driver] batch {bi}: fetch {t_fetch:.3f}s "
-                    f"store+submit {_time.perf_counter() - t0 - t_fetch:.3f}s",
+                    f"submit {_time.perf_counter() - t0 - t_fetch:.3f}s",
                     flush=True,
                 )
             if meter is not None:

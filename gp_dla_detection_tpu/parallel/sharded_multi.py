@@ -319,17 +319,12 @@ def process_spectra_multi_sharded(
 
     with BackgroundWriter() as writer:
 
-        def complete(item, state):
-            bi, start, stop, ckpt_file = item
-            args, packed = state
-            rows_host = fetch_with_ladder(
-                runner, packed, args, fetch_packed_host,
-                repack=lambda o: pack_rows(o, config.stream_dtype),
-            )
+        def finish_batch(bi, start, stop, ckpt_file, rows_host):
+            """Writer-thread work (see sharded_inference.finish_batch):
+            unsort in the wire representation, trim batch padding,
+            reconstruct into the disjoint result rows, checkpoint."""
             keep = stop - start
-            # restore original sample order in the wire representation
-            # (pallas pre-sorts the fresh axis; row maxima are
-            # order-invariant) and trim batch padding
+
             def fix(a, is_cols):
                 a = a[:, unsort] if (is_cols and use_pallas) else a
                 return a[:keep]
@@ -344,7 +339,16 @@ def process_spectra_multi_sharded(
                 )
             out2[start:stop] = reconstruct_rows(rows_host)
             if ckpt_file and is_coordinator():
-                writer.submit(write_checkpoint, ckpt_file, bi, rows_host)
+                write_checkpoint(ckpt_file, bi, rows_host)
+
+        def complete(item, state):
+            bi, start, stop, ckpt_file = item
+            args, packed = state
+            rows_host = fetch_with_ladder(
+                runner, packed, args, fetch_packed_host,
+                repack=lambda o: pack_rows(o, config.stream_dtype),
+            )
+            writer.submit(finish_batch, bi, start, stop, ckpt_file, rows_host)
             if meter is not None:
                 meter.update(stop - start)
 
