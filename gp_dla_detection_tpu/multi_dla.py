@@ -218,8 +218,9 @@ class MultiDLAResults:
         )
         from .utils.atomic_io import atomic_savez
 
-        # atomic: kill-safe large artifact write (see utils/atomic_io.py)
-        atomic_savez(path, **payload)
+        # atomic + uncompressed: kill-safe, and the (N, S) pair matrix
+        # is high-entropy (see InferenceResults.save)
+        atomic_savez(path, compress=False, **payload)
 
     @classmethod
     def load(cls, path: str | Path) -> "MultiDLAResults":
