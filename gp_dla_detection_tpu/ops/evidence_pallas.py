@@ -267,8 +267,8 @@ def pallas_sample_log_likelihoods(
     # trace; never lower a user's higher setting.
     import sys
 
-    if sys.getrecursionlimit() < 10_000:
-        sys.setrecursionlimit(10_000)
+    if sys.getrecursionlimit() < 50_000:
+        sys.setrecursionlimit(50_000)
 
     B, S = z_dlas.shape
     if B == 512:
