@@ -41,6 +41,11 @@ from .low_rank_mvn import LOG_2PI
 __all__ = ["pallas_sample_log_likelihoods", "SAMPLE_TILE"]
 
 SAMPLE_TILE = 256
+# Batch shape with an empirical XLA:TPU/Mosaic miscompile (see
+# pallas_sample_log_likelihoods); batches of exactly this size are
+# split in two.  Module-level so tests can exercise the split path at
+# interpret-friendly sizes.
+MISCOMPILED_BATCH = 512
 _SQRT_2 = float(np.sqrt(2.0))
 _SQRT_2PI = float(np.sqrt(2.0 * np.pi))
 
@@ -271,15 +276,16 @@ def pallas_sample_log_likelihoods(
         sys.setrecursionlimit(50_000)
 
     B, S = z_dlas.shape
-    if B == 512:
-        # Empirical XLA:TPU/Mosaic miscompile at EXACTLY this batch
-        # shape (v5e, 2026-08): with B=512 the fused program returns
-        # NaN for the LAST batch row — every sample column AND the
-        # XLA-computed null evidence of that row — while B=256, 384,
-        # 640, 768 and 1024 are bit-clean on identical data, transfers
-        # round-trip exactly, and the same row computes fine at other
-        # batch sizes.  Split into two kernel calls at the verified
-        # B=256 shape (zero extra FLOPs, one extra launch).
+    if B == MISCOMPILED_BATCH and B % 2 == 0:
+        # Empirical XLA:TPU/Mosaic miscompile at EXACTLY B=512 (v5e,
+        # 2026-08): the fused program returns NaN for the LAST batch
+        # row — every sample column AND the XLA-computed null evidence
+        # of that row — while B=256, 384, 640, 768 and 1024 are
+        # bit-clean on identical data, transfers round-trip exactly,
+        # and the same row computes fine at other batch sizes.  Split
+        # into two kernel calls at the verified B=256 shape (zero
+        # extra FLOPs, one extra launch).
+        half = B // 2
         halves = [
             pallas_sample_log_likelihoods(
                 ext_wavelengths[sl], flux[sl], mu[sl], M[sl], omega2[sl],
@@ -289,7 +295,7 @@ def pallas_sample_log_likelihoods(
                 nhi2=None if nhi2 is None else nhi2[sl],
                 interpret=interpret, window=window, tile=tile,
             )
-            for sl in (slice(0, 256), slice(256, 512))
+            for sl in (slice(0, half), slice(half, B))
         ]
         return jnp.concatenate(halves, axis=0)
     P = flux.shape[-1]

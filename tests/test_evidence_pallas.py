@@ -83,6 +83,27 @@ def test_pallas_matches_xla_f32():
     )
 
 
+def test_miscompiled_batch_split_is_transparent(monkeypatch):
+    """The B=512 miscompile workaround splits the kernel batch in two;
+    the split must be value-identical to the unsplit call (exercised at
+    an interpret-friendly size by moving the trigger)."""
+    from gp_dla_detection_tpu.ops import evidence_pallas
+
+    prob = make_problem(B=4)
+    out_whole = run("pallas_interpret", *prob)
+    out_whole = {k: np.asarray(v) for k, v in out_whole.items()}
+    monkeypatch.setattr(evidence_pallas, "MISCOMPILED_BATCH", 4)
+    # the engine wrapper is jitted on shapes/statics, which don't see
+    # the module global — force a retrace so the split path actually
+    # traces
+    batch_log_likelihoods.clear_cache()
+    out_split = run("pallas_interpret", *prob)
+    np.testing.assert_array_equal(
+        np.asarray(out_split["sample_log_likelihoods_dla"]),
+        np.asarray(out_whole["sample_log_likelihoods_dla"]),
+    )
+
+
 def test_pallas_nondivisible_sample_count():
     # S=130 is not a multiple of the 128-lane tile: padding must not
     # corrupt results (compare against the XLA oracle)
