@@ -144,8 +144,16 @@ def _evidence_kernel(
                 start_raw = jnp.floor(
                     (center - log_lam0) / pixel_spacing
                 ).astype(jnp.int32) - WINDOW_MARGIN
+                # index literals must be explicit int32: under
+                # jax_enable_x64, weak Python ints cross floor_divide /
+                # clip's inner-jit boundary as i64[] consts, and Mosaic's
+                # 64-bit convert lowering recurses without terminating
+                # (tests/test_evidence_pallas.py::test_kernel_jaxpr_x64_safe)
+                lane = jnp.int32(128)
                 start = jnp.clip(
-                    (start_raw // 128) * 128, 0, max(((P6 - W) // 128) * 128, 0)
+                    (start_raw // lane) * lane,
+                    jnp.int32(0),
+                    jnp.int32(max(((P6 - W) // 128) * 128, 0)),
                 )
                 start = pl.multiple_of(start, 128)
                 lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)

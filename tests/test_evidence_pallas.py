@@ -317,3 +317,50 @@ def test_masked_nonfinite_omega2_neutralized():
     )
     scale = np.maximum(np.abs(ref), 1.0)
     assert np.max(np.abs(out[0] - ref) / scale) < 2e-4
+
+
+def test_kernel_lowers_for_tpu_under_x64():
+    """The windowed kernel must lower for the TPU platform with
+    jax_enable_x64 on (the suite default): weak Python int literals
+    crossing floor_divide/clip's inner-jit boundary become i64[]
+    consts, and Mosaic's 64-bit convert lowering recurses without
+    terminating (validation/f32_decision_study.py hit this on real
+    TPU).  jax.export runs the full Mosaic lowering pass on the CPU
+    host, so this is the faithful CI regression check."""
+    import jax
+
+    from gp_dla_detection_tpu.ops.evidence_pallas import (
+        pallas_sample_log_likelihoods,
+    )
+    from gp_dla_detection_tpu.params import InstrumentParams
+
+    B, P, k, S = 1, 256, 4, 128
+    inst = InstrumentParams()
+    P6 = P + 2 * inst.width
+    f32 = np.float32
+    lam = (3600.0 * 10 ** (1e-4 * np.arange(P6))).astype(f32)
+    lam = np.repeat(lam[None, :], B, axis=0)
+    zs = np.repeat(
+        np.linspace(2.0, 2.01, S, dtype=f32)[None, :], B, axis=0
+    )
+    args = (
+        lam, np.ones((B, P), f32), np.ones((B, P), f32),
+        np.full((B, P, k), 0.01, f32), np.full((B, P), 0.01, f32),
+        np.full((B, P), 0.01, f32), np.ones((B, P), bool),
+        zs, np.full((B, S), 1e20, f32),
+    )
+
+    for two_dla in (False, True):
+        kwargs = {}
+        if two_dla:
+            kwargs = {"z_dlas2": zs, "nhi2": np.full((B, S), 1e20, f32)}
+
+        def f(*arrays):
+            return pallas_sample_log_likelihoods(
+                *arrays, num_lines=3, instrument=inst, window=128,
+                tile=128, **kwargs,
+            )
+
+        exp = jax.export.export(jax.jit(f), platforms=["tpu"])(*args)
+        (out,) = exp.out_avals
+        assert out.shape == (B, S) and out.dtype == np.float32
