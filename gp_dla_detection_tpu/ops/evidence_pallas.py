@@ -394,30 +394,41 @@ def pallas_sample_log_likelihoods(
     sample_inputs = [expand(z_dlas), expand(nhi)]
     if two_dla:
         sample_inputs += [expand(z_dlas2), expand(nhi2)]
-    out = pl.pallas_call(
-        functools.partial(
-            _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
-            window=window, pixel_spacing=instrument.pixel_spacing,
-            two_dla=two_dla,
-        ),
-        grid=grid,
-        in_specs=[
-            spec_block((1, P6)),
-            spec_block((1, P)),
-            spec_block((1, P)),
-            spec_block((1, P)),
-            spec_block((1, P)),
-            spec_block((1, P)),
-            spec_block((k, P)),
-            spec_block((k * (k + 1) // 2, P)),
-        ] + [tile_block] * len(sample_inputs),
-        out_specs=tile_block,
-        out_shape=jax.ShapeDtypeStruct((B, 1, S_pad), dtype),
-        scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
-        interpret=interpret,
-    )(
-        expand(ext_wavelengths), expand(flux), expand(mu), expand(omega2),
-        expand(noise_variance), expand(maskf),
-        mt, ptri, *sample_inputs,
-    )
+    # Trace the kernel with x64 promotion OFF regardless of the caller's
+    # jax_enable_x64: weak Python int/float literals inside the kernel
+    # otherwise become 64-bit consts, which Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return'" on i64 scalars; the
+    # convert path recurses without terminating).  All kernel inputs are
+    # explicitly 32-bit already, so this changes only literal promotion.
+    # (jax._src.config.enable_x64 is the only context-manager form; the
+    # old jax.experimental.{enable,disable}_x64 aliases were removed.)
+    from jax._src.config import enable_x64 as _enable_x64_scope
+
+    with _enable_x64_scope(False):
+        out = pl.pallas_call(
+            functools.partial(
+                _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
+                window=window, pixel_spacing=instrument.pixel_spacing,
+                two_dla=two_dla,
+            ),
+            grid=grid,
+            in_specs=[
+                spec_block((1, P6)),
+                spec_block((1, P)),
+                spec_block((1, P)),
+                spec_block((1, P)),
+                spec_block((1, P)),
+                spec_block((1, P)),
+                spec_block((k, P)),
+                spec_block((k * (k + 1) // 2, P)),
+            ] + [tile_block] * len(sample_inputs),
+            out_specs=tile_block,
+            out_shape=jax.ShapeDtypeStruct((B, 1, S_pad), dtype),
+            scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
+            interpret=interpret,
+        )(
+            expand(ext_wavelengths), expand(flux), expand(mu),
+            expand(omega2), expand(noise_variance), expand(maskf),
+            mt, ptri, *sample_inputs,
+        )
     return out[:, 0, :S]

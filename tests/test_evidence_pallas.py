@@ -320,19 +320,56 @@ def test_masked_nonfinite_omega2_neutralized():
 
 
 def test_kernel_lowers_for_tpu_under_x64():
-    """The windowed kernel must lower for the TPU platform with
-    jax_enable_x64 on (the suite default): weak Python int literals
-    crossing floor_divide/clip's inner-jit boundary become i64[]
-    consts, and Mosaic's 64-bit convert lowering recurses without
-    terminating (validation/f32_decision_study.py hit this on real
-    TPU).  jax.export runs the full Mosaic lowering pass on the CPU
-    host, so this is the faithful CI regression check."""
+    """The kernel must be 64-bit-free with jax_enable_x64 on (the
+    suite default): weak Python literals inside the kernel otherwise
+    become 64-bit consts, which either send Mosaic's convert lowering
+    into unbounded recursion (client side) or fail backend legalization
+    ("failed to legalize operation 'func.return'" on i64 scalars) —
+    both hit by validation/f32_decision_study.py on real TPU.  Two
+    checks: jax.export runs the client-side Mosaic pass, and a jaxpr
+    walk asserts no 64-bit aval anywhere inside the kernel (the export
+    alone misses backend-stage legalization failures)."""
     import jax
+    from jax._src import core as jax_core
 
     from gp_dla_detection_tpu.ops.evidence_pallas import (
         pallas_sample_log_likelihoods,
     )
     from gp_dla_detection_tpu.params import InstrumentParams
+
+    def subjaxprs_of(val):
+        if isinstance(val, jax_core.ClosedJaxpr):
+            yield val.jaxpr
+        elif isinstance(val, jax_core.Jaxpr):
+            yield val
+        elif isinstance(val, (list, tuple)):
+            for item in val:
+                yield from subjaxprs_of(item)
+
+    def assert_32bit(jaxpr, found):
+        for eqn in jaxpr.eqns:
+            for v in (*eqn.invars, *eqn.outvars):
+                dt = getattr(v.aval, "dtype", None)
+                if dt is not None and np.dtype(dt).itemsize == 8:
+                    found.append((eqn.primitive.name, v.aval))
+            for val in eqn.params.values():
+                for sub in subjaxprs_of(val):
+                    assert_32bit(sub, found)
+
+    def check_kernel_jaxprs(jaxpr):
+        hits = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                found = []
+                for sub in subjaxprs_of(eqn.params["jaxpr"]):
+                    assert_32bit(sub, found)
+                assert not found, f"64-bit inside kernel: {found[:5]}"
+                hits.append(eqn)
+            else:
+                for val in eqn.params.values():
+                    for sub in subjaxprs_of(val):
+                        hits += check_kernel_jaxprs(sub)
+        return hits
 
     B, P, k, S = 1, 256, 4, 128
     inst = InstrumentParams()
@@ -364,3 +401,6 @@ def test_kernel_lowers_for_tpu_under_x64():
         exp = jax.export.export(jax.jit(f), platforms=["tpu"])(*args)
         (out,) = exp.out_avals
         assert out.shape == (B, S) and out.dtype == np.float32
+
+        closed = jax.make_jaxpr(f)(*args)
+        assert check_kernel_jaxprs(closed.jaxpr), "pallas_call not traced"
