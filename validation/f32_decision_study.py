@@ -19,8 +19,7 @@ version of this comparison (interpret-mode kernel) is pinned in
 tests/test_f32_decisions.py.
 
 Run: python validation/f32_decision_study.py [--n-spectra 4096]
-Writes validation/RESULTS_F32.md and refreshes the table in
-docs/ACCURACY.md.
+Writes validation/RESULTS_F32.md (linked from docs/ACCURACY.md §2).
 """
 
 from __future__ import annotations
@@ -194,8 +193,14 @@ def main(n_spectra: int = 4096, num_samples: int = 10000) -> None:
         model, samples.offset_samples, samples.nhi_samples, spectra,
         prior_z, prior_f, params=params, mesh=mesh,
         config=ShardedRunConfig(
-            per_device_batch=min(256, n_spectra), backend="xla",
-            dtype="float64", sample_chunk=2500,
+            # Small tiles: TPU f64 is emulated (float-float pairs), which
+            # both hoists a B x S_total x P x 8-byte absorption buffer out
+            # of the sample-chunk lax.map (26 GB at B=256) AND keeps ~55
+            # (B, S_chunk, P) f32 temps live in the emulated Faddeeva loop
+            # body (21.6 GB at B=32, S_chunk=2500, vs 15.75 GB v5e HBM).
+            # B=32, S_chunk=500 bounds both at ~8 GB.
+            per_device_batch=min(32, n_spectra), backend="xla",
+            dtype="float64", sample_chunk=500,
         ),
     )
     t64 = time.time() - t0
