@@ -301,6 +301,12 @@ def ladder_recoverable(exc: BaseException) -> bool:
         # NotImplementedError is how Pallas lowering reports unsupported
         # ops on the current device
         return True
+    # Substring classification is a last resort for non-Xla exception
+    # types raised by lowering/compile machinery; keep the patterns
+    # SPECIFIC — generic words ("lower", "XLA", "pallas") would classify
+    # ordinary data errors ("min_z must be lower than max_z", a bad
+    # backend= argument echoing 'pallas') as recoverable and silently
+    # retry the real bug on every slower rung.
     text = f"{type(exc).__name__}: {exc}"
     return any(
         p in text
@@ -310,12 +316,10 @@ def ladder_recoverable(exc: BaseException) -> bool:
             "mosaic",
             "VMEM",
             "vmem",
-            "lower",
-            "compil",
+            "lowering",
             "out of memory",
-            "XLA",
-            "Pallas",
-            "pallas",
+            "remote_compile",
+            "tpu_compile_helper",
             # pallas_call's CPU lowering rejection ("Only interpret mode
             # is supported on CPU backend") is a ValueError by type but a
             # device-capability failure by nature
@@ -426,7 +430,9 @@ class LadderRunner:
             raise exc
 
 
-def fetch_with_ladder(runner: LadderRunner, out, args, fetch, repack=None):
+def fetch_with_ladder(
+    runner: LadderRunner, out, args, fetch, repack=None, dispatch_idx=None
+):
     """``fetch(out)`` with ladder recovery: if the asynchronously
     dispatched execution failed after :class:`LadderRunner` returned,
     walk the ladder and re-run this batch on the new rung.
@@ -434,12 +440,30 @@ def fetch_with_ladder(runner: LadderRunner, out, args, fetch, repack=None):
     ``repack`` (optional) post-processes ``runner(*args)`` on the retry
     path into whatever representation ``fetch`` expects — used by
     drivers that enqueue result packing at dispatch time.
+
+    ``dispatch_idx`` is the ``runner.idx`` captured when THIS batch was
+    dispatched.  With pipelined drivers (depth >= 2) several batches are
+    in flight on the same rung; when the rung starts failing, every
+    in-flight batch surfaces the same stale failure at its fetch — the
+    first one advances the ladder, and the rest must retry on the
+    already-advanced rung instead of each burning a further rung (which
+    would skip viable fast configs or exhaust the ladder outright).
+    Defaults to the runner's current rung, correct for serial drivers.
     """
+    idx = runner.idx if dispatch_idx is None else dispatch_idx
     while True:
         try:
             return fetch(out)
         except Exception as exc:
-            runner.recover(exc)  # re-raises when not recoverable
+            if runner.idx > idx:
+                # stale failure from a rung another in-flight batch
+                # already abandoned — re-run on the current rung
+                # without advancing further
+                if not ladder_recoverable(exc):
+                    raise
+            else:
+                runner.recover(exc)  # re-raises when not recoverable
+            idx = runner.idx
             out = runner(*args)
             if repack is not None:
                 out = repack(out)

@@ -574,8 +574,15 @@ def process_spectra_multi(
             off_j, nh_j,
             jnp.asarray(ob, dtype), jnp.asarray(nb, dtype),
         )
+        from .inference import fetch_with_ladder
+
+        # route async execution failures back through the ladder (the
+        # runner only forces completion on a rung's first batch; a bare
+        # np.asarray here would crash on errors the XLA rung can absorb)
         lls = runner(*fn_args)
-        rows = np.asarray(lls)[: stop - start]
+        rows = fetch_with_ladder(
+            runner, lls, fn_args, lambda out: np.asarray(out)
+        )[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:
             np.savez_compressed(

@@ -336,7 +336,11 @@ def process_spectra_sharded(
             *model_args,
         )
         t2 = _time.perf_counter()
-        out = args, pack(runner(*args))
+        # capture the rung this batch dispatched on: with depth >= 2 a
+        # failing rung surfaces the same stale error at several fetches,
+        # and fetch_with_ladder must not advance the ladder once per
+        # in-flight batch
+        out = args, pack(runner(*args)), runner.idx
         if timing:
             print(
                 f"[driver] batch {bi}: slice {t1 - t0:.3f}s "
@@ -431,10 +435,10 @@ def process_spectra_sharded(
 
         def complete(item, state):
             bi, start, stop, ckpt_file = item
-            args, packed = state
+            args, packed, rung = state
             t0 = _time.perf_counter()
             null_ll, rows_host, min_z, max_z = fetch_with_ladder(
-                runner, packed, args, fetch, repack=pack
+                runner, packed, args, fetch, repack=pack, dispatch_idx=rung
             )
             t_fetch = _time.perf_counter() - t0
             writer.submit(

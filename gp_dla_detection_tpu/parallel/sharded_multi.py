@@ -292,8 +292,9 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(nb, dtype), data_spec2),
         )
         # pack the f16 wire format at dispatch time (device queue order;
-        # see sharded_inference.dispatch)
-        return args, pack_rows(runner(*args), config.stream_dtype)
+        # see sharded_inference.dispatch); record the dispatch rung for
+        # stale-failure recovery under pipelined dispatch
+        return args, pack_rows(runner(*args), config.stream_dtype), runner.idx
 
     def write_checkpoint(ckpt_file, bi, rows_host):
         # f16 wire format when streamed; no zlib (see sharded_inference)
@@ -343,10 +344,11 @@ def process_spectra_multi_sharded(
 
         def complete(item, state):
             bi, start, stop, ckpt_file = item
-            args, packed = state
+            args, packed, rung = state
             rows_host = fetch_with_ladder(
                 runner, packed, args, fetch_packed_host,
                 repack=lambda o: pack_rows(o, config.stream_dtype),
+                dispatch_idx=rung,
             )
             writer.submit(finish_batch, bi, start, stop, ckpt_file, rows_host)
             if meter is not None:

@@ -691,3 +691,46 @@ def test_fetch_with_ladder_recovers_async_failures():
 
     with _pytest.raises(ValueError, match="corrupt result"):
         fetch_with_ladder(runner, runner(7), (7,), bad_fetch)
+
+    # classifier must NOT treat generic words in ordinary data errors as
+    # recoverable (they would silently retry the real bug on every rung)
+    from gp_dla_detection_tpu.inference import ladder_recoverable
+
+    assert not ladder_recoverable(ValueError("min_z must be lower than max_z"))
+    assert not ladder_recoverable(ValueError("unknown backend 'pallas2'"))
+    assert not ladder_recoverable(TypeError("XLA-incompatible object passed"))
+
+
+def test_fetch_with_ladder_stale_rung_failures_advance_once():
+    """With pipelined dispatch (depth >= 2) several batches are in
+    flight on the same rung; when it fails, each surfaces the SAME
+    stale error at its fetch.  Only the first may advance the ladder —
+    the rest must retry on the already-advanced rung, not burn a
+    further rung each (which would exhaust the ladder outright)."""
+    import pytest as _pytest
+
+    from gp_dla_detection_tpu.inference import LadderRunner, fetch_with_ladder
+
+    configs = [("pallas", 256, True), ("xla", None, False)]
+    runner = LadderRunner(configs, lambda b, t, w: (lambda x: (b, x + 1)))
+
+    def fetch(out):
+        backend, val = out
+        if backend == "pallas":
+            raise RuntimeError("RESOURCE_EXHAUSTED: ran out of vmem")
+        return val
+
+    # both batches dispatched on rung 0 before either fetch runs
+    out_a, idx_a = runner(7), runner.idx
+    out_b, idx_b = runner(9), runner.idx
+    with _pytest.warns(UserWarning, match="falling back"):
+        assert fetch_with_ladder(
+            runner, out_a, (7,), fetch, dispatch_idx=idx_a
+        ) == 8
+    assert runner.config == ("xla", None, False)
+    # batch b's stale rung-0 failure must NOT advance past the ladder's
+    # last rung (pre-fix this re-raised with the ladder "exhausted")
+    assert fetch_with_ladder(
+        runner, out_b, (9,), fetch, dispatch_idx=idx_b
+    ) == 10
+    assert runner.config == ("xla", None, False)
