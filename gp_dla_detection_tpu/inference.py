@@ -370,12 +370,18 @@ class LadderRunner:
     """
 
     def __init__(self, configs, build, what: str = "evidence"):
+        import threading
+
         self.configs = list(configs)
         self.build = build
         self.what = what
         self.idx = 0
         self.fn = build(*self.configs[0])
         self._verified = False
+        # pipelined drivers dispatch from a worker thread while the main
+        # thread recovers fetch failures (parallel/overlap.run_pipelined
+        # threaded mode) — rung state must be serialized between them
+        self.lock = threading.RLock()
 
     @property
     def config(self) -> tuple[str, int | None, bool]:
@@ -407,27 +413,39 @@ class LadderRunner:
         return True
 
     def __call__(self, *args):
-        while True:
-            try:
-                out = self.fn(*args)
-                if not self._verified:
-                    # surface compile/VMEM failures here, not at the
-                    # fetch; once a rung survives one full batch, later
-                    # batches dispatch asynchronously
-                    force_completion(out)
-                    self._verified = True
-                return out
-            except Exception as exc:
-                if not self._advance(exc):
-                    raise
+        with self.lock:
+            while True:
+                try:
+                    out = self.fn(*args)
+                    if not self._verified:
+                        # surface compile/VMEM failures here, not at the
+                        # fetch; once a rung survives one full batch,
+                        # later batches dispatch asynchronously
+                        force_completion(out)
+                        self._verified = True
+                    return out
+                except Exception as exc:
+                    if not self._advance(exc):
+                        raise
+
+    def call_with_rung(self, *args):
+        """``(self(*args), rung)`` with the rung read atomically with
+        the call — under threaded dispatch, reading ``self.idx`` after
+        the call returns could observe a rung another thread has since
+        advanced to, and the stale-failure logic in
+        :func:`fetch_with_ladder` needs the rung this batch actually
+        dispatched on."""
+        with self.lock:
+            return self(*args), self.idx
 
     def recover(self, exc: BaseException) -> None:
         """Walk the ladder after ``exc`` surfaced at a result fetch
         (dispatch being async past the first batch of a rung);
         re-raises when the error is not ladder-recoverable or the
         ladder is exhausted."""
-        if not self._advance(exc):
-            raise exc
+        with self.lock:
+            if not self._advance(exc):
+                raise exc
 
 
 def fetch_with_ladder(
@@ -455,18 +473,22 @@ def fetch_with_ladder(
         try:
             return fetch(out)
         except Exception as exc:
-            if runner.idx > idx:
-                # stale failure from a rung another in-flight batch
-                # already abandoned — re-run on the current rung
-                # without advancing further
-                if not ladder_recoverable(exc):
-                    raise
-            else:
-                runner.recover(exc)  # re-raises when not recoverable
-            idx = runner.idx
-            out = runner(*args)
-            if repack is not None:
-                out = repack(out)
+            # under the runner lock: threaded dispatch may be advancing
+            # the rung concurrently, and the stale-vs-fresh decision
+            # plus the retry dispatch must see one consistent rung
+            with runner.lock:
+                if runner.idx > idx:
+                    # stale failure from a rung another in-flight batch
+                    # already abandoned — re-run on the current rung
+                    # without advancing further
+                    if not ladder_recoverable(exc):
+                        raise
+                else:
+                    runner.recover(exc)  # re-raises when not recoverable
+                idx = runner.idx
+                out = runner(*args)
+                if repack is not None:
+                    out = repack(out)
 
 
 def _prepare_spectrum(

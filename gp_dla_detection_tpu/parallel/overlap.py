@@ -15,7 +15,10 @@ supplies the two pieces that break that serialization:
     batch i's results are fetched, so the device computes while the host
     waits on the (tunnel-bound) result transfer.  JAX dispatch is async;
     the LadderRunner only forces completion on the first batch of a rung
-    (inference.LadderRunner), so "dispatch" really is enqueue-and-return.
+    (inference.LadderRunner), so "dispatch" really is enqueue-and-return
+    — except for the device_put uploads, which block the host through a
+    remote tunnel, so ``threaded=True`` runs dispatch on its own thread
+    and the uploads overlap the fetches too.
   - :class:`BackgroundWriter` — a single-worker ordered writer moving
     np.savez_compressed checkpoint/manifest writes off the critical
     path (zlib releases the GIL, so compression genuinely overlaps).
@@ -40,7 +43,8 @@ __all__ = [
 ]
 
 
-def run_pipelined(items, dispatch, complete, depth: int = 2):
+def run_pipelined(items, dispatch, complete, depth: int = 2,
+                  threaded: bool = False):
     """Run ``complete(item, dispatch(item))`` over ``items`` with up to
     ``depth`` dispatched items in flight.
 
@@ -49,18 +53,73 @@ def run_pipelined(items, dispatch, complete, depth: int = 2):
     fetches results and does host-side bookkeeping.  ``depth=1``
     degenerates to the serial loop; ``depth=2`` is classic double
     buffering (one batch computing while the previous one drains).
+
+    ``threaded=True`` moves ``dispatch`` to a dedicated thread: through
+    a remote-device tunnel, ``jax.device_put`` blocks the host for the
+    upload just as the result fetch does, and running them on one thread
+    re-serializes the two transfer directions the pipeline exists to
+    overlap.  Guarantees preserved from the synchronous mode: dispatch
+    order is strictly sequential (one dispatcher thread, so per-batch
+    device-stream enqueue order is unchanged — load-bearing for
+    pack-at-dispatch), ``complete`` runs on the calling thread in item
+    order, at most ``depth`` items are dispatched-but-not-completed, and
+    an exception from either callback propagates to the caller (the
+    dispatcher is stopped and joined first).  ``dispatch`` must be safe
+    to run concurrently with ``complete`` — the sharded drivers' are
+    (LadderRunner serializes its rung state internally).
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
-    inflight: deque = deque()
-    for item in items:
-        inflight.append((item, dispatch(item)))
-        while len(inflight) >= depth:
+    if not threaded or depth == 1:
+        inflight: deque = deque()
+        for item in items:
+            inflight.append((item, dispatch(item)))
+            while len(inflight) >= depth:
+                done_item, state = inflight.popleft()
+                complete(done_item, state)
+        while inflight:
             done_item, state = inflight.popleft()
             complete(done_item, state)
-    while inflight:
-        done_item, state = inflight.popleft()
-        complete(done_item, state)
+        return
+
+    import queue
+    import threading
+
+    slots = threading.Semaphore(depth)  # dispatched-but-not-completed
+    results: queue.SimpleQueue = queue.SimpleQueue()  # unbounded: put never blocks
+    stop = threading.Event()
+
+    def dispatcher():
+        try:
+            for item in items:
+                # acquire BEFORE dispatching so the in-flight bound is
+                # strict; poll so a failed consumer can't strand us
+                while not slots.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
+                if stop.is_set():
+                    return
+                results.put(("item", item, dispatch(item)))
+            results.put(("done", None, None))
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            results.put(("raise", exc, None))
+
+    worker = threading.Thread(
+        target=dispatcher, name="gpdla-dispatch", daemon=True
+    )
+    worker.start()
+    try:
+        while True:
+            kind, item, state = results.get()
+            if kind == "done":
+                break
+            if kind == "raise":
+                raise item
+            complete(item, state)
+            slots.release()
+    finally:
+        stop.set()
+        worker.join()
 
 
 class BackgroundWriter:

@@ -67,6 +67,10 @@ class ShardedRunConfig:
     # 2 = double buffering (batch i+1 computes while batch i's results
     # drain through the fetch); 1 = the serial r2 behaviour
     pipeline_depth: int = 2
+    # dispatch from a dedicated thread so host->device uploads overlap
+    # with result fetches (both block the host through a remote tunnel);
+    # False re-serializes them on the calling thread (the r3a behaviour)
+    dispatch_thread: bool = True
 
 
 def process_spectra_sharded(
@@ -336,11 +340,13 @@ def process_spectra_sharded(
             *model_args,
         )
         t2 = _time.perf_counter()
-        # capture the rung this batch dispatched on: with depth >= 2 a
+        # capture the rung this batch dispatched on (atomically with the
+        # call — dispatch may run on a worker thread): with depth >= 2 a
         # failing rung surfaces the same stale error at several fetches,
         # and fetch_with_ladder must not advance the ladder once per
         # in-flight batch
-        out = args, pack(runner(*args)), runner.idx
+        raw, rung = runner.call_with_rung(*args)
+        out = args, pack(raw), rung
         if timing:
             print(
                 f"[driver] batch {bi}: slice {t1 - t0:.3f}s "
@@ -455,7 +461,15 @@ def process_spectra_sharded(
             if meter is not None:
                 meter.update(stop - start)
 
-        run_pipelined(todo, dispatch, complete, depth=config.pipeline_depth)
+        # multi-controller runs must issue computations in one
+        # deterministic order per process (fetch_global's allgather is a
+        # collective; a dispatcher thread would interleave it with batch
+        # computes differently on different processes) — thread only
+        # when this process owns its issuance order alone
+        run_pipelined(
+            todo, dispatch, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread and jax.process_count() == 1,
+        )
 
     post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
     return InferenceResults(

@@ -292,9 +292,11 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(nb, dtype), data_spec2),
         )
         # pack the f16 wire format at dispatch time (device queue order;
-        # see sharded_inference.dispatch); record the dispatch rung for
+        # see sharded_inference.dispatch); record the dispatch rung
+        # (atomically — dispatch may run on a worker thread) for
         # stale-failure recovery under pipelined dispatch
-        return args, pack_rows(runner(*args), config.stream_dtype), runner.idx
+        raw, rung = runner.call_with_rung(*args)
+        return args, pack_rows(raw, config.stream_dtype), rung
 
     def write_checkpoint(ckpt_file, bi, rows_host):
         # f16 wire format when streamed; no zlib (see sharded_inference)
@@ -354,7 +356,12 @@ def process_spectra_multi_sharded(
             if meter is not None:
                 meter.update(stop - start)
 
-        run_pipelined(todo, dispatch, complete, depth=config.pipeline_depth)
+        # no dispatcher thread across processes (collective issuance
+        # order must match on every controller; see sharded_inference)
+        run_pipelined(
+            todo, dispatch, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread and jax.process_count() == 1,
+        )
 
     return finalize_multi(
         single, out2, base, spectra.z_qso, prior_z_qsos, prior_num_dlas,

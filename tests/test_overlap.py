@@ -38,6 +38,69 @@ def test_run_pipelined_completes_all_in_order():
     assert events.index(("c", 0, 0)) < events.index(("d", 3))
 
 
+def test_run_pipelined_threaded_overlaps_and_bounds():
+    """Threaded mode: completes in order, dispatch genuinely overlaps a
+    blocking complete, the in-flight bound holds, and exceptions from
+    both callbacks propagate (with the dispatcher joined)."""
+    completed = []
+    inflight = []
+    n_inflight = 0
+    lock = threading.Lock()
+    first_complete_entered = threading.Event()
+    later_dispatched = threading.Event()
+
+    def dispatch(i):
+        nonlocal n_inflight
+        with lock:
+            n_inflight += 1
+            inflight.append(n_inflight)
+        if i >= 1:
+            later_dispatched.set()
+        return i * 10
+
+    def complete(i, s):
+        nonlocal n_inflight
+        if i == 0:
+            first_complete_entered.set()
+            # a slow fetch: dispatcher must run ahead DURING this wait
+            assert later_dispatched.wait(timeout=5.0), (
+                "dispatch did not overlap a blocking complete"
+            )
+        completed.append((i, s))
+        with lock:
+            n_inflight -= 1
+
+    run_pipelined(range(6), dispatch, complete, depth=3, threaded=True)
+    assert completed == [(i, i * 10) for i in range(6)]
+    assert max(inflight) <= 3  # strict dispatched-not-completed bound
+
+    # complete() exceptions propagate; the dispatcher thread is stopped
+    with pytest.raises(RuntimeError, match="fetch died"):
+        run_pipelined(
+            range(100),
+            dispatch=lambda i: i,
+            complete=lambda i, s: (_ for _ in ()).throw(
+                RuntimeError("fetch died")
+            ),
+            depth=2,
+            threaded=True,
+        )
+    # dispatch() exceptions propagate too
+    def bad_dispatch(i):
+        if i == 2:
+            raise OSError("upload died")
+        return i
+
+    done = []
+    with pytest.raises(OSError, match="upload died"):
+        run_pipelined(
+            range(10), bad_dispatch, lambda i, s: done.append(i),
+            depth=2, threaded=True,
+        )
+    assert done == [0, 1]
+    assert threading.active_count() < 20  # no leaked dispatcher threads
+
+
 def test_run_pipelined_depth_one_is_serial():
     events = []
     run_pipelined(
