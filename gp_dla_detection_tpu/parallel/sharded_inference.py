@@ -307,19 +307,36 @@ def process_spectra_sharded(
         atomic_write_json,
         run_pipelined,
     )
-    from .streaming import fetch_packed_host, pack_rows, reconstruct_rows
+    import jax.numpy as jnp
+
+    from .streaming import pack_rows, reconstruct_rows
 
     def pack(out):
         # enqueue the f16 wire-format packing NOW, directly behind this
         # batch's main computation on the device queue — packing at
         # fetch time would run after the NEXT batch's compute and stall
-        # the pipeline (single device stream)
-        return (
+        # the pipeline (single device stream).  The per-spectrum vectors
+        # (null evidence, z range, wire row max) are stacked into ONE
+        # device array: each host fetch is a tunnel round trip (~34 ms
+        # measured), so 4 small fetches cost ~0.1 s/batch where 1 costs
+        # ~0.03 s.  Mixed dtypes (f64 parity mode keeps evidences f64
+        # while z ranges may be f32) promote for the stack and are cast
+        # back exactly on the host — float widening round-trips bit-for-
+        # bit, so checkpoints stay identical to the unstacked format.
+        rows = pack_rows(
+            out["sample_log_likelihoods_dla"], config.stream_dtype
+        )
+        small = [
             out["log_likelihood_no_dla"],
-            pack_rows(out["sample_log_likelihoods_dla"], config.stream_dtype),
             out["min_z_dla"],
             out["max_z_dla"],
-        )
+        ]
+        if rows[0] == "packed":
+            small.append(rows[2])  # f32 row max rides the small stack
+        dtypes = tuple(a.dtype for a in small)
+        wide = jnp.result_type(*dtypes)
+        stacked = jnp.stack([a.astype(wide) for a in small])
+        return rows[0], rows[1], stacked, dtypes
 
     import os
     import time as _time
@@ -357,13 +374,17 @@ def process_spectra_sharded(
         return out
 
     def fetch(packed):
-        null_ll, rows, min_z, max_z = packed
-        return (
-            fetch_global(null_ll),
-            fetch_packed_host(rows),
-            fetch_global(min_z),
-            fetch_global(max_z),
+        tag, wire, stacked, dtypes = packed
+        smalls = fetch_global(stacked)
+        small = [
+            np.asarray(smalls[i], dtype=dt) for i, dt in enumerate(dtypes)
+        ]
+        rows_host = (
+            ("plain", fetch_global(wire))
+            if tag == "plain"
+            else ("packed", fetch_global(wire), small[3])
         )
+        return small[0], rows_host, small[1], small[2]
 
     def write_checkpoint(ckpt_file, bi, null_ll, rows_host, min_z, max_z):
         # multi-process runs: one writer (process 0); every process
