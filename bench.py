@@ -170,7 +170,7 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
 def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
                 num_samples: int = 10000, pixels: int = 1274, k: int = 20,
                 backend: str = "pallas", checkpoint: bool = True,
-                pipeline_depth: int = 2) -> None:
+                pipeline_depth: int = 4) -> None:
     """Sustained END-TO-END throughput through the production sharded
     driver: device_put + execute + f16 result streaming + background
     checkpointing per super-batch — everything a survey run pays, not
@@ -266,7 +266,7 @@ if __name__ == "__main__":
                    help="--driver: total spectra for the sustained run")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="--driver: disable per-batch checkpointing")
-    p.add_argument("--pipeline-depth", type=int, default=2,
+    p.add_argument("--pipeline-depth", type=int, default=4,
                    help="--driver: super-batches in flight (1 = serial)")
     a = p.parse_args()
     if a.driver:

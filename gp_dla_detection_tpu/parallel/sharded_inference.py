@@ -65,8 +65,11 @@ class ShardedRunConfig:
     stream_dtype: str | None = "float16"
     # max super-batches in flight on the device (parallel/overlap.py):
     # 2 = double buffering (batch i+1 computes while batch i's results
-    # drain through the fetch); 1 = the serial r2 behaviour
-    pipeline_depth: int = 2
+    # drain through the fetch); 1 = the serial r2 behaviour.  4 measured
+    # >= depth 2 across tunnel epochs (304 vs 204 spectra/s in a slow
+    # epoch, 411 vs 406 in a fast one, 4096x10k A/B) — deeper pipelines
+    # absorb round-trip latency jitter at ~42 MB HBM per extra batch
+    pipeline_depth: int = 4
     # dispatch from a dedicated thread so host->device uploads overlap
     # with result fetches (both block the host through a remote tunnel);
     # False re-serializes them on the calling thread (the r3a behaviour)
