@@ -169,18 +169,26 @@ def _extend_wavelengths(wavelengths, width: int, pixel_spacing: float):
     return jnp.concatenate([left, wavelengths, right])
 
 
-def compute_sample_window(offset_samples, sample_chunk: int, num_pixels: int):
+def compute_sample_window(
+    offset_samples, sample_chunk: int, num_pixels: int, num_lines: int = 3
+):
     """Static window size (pixels) for the windowed Voigt fast path.
 
     The line-center spread of a z-sorted chunk of samples is bounded by
     the chunk's offset spread times the full pixel span; WINDOW_MARGIN
     pixels of slack are reserved on each side (consumers offset the
     window start by exactly WINDOW_MARGIN, so coverage holds for any
-    window size).  Returns None when windowing would not help
-    (window >= grid).
+    window size).  Returns None when windowing would not help:
+    window >= grid, or ``num_lines`` above the kernel's unroll limit —
+    the windowed pass must then run as a fori_loop (the 31-line unroll
+    crashes the TPU compiler), measured ~2x slower than the unrolled
+    full grid it would replace (v5e, B=256: 107 vs 181-195 spectra/s).
     """
+    from .ops.evidence_pallas import UNROLL_LINES
     from .ops.voigt import WINDOW_MARGIN
 
+    if num_lines > UNROLL_LINES:
+        return None
     off = np.sort(np.asarray(offset_samples))
     m = min(sample_chunk, len(off))
     if m <= 1 or len(off) == 0:
@@ -234,11 +242,14 @@ def pallas_config_ladder(
     full-grid) down to one lane group, then the XLA fallback.  Drivers
     walk this ladder when a kernel fails to fit (scoped VMEM OOM) or to
     lower on the current device, instead of hard-failing on a config
-    the API accepts.  The window rung matters beyond VMEM: the 31-line
-    WINDOWED kernel crashes the TPU compiler (31 dynamic-slice window
-    passes) while the 31-line full-grid kernel compiles and runs —
-    dropping the window keeps such runs on the fused kernel instead of
-    falling all the way back to XLA.
+    the API accepts.  The window rung also guards against unforeseen
+    windowed-lowering failures — dropping the window keeps such runs on
+    the fused kernel instead of falling all the way back to XLA.  (The
+    historical case, 31 unrolled dynamic-slice window passes crashing
+    the TPU compiler, no longer reaches here: compute_sample_window
+    returns None above the kernel's unroll limit because the loop-form
+    windowed kernel, though it now compiles, is ~2x slower than the
+    unrolled full grid — those runs start full-grid directly.)
     """
     if backend not in ("pallas", "pallas_interpret"):
         return [(backend, None, False)]
@@ -1016,6 +1027,7 @@ def process_spectra(
             offset_samples,
             SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            num_lines=params.num_lines,
         )
 
     # Degradation ladder: a pallas request that cannot fit VMEM (long

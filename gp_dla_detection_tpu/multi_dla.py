@@ -488,6 +488,7 @@ def process_spectra_multi(
         window = compute_sample_window(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            num_lines=params.num_lines,
         )
 
     # VMEM/lowering degradation ladder (two_dla halves the budget: both

@@ -46,8 +46,48 @@ SAMPLE_TILE = 256
 # split in two.  Module-level so tests can exercise the split path at
 # interpret-friendly sizes.
 MISCOMPILED_BATCH = 512
+# Above this many Lyman-series lines the WINDOWED per-line pass runs
+# as a lax.fori_loop over SMEM-resident line constants instead of a
+# Python unroll: 31 unrolled dynamic-slice window passes crash the TPU
+# compiler outright, while the loop form compiles in seconds.  The
+# full-grid pass keeps the unroll at every line count — it compiles
+# fine and Mosaic schedules the straight-line form ~2x faster (v5e,
+# 31 lines, B=256 tile128: 181 spectra/s unrolled vs 94 looped,
+# bitwise-identical results), which is also why drivers prefer
+# full-grid-unrolled over windowed-looped above this limit
+# (inference.compute_sample_window).
+UNROLL_LINES = 8
 _SQRT_2 = float(np.sqrt(2.0))
 _SQRT_2PI = float(np.sqrt(2.0 * np.pi))
+
+
+def _line_tables(num_lines: int) -> np.ndarray:
+    """(4, num_lines) f32 per-line constants for the fori_loop line
+    pass, rounded EXACTLY as the unrolled kernel's weak-typed literals
+    round (f64 host products cast to f32 at the point of use), so the
+    two forms are bit-identical:
+
+      row 0: c / (lambda_t * 1e8)     [f32(c) / f32(lambda_t*1e8)]
+      row 1: gamma_t / (sqrt(2) sigma) [f32(gamma) * f32(1/(sqrt2 sigma))]
+      row 2: leading_const / (sigma sqrt(2 pi)) [f64 product -> f32]
+      row 3: lambda_t * 1e8            [f64 product -> f32]
+    """
+    lt18 = (
+        np.asarray(lines.TRANSITION_WAVELENGTHS[:num_lines], np.float64)
+        * 1e8
+    )
+    gamma = np.asarray(lines.LORENTZIAN_WIDTHS[:num_lines], np.float64)
+    lead = np.asarray(lines.LEADING_CONSTANTS[:num_lines], np.float64)
+    voigt_norm = 1.0 / (lines.DOPPLER_SIGMA * _SQRT_2PI)
+    return np.stack(
+        [
+            np.float32(lines.C_CGS) / lt18.astype(np.float32),
+            gamma.astype(np.float32)
+            * np.float32(1.0 / (_SQRT_2 * lines.DOPPLER_SIGMA)),
+            (lead * voigt_norm).astype(np.float32),
+            lt18.astype(np.float32),
+        ]
+    )
 
 
 def _evidence_kernel(
@@ -61,16 +101,21 @@ def _evidence_kernel(
     ptri_ref,     # (1, k(k+1)/2, P) lower-triangle pair products,
                   # column-major: rows [off_j, off_j + k - j) hold
                   # M_i * M_j for i = j..k-1, off_j = j*k - j(j-1)/2
-    *rest,        # z_ref, nhi_ref [, z2_ref, nhi2_ref], out_ref, total_ref
-                  # z/nhi blocks are (1, 1, T); out (1, 1, T);
-                  # total_ref (P6, T) VMEM scratch: accumulated -tau
+    *rest,        # [tbl_ref,] z_ref, nhi_ref [, z2_ref, nhi2_ref],
+                  # out_ref, total_ref
+                  # tbl_ref (4, num_lines) SMEM line constants, present
+                  # iff line_loop; z/nhi blocks are (1, 1, T); out
+                  # (1, 1, T); total_ref (P6, T) VMEM scratch: -tau
     num_lines: int,
     taps: tuple,
     k: int,
     window: int | None,
     pixel_spacing: float,
     two_dla: bool = False,
+    line_loop: bool = False,
 ):
+    if line_loop:
+        tbl_ref, *rest = rest
     if two_dla:
         z_ref, nhi_ref, z2_ref, nhi2_ref, out_ref, total_ref = rest
         # the second (posterior-resampled) absorber's redshifts are not
@@ -101,66 +146,89 @@ def _evidence_kernel(
     from .voigt import WINDOW_MARGIN
 
     total_ref[...] = jnp.zeros((P6, T), dtype)
+
+    def line_pass(c_over_lt18, y, lead_norm, lt18, zr, z, nhi, win):
+        """One Lyman-series line's optical-depth contribution.
+
+        ``c_over_lt18``/``y``/``lead_norm``/``lt18`` are the per-line
+        constants — Python/trace-time values on the unrolled path, SMEM
+        scalar loads on the fori_loop path (same f32 values either way,
+        see _line_tables).
+        """
+        mult = c_over_lt18 / (1.0 + z)                      # (1, T)
+        x = (lam * mult - c_cgs) * inv_sqrt2_sigma          # (P6, T)
+        # single-absorber mode scales by N_HI once at the exp (saves
+        # a (P6, T) broadcast multiply per line); with two absorbers
+        # the N_HI factor must be folded per line so the shared
+        # total accumulates the combined optical depth
+        scale = lead_norm * nhi if two_dla else lead_norm
+        if win is None:
+            h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
+            total_ref[...] = total_ref[...] - scale * h
+        else:
+            # z-sorted tile: the Lorentzian term (global rational G)
+            # is exact everywhere; the Gaussian core e^{-x^2}(...) —
+            # negligible beyond ~5 px of a line center — is added
+            # only within a `window`-pixel slice around the tile's
+            # line centers.  Dynamic-slice access goes through the
+            # VMEM scratch ref (Mosaic has no dynamic_slice on
+            # values).
+            # Mosaic requires dynamic lane indices to be 128-aligned:
+            # the start rounds DOWN to a lane boundary (losing at most
+            # 127 px of right coverage), so widen the static window by
+            # one extra lane group; the clip bound must itself stay
+            # 128-aligned or the pl.multiple_of promise is violated for
+            # near-red-edge windows
+            W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
+            h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
+            total_ref[...] = total_ref[...] - scale * h_wing
+            center = jnp.log10(lt18 * (1.0 + zr[0, 0, 0]))
+            log_lam0 = jnp.log10(lam_ref[0, 0, 0])
+            start_raw = jnp.floor(
+                (center - log_lam0) / pixel_spacing
+            ).astype(jnp.int32) - WINDOW_MARGIN
+            # index literals must be explicit int32: under
+            # jax_enable_x64, weak Python ints cross floor_divide /
+            # clip's inner-jit boundary as i64[] consts, and Mosaic's
+            # 64-bit convert lowering recurses without terminating
+            # (tests/test_evidence_pallas.py::test_kernel_jaxpr_x64_safe)
+            lane = jnp.int32(128)
+            start = jnp.clip(
+                (start_raw // lane) * lane,
+                jnp.int32(0),
+                jnp.int32(max(((P6 - W) // 128) * 128, 0)),
+            )
+            start = pl.multiple_of(start, 128)
+            lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
+            x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
+            corr = exp_core(x_win * x_win, jnp.asarray(y, dtype))
+            total_ref[pl.ds(start, W), :] = (
+                total_ref[pl.ds(start, W), :] - scale * corr
+            )
+
     for zr, nr, win in absorbers:
         z = zr[0, 0].reshape(1, T)
         nhi = nr[0, 0].reshape(1, T)
-        for j in range(num_lines):
-            lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
-            gamma_j = float(lines.LORENTZIAN_WIDTHS[j])
-            lead_j = float(lines.LEADING_CONSTANTS[j])
-            mult = (c_cgs / (lambda_t * 1e8)) / (1.0 + z)      # (1, T)
-            velocity = lam * mult - c_cgs                       # (P6, T)
-            x = velocity * inv_sqrt2_sigma
-            y = jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma
-            # single-absorber mode scales by N_HI once at the exp (saves
-            # a (P6, T) broadcast multiply per line); with two absorbers
-            # the N_HI factor must be folded per line so the shared
-            # total accumulates the combined optical depth
-            scale = (lead_j * voigt_norm) * nhi if two_dla else (
-                lead_j * voigt_norm
-            )
-            if win is None:
-                h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
-                total_ref[...] = total_ref[...] - scale * h
-            else:
-                # z-sorted tile: the Lorentzian term (global rational G)
-                # is exact everywhere; the Gaussian core e^{-x^2}(...) —
-                # negligible beyond ~5 px of a line center — is added
-                # only within a `window`-pixel slice around the tile's
-                # line centers.  Dynamic-slice access goes through the
-                # VMEM scratch ref (Mosaic has no dynamic_slice on
-                # values).
-                # Mosaic requires dynamic lane indices to be 128-aligned:
-                # the start rounds DOWN to a lane boundary (losing at most
-                # 127 px of right coverage), so widen the static window by
-                # one extra lane group; the clip bound must itself stay
-                # 128-aligned or the pl.multiple_of promise is violated for
-                # near-red-edge windows
-                W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
-                h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
-                total_ref[...] = total_ref[...] - scale * h_wing
-                center = jnp.log10(lambda_t * 1e8 * (1.0 + zr[0, 0, 0]))
-                log_lam0 = jnp.log10(lam_ref[0, 0, 0])
-                start_raw = jnp.floor(
-                    (center - log_lam0) / pixel_spacing
-                ).astype(jnp.int32) - WINDOW_MARGIN
-                # index literals must be explicit int32: under
-                # jax_enable_x64, weak Python ints cross floor_divide /
-                # clip's inner-jit boundary as i64[] consts, and Mosaic's
-                # 64-bit convert lowering recurses without terminating
-                # (tests/test_evidence_pallas.py::test_kernel_jaxpr_x64_safe)
-                lane = jnp.int32(128)
-                start = jnp.clip(
-                    (start_raw // lane) * lane,
-                    jnp.int32(0),
-                    jnp.int32(max(((P6 - W) // 128) * 128, 0)),
+        if line_loop:
+            def body(j, _, zr=zr, z=z, nhi=nhi, win=win):
+                line_pass(
+                    tbl_ref[0, j], tbl_ref[1, j], tbl_ref[2, j],
+                    tbl_ref[3, j], zr, z, nhi, win,
                 )
-                start = pl.multiple_of(start, 128)
-                lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
-                x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
-                corr = exp_core(x_win * x_win, jnp.asarray(y, dtype))
-                total_ref[pl.ds(start, W), :] = (
-                    total_ref[pl.ds(start, W), :] - scale * corr
+                return _
+
+            jax.lax.fori_loop(0, num_lines, body, 0, unroll=False)
+        else:
+            for j in range(num_lines):
+                lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
+                gamma_j = float(lines.LORENTZIAN_WIDTHS[j])
+                lead_j = float(lines.LEADING_CONSTANTS[j])
+                line_pass(
+                    c_cgs / (lambda_t * 1e8),
+                    jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma,
+                    lead_j * voigt_norm,
+                    lambda_t * 1e8,
+                    zr, z, nhi, win,
                 )
 
     if two_dla:
@@ -235,7 +303,9 @@ def _evidence_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_lines", "instrument", "tile", "interpret", "window"),
+    static_argnames=(
+        "num_lines", "instrument", "tile", "interpret", "window", "line_loop",
+    ),
 )
 def pallas_sample_log_likelihoods(
     ext_wavelengths,   # (B, P+2*width)
@@ -254,8 +324,15 @@ def pallas_sample_log_likelihoods(
     window: int | None = None,
     z_dlas2=None,      # (B, S) second absorber redshifts (optional)
     nhi2=None,         # (B, S)
+    line_loop: bool | None = None,
 ):
     """Fused per-sample DLA log likelihoods, (B, S).  float32 only.
+
+    ``line_loop`` selects the fori_loop-over-SMEM-constants line pass
+    (bit-identical to the unrolled pass on the full grid, FMA-level
+    reassociation noise in windowed mode; see UNROLL_LINES).  Default:
+    loop iff windowed AND ``num_lines > UNROLL_LINES`` — the only
+    configuration whose unrolled form cannot compile.
 
     With ``window`` set, z_dlas must be ascending along the sample axis
     (the engine sorts and unsorts) and ``window`` must bound each
@@ -302,6 +379,7 @@ def pallas_sample_log_likelihoods(
                 z_dlas2=None if z_dlas2 is None else z_dlas2[sl],
                 nhi2=None if nhi2 is None else nhi2[sl],
                 interpret=interpret, window=window, tile=tile,
+                line_loop=line_loop,
             )
             for sl in (slice(0, half), slice(half, B))
         ]
@@ -391,6 +469,20 @@ def pallas_sample_log_likelihoods(
         (1, 1, tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
     )
 
+    use_loop = (
+        num_lines > UNROLL_LINES and window is not None
+        if line_loop is None
+        else bool(line_loop)
+    )
+    loop_inputs, loop_specs = [], []
+    if use_loop:
+        loop_inputs.append(jnp.asarray(_line_tables(num_lines)))
+        loop_specs.append(
+            pl.BlockSpec(
+                (4, num_lines), lambda i, t: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
     sample_inputs = [expand(z_dlas), expand(nhi)]
     if two_dla:
         sample_inputs += [expand(z_dlas2), expand(nhi2)]
@@ -409,7 +501,7 @@ def pallas_sample_log_likelihoods(
             functools.partial(
                 _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
                 window=window, pixel_spacing=instrument.pixel_spacing,
-                two_dla=two_dla,
+                two_dla=two_dla, line_loop=use_loop,
             ),
             grid=grid,
             in_specs=[
@@ -421,7 +513,7 @@ def pallas_sample_log_likelihoods(
                 spec_block((1, P)),
                 spec_block((k, P)),
                 spec_block((k * (k + 1) // 2, P)),
-            ] + [tile_block] * len(sample_inputs),
+            ] + loop_specs + [tile_block] * len(sample_inputs),
             out_specs=tile_block,
             out_shape=jax.ShapeDtypeStruct((B, 1, S_pad), dtype),
             scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
@@ -429,6 +521,6 @@ def pallas_sample_log_likelihoods(
         )(
             expand(ext_wavelengths), expand(flux), expand(mu),
             expand(omega2), expand(noise_variance), expand(maskf),
-            mt, ptri, *sample_inputs,
+            mt, ptri, *loop_inputs, *sample_inputs,
         )
     return out[:, 0, :S]

@@ -203,11 +203,13 @@ def process_spectra_sharded(
         from ..ops.evidence_pallas import SAMPLE_TILE
 
         window_pallas = compute_sample_window(
-            offset_samples, SAMPLE_TILE, num_pixels_ext
+            offset_samples, SAMPLE_TILE, num_pixels_ext,
+            num_lines=params.num_lines,
         )
     window_xla = (
         compute_sample_window(
-            offset_samples, config.sample_chunk, num_pixels_ext
+            offset_samples, config.sample_chunk, num_pixels_ext,
+            num_lines=params.num_lines,
         )
         if config.windowed_voigt and dtype == np.float32
         else None

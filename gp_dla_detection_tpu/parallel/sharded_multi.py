@@ -117,6 +117,7 @@ def process_spectra_multi_sharded(
         window = compute_sample_window(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            num_lines=params.num_lines,
         )
     # fused pair kernel + sample-axis mesh: fresh samples are already
     # z-sorted for the windowed kernel, so each shard can take a

@@ -404,3 +404,65 @@ def test_kernel_lowers_for_tpu_under_x64():
 
         closed = jax.make_jaxpr(f)(*args)
         assert check_kernel_jaxprs(closed.jaxpr), "pallas_call not traced"
+
+
+def test_line_loop_matches_unrolled():
+    """The fori_loop line pass (used above UNROLL_LINES, e.g. the
+    31-line windowed kernel that the unrolled form cannot compile on
+    TPU) is bit-identical to the Python unroll on the full grid and
+    within FMA-reassociation noise in windowed mode (XLA contracts
+    mul+add differently inside a loop body; diffs are ~1e-7 relative)."""
+    from gp_dla_detection_tpu.ops.evidence_pallas import (
+        UNROLL_LINES,
+        pallas_sample_log_likelihoods,
+    )
+    from gp_dla_detection_tpu.params import InstrumentParams
+
+    rng = np.random.default_rng(0)
+    B, P, k, S = 2, 384, 4, 64
+    w = InstrumentParams().width
+    P6 = P + 2 * w
+    f32 = np.float32
+    lam = np.stack(
+        [10 ** (np.log10(3600.0) + 1e-4 * np.arange(P6))] * B
+    ).astype(f32)
+    flux = rng.normal(1, 0.3, (B, P)).astype(f32)
+    mu = np.ones((B, P), f32)
+    M = (rng.normal(size=(B, P, k)) * 0.1).astype(f32)
+    om = rng.uniform(0.01, 0.05, (B, P)).astype(f32)
+    nv = rng.uniform(0.05, 0.2, (B, P)).astype(f32)
+    mask = rng.uniform(size=(B, P)) > 0.05
+    zc = lam[:, w + P // 2] / 1215.6701 - 1
+    z = np.sort(
+        rng.uniform(zc[:, None] - 0.02, zc[:, None] + 0.02, (B, S)), axis=1
+    ).astype(f32)
+    nhi = (10 ** rng.uniform(20, 22, (B, S))).astype(f32)
+    z2 = rng.permutation(z, axis=1)
+    nhi2 = (10 ** rng.uniform(20, 21.5, (B, S))).astype(f32)
+
+    assert 3 <= UNROLL_LINES < 31  # default pipeline unrolls, 31 loops
+    for nl in (3, 31):
+        for kwargs in (
+            {"window": None},
+            {"window": 256},
+            {"window": 256, "z_dlas2": z2, "nhi2": nhi2},
+        ):
+            outs = [
+                np.asarray(
+                    pallas_sample_log_likelihoods(
+                        lam, flux, mu, M, om, nv, mask, z, nhi,
+                        num_lines=nl, interpret=True, tile=64,
+                        line_loop=loop, **kwargs,
+                    ),
+                    np.float64,
+                )
+                for loop in (False, True)
+            ]
+            a, b = outs
+            if kwargs.get("window") is None:
+                assert np.array_equal(a, b), f"nl={nl} full-grid"
+            else:
+                scale = np.maximum(np.abs(a), 1.0)
+                assert np.max(np.abs(a - b) / scale) < 1e-5, (
+                    f"nl={nl} kwargs={sorted(kwargs)}"
+                )
