@@ -196,9 +196,14 @@ def build(workdir: Path, n_spectra: int = DEFAULT_N, seed: int = 40) -> None:
     print("artifacts saved", flush=True)
 
 
-def run(workdir: Path, run_name: str, batch: int = PER_DEVICE_BATCH) -> None:
-    """One worker pass: run_inference then run_multi under
-    workdir/<run_name>, resuming from whatever checkpoints exist."""
+def run(workdir: Path, run_name: str, batch: int = PER_DEVICE_BATCH,
+        stage: str = "both") -> None:
+    """One worker pass: run_inference (and, with stage="both",
+    run_multi) under workdir/<run_name>, resuming from whatever
+    checkpoints exist.  stage="inference" is the reference's actual
+    headline workload (process_qsos.m is single-DLA {0,1} selection;
+    the pair stage is a later-pipeline extension) — used by
+    survey_run.py at full DR12Q scale."""
     import os
 
     if os.environ.get("GPDLA_REHEARSAL_CPU"):
@@ -235,10 +240,11 @@ def run(workdir: Path, run_name: str, batch: int = PER_DEVICE_BATCH) -> None:
     t0 = time.time()
     results = pipe.run_inference(catalog, spectra, model, samples)
     timings["inference_s"] = round(time.time() - t0, 2)
-    test_mask = Pipeline.default_test_mask(catalog, spectra)
-    t0 = time.time()
-    pipe.run_multi(catalog, spectra, model, samples, results, test_mask)
-    timings["multi_s"] = round(time.time() - t0, 2)
+    if stage == "both":
+        test_mask = Pipeline.default_test_mask(catalog, spectra)
+        t0 = time.time()
+        pipe.run_multi(catalog, spectra, model, samples, results, test_mask)
+        timings["multi_s"] = round(time.time() - t0, 2)
     (workdir / run_name / "timings.json").write_text(json.dumps(timings))
     print(f"RUN COMPLETE {json.dumps(timings)}", flush=True)
 
@@ -421,11 +427,12 @@ if __name__ == "__main__":
     p.add_argument("--run-name", default="runA")
     p.add_argument("--n-spectra", type=int, default=DEFAULT_N)
     p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
+    p.add_argument("--stage", default="both", choices=["both", "inference"])
     a = p.parse_args()
     wd = Path(a.workdir)
     if a.cmd == "build":
         build(wd, a.n_spectra)
     elif a.cmd == "run":
-        run(wd, a.run_name, a.batch)
+        run(wd, a.run_name, a.batch, a.stage)
     else:
         orchestrate(wd, a.n_spectra, a.batch)

@@ -1,0 +1,160 @@
+"""Full DR12Q-scale survey on one chip: 162,861 sightlines end-to-end.
+
+The reference's headline workload is process_qsos.m over the 162,861
+non-filtered DR12Q sightlines (/root/reference/README.md:113-116), and
+the driver-stated throughput target is that full catalog in under one
+hour on a v5e-64 (0.707 spectra/s/chip end-to-end).  This harness runs
+that exact workload size — single-DLA {0,1} Bayesian model selection,
+10,000 QMC samples per sightline, ragged 1000-1274 px spectra — through
+the production sharded driver on ONE chip, with a mid-run SIGKILL +
+resume (the failure mode the reference cannot survive: it saves once at
+the very end, process_qsos.m:234-249).
+
+Protocol (`python validation/survey_run.py`):
+  1. build    — synthesize the 162,861-sightline universe (reuses
+                scale_rehearsal.build: ~30% host an injected DLA whose
+                truth lands in the catalog artifacts)
+  2. leg 1    — run the inference stage; SIGKILL mid-run
+  3. leg 2    — resume to completion
+  4. report   — sustained rate, vs-reference-target multiple, detection
+                accuracy against the injection truth, checkpoint volume
+Writes validation/RESULTS_SURVEY.md.
+
+Bit-identity of kill/resume vs an uninterrupted run is proven at 16k by
+scale_rehearsal.py (same driver, same checkpoint format); this harness
+proves the SCALE claim and does not duplicate the full run to re-prove
+identity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE))
+
+from scale_rehearsal import (  # noqa: E402
+    PER_DEVICE_BATCH,
+    _artifacts,
+    _kill_when,
+    _manifest_count,
+    _wait_ok,
+    build,
+)
+
+DR12Q_N = 162861  # /root/reference/README.md:113-116
+TARGET_PER_CHIP = DR12Q_N / 3600.0 / 64.0  # <1 h on a v5e-64
+
+
+def _launch(workdir: Path, batch: int, tag: str):
+    import subprocess
+
+    log = workdir / f"survey_{tag}.log"
+    proc = subprocess.Popen(
+        [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
+         "--workdir", str(workdir), "--run-name", "survey",
+         "--batch", str(batch), "--stage", "inference"],
+        stdout=open(log, "w"), stderr=subprocess.STDOUT, text=True,
+    )
+    proc._log_path = log  # type: ignore[attr-defined]
+    return proc
+
+
+def orchestrate(workdir: Path, n_spectra: int = DR12Q_N,
+                batch: int = PER_DEVICE_BATCH) -> None:
+    workdir.mkdir(parents=True, exist_ok=True)
+    t_build = 0.0
+    if not (_artifacts(workdir) / "samples.npz").exists():
+        t0 = time.time()
+        build(workdir, n_spectra)
+        t_build = time.time() - t0
+
+    manifest = workdir / "survey" / "inference_ckpt" / "manifest.json"
+    n_batches = -(-n_spectra // batch)
+
+    t0 = time.time()
+    killed_at = _kill_when(_launch(workdir, batch, "leg1"), manifest,
+                           max(2, n_batches // 3), timeout=7200.0)
+    leg1 = time.time() - t0
+    t0 = time.time()
+    _wait_ok(_launch(workdir, batch, "leg2"), "resumed survey run")
+    leg2 = time.time() - t0
+    total = leg1 + leg2
+    timings = json.loads((workdir / "survey" / "timings.json").read_text())
+
+    # detection accuracy vs the injection truth in the catalog artifacts
+    from gp_dla_detection_tpu.catalog import Catalog
+
+    catalog = Catalog.load(_artifacts(workdir) / "catalog.npz")
+    truth = catalog.dla_catalogs["dr9q_concordance"].dla_ind
+    with np.load(workdir / "survey" / "processed_qsos_dr12q.npz") as f:
+        p_dla = f["p_dlas"]
+        n_res = p_dla.shape[0]
+    # run_inference processes the unfiltered test set — at this build
+    # every sightline passes the filters
+    assert n_res == n_spectra, (n_res, n_spectra)
+    det = p_dla > 0.9
+    detection_rate = det[truth].mean()
+    false_pos = det[~truth].mean()
+
+    rate = n_spectra / total
+    rate_worker = n_spectra / timings["inference_s"]
+    ckpt_bytes = sum(
+        f.stat().st_size
+        for f in (workdir / "survey").rglob("batch_*.npz")
+    )
+    report = [
+        f"# Full DR12Q-scale survey on one chip: {n_spectra:,} sightlines",
+        "",
+        f"- workload: the reference's headline run (process_qsos.m over "
+        f"the {n_spectra:,} non-filtered DR12Q sightlines, 10,000 QMC "
+        "samples each; README.md:113-116), synthetic universe with ~30% "
+        "injected DLAs, ragged 1000-1274 px spectra",
+        f"- driver: production sharded pipeline (pallas fused kernel, "
+        f"super-batch {batch}, f16 streaming, per-batch atomic "
+        "checkpoints, threaded dispatch depth 4), ONE v5e chip",
+        "",
+        f"- universe build: {t_build:.0f} s (host, one core)",
+        f"- leg 1: SIGKILL at {killed_at}/{n_batches} checkpointed "
+        f"batches, {leg1:.0f} s in",
+        f"- leg 2: resumed to completion in {leg2:.0f} s "
+        f"(worker-internal inference time {timings['inference_s']:.0f} s "
+        f"= {rate_worker:.0f} spectra/s)",
+        f"- total wall including the killed leg and both process "
+        f"startups/compiles: {total:.0f} s = {rate:.0f} spectra/s "
+        "sustained on one chip",
+        f"- vs the reference target (162,861 in <1 h on v5e-64 = "
+        f"{TARGET_PER_CHIP:.3f} spectra/s/chip): {rate / TARGET_PER_CHIP:.0f}x "
+        "per chip, kill included",
+        "",
+        f"- detection at p > 0.9: {detection_rate:.4f} of the "
+        f"{int(truth.sum()):,} injected DLAs; false-positive rate "
+        f"{false_pos:.2e} over {int((~truth).sum()):,} clean sightlines",
+        f"- checkpoint volume: {ckpt_bytes / 1e9:.2f} GB across "
+        f"{n_batches} per-batch f16-wire files (background writer)",
+        "",
+        "Kill/resume bit-identity for this driver + checkpoint format is "
+        "pinned at 16k by scale_rehearsal.py (RESULTS_SCALE.md); this run "
+        "proves the full-catalog scale claim on real hardware.",
+    ]
+    out = HERE / "RESULTS_SURVEY.md"
+    out.write_text("\n".join(report) + "\n")
+    print("\n".join(report))
+    assert detection_rate > 0.97, detection_rate
+    assert false_pos < 0.01, false_pos
+    print("SURVEY RUN OK")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/gpdla_survey")
+    p.add_argument("--n-spectra", type=int, default=DR12Q_N)
+    p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
+    a = p.parse_args()
+    orchestrate(Path(a.workdir), a.n_spectra, a.batch)
