@@ -52,18 +52,66 @@ DR12Q_N = 162861  # /root/reference/README.md:113-116
 TARGET_PER_CHIP = DR12Q_N / 3600.0 / 64.0  # <1 h on a v5e-64
 
 
-def _launch(workdir: Path, batch: int, tag: str):
+def _launch(workdir: Path, batch: int, tag: str, stage: str = "inference"):
     import subprocess
 
     log = workdir / f"survey_{tag}.log"
     proc = subprocess.Popen(
         [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
          "--workdir", str(workdir), "--run-name", "survey",
-         "--batch", str(batch), "--stage", "inference"],
+         "--batch", str(batch), "--stage", stage],
         stdout=open(log, "w"), stderr=subprocess.STDOUT, text=True,
     )
     proc._log_path = log  # type: ignore[attr-defined]
     return proc
+
+
+def pair_stage(workdir: Path, batch: int = PER_DEVICE_BATCH) -> None:
+    """Follow-up: the two-DLA stage over the full catalog, reusing the
+    completed single-stage results on disk (pipeline stage resume).
+    Appends to RESULTS_SURVEY.md: wall, rate, and the multiplicity
+    confusion against the injection truth (every injected sightline
+    hosts exactly ONE DLA, so the pair stage must answer 1, not 2)."""
+    t0 = time.time()
+    _wait_ok(_launch(workdir, batch, "pair", stage="both"),
+             "full-catalog pair stage")
+    wall = time.time() - t0
+    timings = json.loads((workdir / "survey" / "timings.json").read_text())
+    pair_s = timings["multi_s"]
+
+    from gp_dla_detection_tpu.catalog import Catalog
+
+    catalog = Catalog.load(_artifacts(workdir) / "catalog.npz")
+    truth = catalog.dla_catalogs["dr9q_concordance"].dla_ind
+    with np.load(workdir / "survey" / "processed_qsos_multi_dr12q.npz") as f:
+        mult = np.argmax(f["multi_model_posteriors"], axis=1)
+    n = truth.size
+    confusion = {
+        (t, m): int(((truth == bool(t)) & (mult == m)).sum())
+        for t in (0, 1) for m in (0, 1, 2)
+    }
+    exact = (mult == truth.astype(int)).mean()
+    rate = n / pair_s
+    lines = [
+        "",
+        "## Two-stage follow-up (full catalog {0,1,2}-DLA selection)",
+        "",
+        f"- pair stage over all {n:,} sightlines: {pair_s:.0f} s "
+        f"= {rate:.0f} spectra/s on one chip ({wall:.0f} s wall including "
+        "the worker restart; stage 1 resumed from its saved results)",
+        f"- exact-multiplicity accuracy vs injection truth: {exact:.4f} "
+        "(every injected sightline hosts exactly one DLA)",
+        f"- confusion [truth -> predicted multiplicity]: "
+        f"clean->0 {confusion[(0, 0)]:,}, clean->1 {confusion[(0, 1)]:,}, "
+        f"clean->2 {confusion[(0, 2)]:,}; "
+        f"1-DLA->0 {confusion[(1, 0)]:,}, 1-DLA->1 {confusion[(1, 1)]:,}, "
+        f"1-DLA->2 {confusion[(1, 2)]:,}",
+    ]
+    out = HERE / "RESULTS_SURVEY.md"
+    out.write_text(out.read_text() + "\n".join(lines) + "\n")
+    print("\n".join(lines))
+    assert exact > 0.95, exact
+    print("SURVEY PAIR STAGE OK")
 
 
 def orchestrate(workdir: Path, n_spectra: int = DR12Q_N,
@@ -156,5 +204,11 @@ if __name__ == "__main__":
     p.add_argument("--workdir", default="/tmp/gpdla_survey")
     p.add_argument("--n-spectra", type=int, default=DR12Q_N)
     p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
+    p.add_argument("--pair", action="store_true",
+                   help="run the two-DLA stage over a completed survey "
+                   "workdir and append its report")
     a = p.parse_args()
-    orchestrate(Path(a.workdir), a.n_spectra, a.batch)
+    if a.pair:
+        pair_stage(Path(a.workdir), a.batch)
+    else:
+        orchestrate(Path(a.workdir), a.n_spectra, a.batch)
