@@ -90,27 +90,39 @@ def prior_dla_multiplicity(
 
 
 def make_base_sample_inds(
-    sample_log_likelihoods, seed: int = 0
+    sample_log_likelihoods, seed: int = 0, row_chunk: int = 8192
 ) -> np.ndarray:
     """Per-spectrum second-absorber sample indices, (N, S).
 
     For each spectrum, draws S indices from its normalized 1-DLA
     posterior by deterministic inverse-CDF resampling at shuffled
     uniform grid points (reproducible; no RNG state beyond the seed).
+
+    Processed in row chunks: every row is independent and the shuffled
+    grid depends only on (seed, S), so chunking is bit-identical — the
+    unchunked form holds ~6 float64 (N, S) temporaries at once, which
+    is ~80 GB at full DR12Q scale (162,861 x 10,000).
     """
-    sll = np.asarray(sample_log_likelihoods, np.float64)
-    n, s = sll.shape
+    sll_all = np.asarray(sample_log_likelihoods)
+    n, s = sll_all.shape
     rng = np.random.default_rng(seed)
     u = (rng.permutation(s) + 0.5) / s
-    # vectorized row-wise inverse CDF: offset each row's CDF (in [0,1])
-    # by 2*i so a single flat searchsorted handles all spectra
-    w = np.exp(sll - sll.max(axis=1, keepdims=True))
-    cdf = np.cumsum(w, axis=1)
-    cdf /= cdf[:, -1:]
-    offs = 2.0 * np.arange(n)[:, None]
-    flat = np.searchsorted((cdf + offs).ravel(), (u[None, :] + offs).ravel())
-    base = flat.reshape(n, s) - s * np.arange(n)[:, None]
-    return np.clip(base, 0, s - 1).astype(np.int32)
+    out = np.empty((n, s), np.int32)
+    for c0 in range(0, n, row_chunk):
+        sll = sll_all[c0 : c0 + row_chunk].astype(np.float64)
+        m = sll.shape[0]
+        # vectorized row-wise inverse CDF: offset each row's CDF (in
+        # [0,1]) by 2*i so a single flat searchsorted handles all rows
+        w = np.exp(sll - sll.max(axis=1, keepdims=True))
+        cdf = np.cumsum(w, axis=1)
+        cdf /= cdf[:, -1:]
+        offs = 2.0 * np.arange(m)[:, None]
+        flat = np.searchsorted(
+            (cdf + offs).ravel(), (u[None, :] + offs).ravel()
+        )
+        base = flat.reshape(m, s) - s * np.arange(m)[:, None]
+        out[c0 : c0 + row_chunk] = np.clip(base, 0, s - 1)
+    return out
 
 
 def multi_dla_rate_priors(
