@@ -322,3 +322,20 @@ def test_two_dla_pallas_full_lyman_series(multi_problem):
     # depths (measured worst ~1.8e-4; the single-absorber 31-line bound
     # is 5e-5, the 3-line pair driver bound 1e-2)
     assert np.nanmax(rel) < 5e-4
+
+
+def test_base_sample_inds_chunking_bit_identical():
+    """Row-chunked resampling (the ~80 GB -> ~4 GB peak-memory fix at
+    survey scale) must be bit-identical to the unchunked form: rows are
+    independent and the shuffled grid depends only on (seed, S)."""
+    from gp_dla_detection_tpu.multi_dla import make_base_sample_inds
+
+    rng = np.random.default_rng(3)
+    sll = rng.normal(-500, 30, (257, 129)).astype(np.float32)
+    sll[5, :] = -np.inf  # a row with no finite weight must not crash
+    sll[5, 7] = -3.0
+    full = make_base_sample_inds(sll, row_chunk=10**9)
+    np.testing.assert_array_equal(
+        make_base_sample_inds(sll, row_chunk=77), full
+    )
+    np.testing.assert_array_equal(make_base_sample_inds(sll), full)
