@@ -466,3 +466,33 @@ def test_sharded_windowed_xla_matches_plain(problem):
     np.testing.assert_allclose(
         windowed.p_dlas, plain.p_dlas, rtol=1e-3, atol=1e-6
     )
+
+
+def test_dispatch_thread_off_is_bit_identical(problem):
+    """dispatch_thread only changes WHERE uploads run (a worker thread
+    vs the calling thread) — results must be bit-identical, and the
+    serial mode must remain available (it is forced on multi-controller
+    runs, where collective issuance order must match across
+    processes)."""
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh()
+    outs = []
+    for threaded in (True, False):
+        cfg = ShardedRunConfig(
+            per_device_batch=2, sample_chunk=32, dtype="float64",
+            dispatch_thread=threaded, pipeline_depth=3,
+        )
+        outs.append(
+            process_spectra_sharded(
+                model, offsets, nhis, spectra, prior_z, prior_f,
+                params=params, mesh=mesh, config=cfg,
+            )
+        )
+    a, b = outs
+    np.testing.assert_array_equal(
+        a.sample_log_likelihoods_dla, b.sample_log_likelihoods_dla
+    )
+    np.testing.assert_array_equal(
+        a.log_likelihoods_no_dla, b.log_likelihoods_no_dla
+    )
+    np.testing.assert_array_equal(a.p_dlas, b.p_dlas)
