@@ -179,10 +179,13 @@ def compute_sample_window(
     pixels of slack are reserved on each side (consumers offset the
     window start by exactly WINDOW_MARGIN, so coverage holds for any
     window size).  Returns None when windowing would not help:
-    window >= grid, or ``num_lines`` above the kernel's unroll limit —
-    the windowed pass must then run as a fori_loop (the 31-line unroll
-    crashes the TPU compiler), measured ~2x slower than the unrolled
-    full grid it would replace (v5e, B=256: 107 vs 181-195 spectra/s).
+    window >= grid, or ``num_lines`` above the PALLAS kernel's unroll
+    limit — the windowed pass must then run as a fori_loop (the
+    31-line unroll crashes the TPU compiler), measured ~2x slower than
+    the unrolled full grid it would replace (v5e, B=256: 107 vs
+    181-195 spectra/s).  The gate is a Pallas-compiler constraint:
+    callers sizing a window for the XLA path should keep the default
+    ``num_lines`` (the XLA evaluator handles any line count).
     """
     from .ops.evidence_pallas import UNROLL_LINES
     from .ops.voigt import WINDOW_MARGIN

@@ -206,10 +206,11 @@ def process_spectra_sharded(
             offset_samples, SAMPLE_TILE, num_pixels_ext,
             num_lines=params.num_lines,
         )
+    # no num_lines gate here: the unroll limit is a Pallas-compiler
+    # constraint; the XLA windowed path handles any line count
     window_xla = (
         compute_sample_window(
             offset_samples, config.sample_chunk, num_pixels_ext,
-            num_lines=params.num_lines,
         )
         if config.windowed_voigt and dtype == np.float32
         else None

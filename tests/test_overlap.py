@@ -98,7 +98,11 @@ def test_run_pipelined_threaded_overlaps_and_bounds():
             depth=2, threaded=True,
         )
     assert done == [0, 1]
-    assert threading.active_count() < 20  # no leaked dispatcher threads
+    # no leaked dispatcher threads (count by name: the process-wide
+    # total is environment-dependent — JAX pools, plugin threads)
+    assert not [
+        t for t in threading.enumerate() if t.name.startswith("gpdla-dispatch")
+    ]
 
 
 def test_run_pipelined_depth_one_is_serial():

@@ -1,13 +1,17 @@
 """Shared synthetic-universe construction for the validation harnesses.
 
-validation/scale_rehearsal.py, validation/f32_decision_study.py (and
-tests/test_f32_decisions.py through it) build spectra the same way:
-a standard GP continuum model, per-sightline continuum draws, Voigt
-DLA injection over the searchable z range, and the standard QMC sample
-set.  The tricky numerics (injection-range cuts, chunk padding, the
-log-continuation grid extension for the instrumental convolution) live
-HERE once so the studies and the rehearsal cannot drift onto different
-synthetic universes.
+validation/f32_decision_study.py (and tests/test_f32_decisions.py
+through it) builds spectra from these helpers: a standard GP continuum
+model, per-sightline continuum draws, Voigt DLA injection over the
+searchable z range, and the standard QMC sample set.  The tricky
+numerics (injection-range cuts, chunk padding, the log-continuation
+grid extension for the instrumental convolution) live HERE once.
+
+validation/scale_rehearsal.py predates this module and keeps its own
+equivalent construction INTENTIONALLY: its published results
+(RESULTS_SCALE.md, RESULTS_SURVEY.md) pin exact RNG universes that a
+refactor would silently change.  New harnesses should build on this
+module, not on copies.
 
 Each helper consumes the caller's ``numpy.random.Generator`` in a
 documented draw order, so callers control reproducibility end-to-end.

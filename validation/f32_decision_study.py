@@ -117,6 +117,10 @@ def compare(res32, res64, threshold: float = 0.9, margin: float = 0.01):
     lo32 = res32.log_posteriors_dla - res32.log_posteriors_no_dla
     lo64 = res64.log_posteriors_dla - res64.log_posteriors_no_dla
     d_lo = np.abs(lo32 - lo64)
+    # equal infinite log-odds (e.g. a zero DLA prior in both paths)
+    # would give inf - inf = NaN and poison every max below; the two
+    # paths agree exactly there, so the delta is 0
+    d_lo = np.where(np.isnan(d_lo) & (lo32 == lo64), 0.0, d_lo)
     logit_t = np.log(threshold / (1.0 - threshold))
     at_risk = np.abs(lo64 - logit_t) <= d_lo.max()
     flips = (res32.p_dlas > threshold) != (res64.p_dlas > threshold)

@@ -268,12 +268,13 @@ def _launch(workdir: Path, run_name: str,
             batch: int = PER_DEVICE_BATCH) -> subprocess.Popen:
     _LAUNCH_COUNTER[0] += 1
     log = workdir / f"worker_{_LAUNCH_COUNTER[0]:02d}_{run_name}.log"
-    proc = subprocess.Popen(
-        [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
-         "--workdir", str(workdir), "--run-name", run_name,
-         "--batch", str(batch)],
-        stdout=open(log, "w"), stderr=subprocess.STDOUT, text=True,
-    )
+    with open(log, "w") as fh:  # the child keeps its own descriptor
+        proc = subprocess.Popen(
+            [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
+             "--workdir", str(workdir), "--run-name", run_name,
+             "--batch", str(batch)],
+            stdout=fh, stderr=subprocess.STDOUT, text=True,
+        )
     proc._log_path = log  # type: ignore[attr-defined]
     return proc
 

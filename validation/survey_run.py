@@ -43,7 +43,6 @@ from scale_rehearsal import (  # noqa: E402
     PER_DEVICE_BATCH,
     _artifacts,
     _kill_when,
-    _manifest_count,
     _wait_ok,
     build,
 )
@@ -56,12 +55,13 @@ def _launch(workdir: Path, batch: int, tag: str, stage: str = "inference"):
     import subprocess
 
     log = workdir / f"survey_{tag}.log"
-    proc = subprocess.Popen(
-        [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
-         "--workdir", str(workdir), "--run-name", "survey",
-         "--batch", str(batch), "--stage", stage],
-        stdout=open(log, "w"), stderr=subprocess.STDOUT, text=True,
-    )
+    with open(log, "w") as fh:  # the child keeps its own descriptor
+        proc = subprocess.Popen(
+            [sys.executable, str(HERE / "scale_rehearsal.py"), "run",
+             "--workdir", str(workdir), "--run-name", "survey",
+             "--batch", str(batch), "--stage", stage],
+            stdout=fh, stderr=subprocess.STDOUT, text=True,
+        )
     proc._log_path = log  # type: ignore[attr-defined]
     return proc
 
