@@ -27,6 +27,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
 #include <fstream>
 #include <limits>
 #include <string>
@@ -172,8 +173,13 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
   if (row_bytes <= 0 || nrows < 0 || tfields <= 0) return -6;
   // reject sizes whose product could wrap size_t (crafted NAXIS cards
   // would otherwise bypass the bounds check below and read far past
-  // the file buffer); generous caps, far above any real speclite file
-  if (row_bytes > (int64_t{1} << 24) || nrows > (int64_t{1} << 32)) return -6;
+  // the file buffer); generous caps, far above any real speclite file.
+  // TFIELDS is capped too: an uncapped value sizes the column vector,
+  // and a bad_alloc escaping a worker thread would std::terminate the
+  // whole host process on a single corrupt file.
+  if (row_bytes > (int64_t{1} << 24) || nrows > (int64_t{1} << 32) ||
+      tfields > 4096)
+    return -6;
 
   std::vector<Column> cols(static_cast<size_t>(tfields));
   size_t col_off = 0;
@@ -186,7 +192,15 @@ int read_one(const char* path, int max_pixels, double* wavelengths,
     size_t j = 0;
     while (j < tform.size() &&
            std::isdigit(static_cast<unsigned char>(tform[j]))) j++;
-    cols[i].repeat = j ? std::atoi(tform.substr(0, j).c_str()) : 1;
+    // strtoll, not atoi: atoi is undefined behavior on overflow, and
+    // the repeat count comes straight from an untrusted header card.
+    // Anything that can't be a real speclite repeat is a parse error
+    // (the col_off == row_bytes check below would reject it anyway,
+    // but only after well-defined arithmetic).
+    int64_t repeat = j ? std::strtoll(tform.substr(0, j).c_str(), nullptr, 10)
+                       : 1;
+    if (repeat < 0 || repeat > (int64_t{1} << 24)) return -7;
+    cols[i].repeat = static_cast<int>(repeat);
     cols[i].code = j < tform.size() ? tform[j] : 0;
     cols[i].offset = col_off;
     cols[i].size = type_size(cols[i].code) * cols[i].repeat;
@@ -253,8 +267,16 @@ int gpdla_read_spec_batch(const char** paths, int n_files, int max_pixels,
       int i = next.fetch_add(1);
       if (i >= n_files) return;
       size_t row = static_cast<size_t>(i) * max_pixels;
-      int n = read_one(paths[i], max_pixels, wavelengths + row, flux + row,
-                       noise_variance + row, pixel_mask + row);
+      int n;
+      try {
+        n = read_one(paths[i], max_pixels, wavelengths + row, flux + row,
+                     noise_variance + row, pixel_mask + row);
+      } catch (const std::exception&) {
+        // e.g. bad_alloc buffering a pathologically large file: an
+        // exception escaping a worker thread would std::terminate the
+        // host process — a corrupt input must only fail its own slot
+        n = -11;
+      }
       lengths[i] = n;
       if (n < 0) failures.fetch_add(1);
     }
