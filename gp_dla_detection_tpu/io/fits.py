@@ -149,6 +149,11 @@ def read_bintable(path: str | Path, hdu: int = 1) -> BinTable:
     row_bytes = _card_int(cards, "NAXIS1")
     nrows = _card_int(cards, "NAXIS2")
     tfields = _card_int(cards, "TFIELDS")
+    if row_bytes < 0 or nrows < 0 or tfields < 0:
+        raise ValueError(
+            f"malformed BINTABLE header: NAXIS1={row_bytes}, "
+            f"NAXIS2={nrows}, TFIELDS={tfields}"
+        )
 
     names, dtypes, repeats = [], [], []
     for i in range(1, tfields + 1):
@@ -176,9 +181,16 @@ def read_bintable(path: str | Path, hdu: int = 1) -> BinTable:
             f"NAXIS1={row_bytes}"
         )
 
-    table = np.frombuffer(
-        buf[data_start : data_start + nrows * row_bytes], dtype=rec_dtype
-    )
+    # an explicit size check: np.frombuffer on a short (truncated) file
+    # would silently return FEWER rows than NAXIS2 claims whenever the
+    # cut lands on a row boundary — corrupt data must raise, not shrink
+    nbytes = nrows * row_bytes
+    if len(buf) - data_start < nbytes:
+        raise ValueError(
+            f"truncated FITS data: header claims {nbytes} bytes, "
+            f"{len(buf) - data_start} present"
+        )
+    table = np.frombuffer(buf[data_start : data_start + nbytes], dtype=rec_dtype)
     columns = []
     for name, code in zip(names, dtypes):
         col = table[name]

@@ -125,6 +125,29 @@ def test_corrupted_files_fail_their_slot_only(tmp_path):
         _python_read(p)
 
 
+def test_row_boundary_truncation_raises(tmp_path):
+    """A file cut exactly at a row boundary used to parse 'successfully'
+    with fewer rows than NAXIS2 claims (np.frombuffer shrinks silently);
+    corrupt data must raise, not lose pixels."""
+    from gp_dla_detection_tpu.io import read_bintable
+
+    raw = _valid_spec_bytes(tmp_path)
+    table = read_bintable(tmp_path / "valid.fits")
+    row_bytes = sum(c.dtype.itemsize * (c.shape[1] if c.ndim > 1 else 1)
+                    for c in table.columns)
+    # data starts one header block after the extension header begins
+    # (the writer's extension header always fits in a single block)
+    data_start = raw.index(b"XTENSION") + 2880
+    cut = data_start + (300 - 10) * row_bytes
+    p = tmp_path / "rowcut.fits"
+    p.write_bytes(raw[:cut])
+    with pytest.raises(ValueError, match="truncated FITS data"):
+        read_bintable(p)
+    if native_available():
+        *_, lengths = read_spec_batch([p], max_pixels=MAX_PIXELS)
+        assert lengths[0] < 0
+
+
 def test_crafted_tfields_does_not_abort_process(tmp_path):
     """The specific DoS regression: TFIELDS=1e12 used to size a
     std::vector allocation; bad_alloc escaping the worker thread would
