@@ -22,11 +22,51 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 162861 / 3600 / 64  # v5e-64, <1 hour
+
+
+def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 180.0):
+    """Block until the accelerator backend initializes, up to max_wait_s.
+
+    The remote (tunneled) TPU service has observed ~30-minute outages
+    during which backend init raises UNAVAILABLE; a benchmark launched
+    into one would otherwise fail instantly and record nothing.  Probe
+    in a SUBPROCESS: a failed in-process jax backend init is cached for
+    the life of the process, so the retry must happen before this
+    process first touches jax.  Returns once a probe succeeds, or after
+    max_wait_s (letting the real run surface the real error).
+    """
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        if time.monotonic() >= deadline:
+            print(
+                f"warning: backend still unavailable after {attempt} probes; "
+                "proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"backend unavailable (probe {attempt}); retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60.0)
 
 
 def _synthetic_problem(batch_size, num_samples, pixels, k, seed=0):
@@ -269,6 +309,7 @@ if __name__ == "__main__":
     p.add_argument("--pipeline-depth", type=int, default=4,
                    help="--driver: super-batches in flight (1 = serial)")
     a = p.parse_args()
+    wait_for_backend()
     if a.driver:
         main_driver(a.n_spectra, a.batch_size, a.num_samples, a.pixels, a.k,
                     a.backend or "pallas", not a.no_checkpoint,
