@@ -738,6 +738,7 @@ def spectrum_log_likelihoods(
         "sample_window",
         "tile",
         "reference_misaligned_absorption",
+        "samples_sorted",
     ),
 )
 def batch_log_likelihoods(
@@ -762,6 +763,7 @@ def batch_log_likelihoods(
     sample_window: int | None = None,
     tile: int | None = None,
     reference_misaligned_absorption: bool = False,
+    samples_sorted: bool = False,
 ):
     """vmapped batch version of :func:`spectrum_log_likelihoods`.
 
@@ -769,6 +771,11 @@ def batch_log_likelihoods(
     backend="pallas": the fused TPU kernel in ops/evidence_pallas.py for
     the per-sample evidences (float32); null model and search ranges
     still go through the XLA path.
+
+    samples_sorted=True asserts offset_samples arrive z-ascending (the
+    sample-axis-sharded drivers pre-sort on the host and un-sort columns
+    after the gather), skipping the windowed path's in-graph argsort and
+    the identity un-sort gather of the full (B, S) likelihood matrix.
     """
     if backend == "xla":
         fn = lambda w, f, n, m, z: spectrum_log_likelihoods(
@@ -825,7 +832,8 @@ def batch_log_likelihoods(
             z_dlas,
         )
 
-    if sample_window is not None:
+    sort_in_graph = sample_window is not None and not samples_sorted
+    if sort_in_graph:
         # z-sorted samples: each pallas tile spans a narrow pixel window
         order = jnp.argsort(jnp.asarray(offset_samples))
         unsort = jnp.argsort(order)
@@ -855,7 +863,7 @@ def batch_log_likelihoods(
         window=sample_window,
         **({"tile": tile} if tile is not None else {}),
     )
-    if sample_window is not None:
+    if sort_in_graph:
         sample_lls = sample_lls[:, unsort]
     return {
         "log_likelihood_no_dla": null_ll,

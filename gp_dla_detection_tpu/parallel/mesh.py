@@ -27,6 +27,7 @@ __all__ = [
     "data_sharding",
     "sample_sharding",
     "replicated",
+    "shard_map_compat",
     "shard_batch",
     "initialize_distributed",
     "fetch_global",
@@ -69,12 +70,35 @@ def data_sharding(mesh: Mesh, *trailing_dims: int) -> NamedSharding:
 
 
 def sample_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for a 1-D per-sample array (offsets, N_HI)."""
+    """Sharding for a 1-D per-sample array (offsets, N_HI).
+
+    Replicated on meshes without a 'sample' axis (e.g. a plain
+    Mesh(devices, ("data",)) — the recommended layout for the pallas
+    backend), so callers don't crash constructing a spec for an axis
+    the mesh doesn't carry.
+    """
+    if SAMPLE_AXIS not in mesh.axis_names:
+        return replicated(mesh)
     return NamedSharding(mesh, P(SAMPLE_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax versions (>= 0.8 moved it out of
+    experimental and renamed check_rep -> check_vma).  Shared by both
+    sharded drivers, which wrap the per-shard Pallas programs with it
+    (XLA's SPMD partitioner does not split a TPU custom call)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+        kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        kwargs = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kwargs)
 
 
 def shard_batch(mesh: Mesh, **arrays):

@@ -119,7 +119,22 @@ def run_pipelined(items, dispatch, complete, depth: int = 2,
             slots.release()
     finally:
         stop.set()
-        worker.join()
+        # Bounded join: the dispatcher polls `stop` between items (<=
+        # 0.1 s), but a dispatch() blocked INSIDE a dead-tunnel transfer
+        # can hang indefinitely — an unbounded join here would then
+        # swallow the caller's exception behind a frozen shutdown.  The
+        # thread is a daemon: leak it with a warning and let the error
+        # propagate.
+        worker.join(timeout=15.0)
+        if worker.is_alive():
+            import warnings
+
+            warnings.warn(
+                "dispatcher thread still blocked in a device transfer "
+                "after 15 s; abandoning it (daemon) so the original "
+                "error can propagate",
+                stacklevel=2,
+            )
 
 
 class BackgroundWriter:

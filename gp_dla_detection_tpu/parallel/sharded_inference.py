@@ -41,9 +41,46 @@ from .mesh import (
     make_mesh,
     replicated,
     sample_sharding,
+    shard_map_compat,
+)
+from .streaming import (
+    checkpoint_payload,
+    pack_rows,
+    reconstruct_rows,
+    rows_from_checkpoint,
 )
 
-__all__ = ["process_spectra_sharded", "ShardedRunConfig"]
+__all__ = ["process_spectra_sharded", "ShardedRunConfig", "run_fingerprint"]
+
+
+def run_fingerprint(dtype, config, params, model, offsets, nhis, extra=()):
+    """Hash of everything that determines the checkpointed VALUES.
+
+    Stored in the batch manifest so a resume only trusts checkpoints
+    whose numerics match: run dtype, wire format, backend (pallas and
+    XLA agree to ~5e-5, not bit-level), the windowing/chunking config,
+    the physical parameters, the learned model arrays, and the QMC
+    sample set.  Shape checks alone miss all of these.  Mesh layout and
+    pipeline depth are deliberately EXCLUDED: both are proven
+    value-identical, so a run may resume on different parallelism.
+    """
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(
+        f"{np.dtype(dtype)}|{config.stream_dtype}|{config.backend}|"
+        f"{config.windowed_voigt}|{config.sample_chunk}".encode()
+    )
+    h.update(params.to_json().encode())
+    for a in (
+        model.rest_wavelengths, model.mu, model.M, model.log_omega,
+        [model.log_c_0, model.log_tau_0, model.log_beta],
+        offsets, nhis, *extra,
+    ):
+        a = np.ascontiguousarray(np.asarray(a, np.float64))
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
 
 
 @dataclass
@@ -160,15 +197,26 @@ def process_spectra_sharded(
 
     ckpt_dir = Path(config.checkpoint_dir) if config.checkpoint_dir else None
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    # only trust checkpoints from a run with the same shape AND the same
+    # numerics: shapes alone miss config changes that alter the stored
+    # values without altering any dimension (dtype, stream_dtype,
+    # num_lines, the model/sample arrays themselves) — those must not
+    # silently resume stale likelihoods either
+    # fingerprint the ORIGINAL sample order: checkpoints store unsorted
+    # columns regardless of mesh layout, so a run may resume on a
+    # different mesh without invalidation
+    fingerprint = run_fingerprint(
+        dtype, config, params, model,
+        np.asarray(offset_samples, dtype), np.asarray(nhi_samples, dtype),
+    )
     done: set[int] = set()
     if manifest_path and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
-        # only trust checkpoints from a run with the same shape: a model
-        # or test-set change must not silently resume stale likelihoods
         if (
             manifest.get("num_spectra") == n
             and manifest.get("super_batch") == super_batch
             and manifest.get("num_samples") == num_samples
+            and manifest.get("fingerprint") == fingerprint
         ):
             done = set(manifest["completed_batches"])
         else:
@@ -176,7 +224,7 @@ def process_spectra_sharded(
 
             warnings.warn(
                 f"ignoring incompatible inference checkpoints in "
-                f"{ckpt_dir} (run shape changed)",
+                f"{ckpt_dir} (run shape or numerics config changed)",
                 stacklevel=2,
             )
     if ckpt_dir:
@@ -232,6 +280,14 @@ def process_spectra_sharded(
                 model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
                 params=params, sample_chunk=config.sample_chunk,
                 sample_window=window, backend=run_backend, tile=tile,
+                # sample-axis sharding pre-sorts on the host (each shard
+                # holds a contiguous z-sorted block), so the windowed
+                # path's in-graph argsort and the (B, S) un-sort gather
+                # would both be identity work — skip them
+                samples_sorted=(
+                    pallas_sample_sharded
+                    and run_backend in ("pallas", "pallas_interpret")
+                ),
             )
 
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
@@ -240,12 +296,6 @@ def process_spectra_sharded(
             # over the data axis.  The QMC sample axis is split manually
             # when the mesh has one (z-sorted contiguous blocks, see
             # above); otherwise samples are replicated per shard.
-            try:
-                from jax import shard_map  # jax >= 0.8
-                sm_kwargs = {"check_vma": False}
-            except ImportError:
-                from jax.experimental.shard_map import shard_map
-                sm_kwargs = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
@@ -253,8 +303,8 @@ def process_spectra_sharded(
             ds = (
                 P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
             )
-            call_batch = shard_map(
-                call_batch, mesh=mesh,
+            call_batch = shard_map_compat(
+                call_batch, mesh,
                 in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1),
                 out_specs={
                     "log_likelihood_no_dla": d1,
@@ -262,7 +312,6 @@ def process_spectra_sharded(
                     "min_z_dla": d1,
                     "max_z_dla": d1,
                 },
-                **sm_kwargs,
             )
         return call_batch
 
@@ -286,14 +335,12 @@ def process_spectra_sharded(
         if bi in done and ckpt_file and ckpt_file.exists():
             with np.load(ckpt_file) as f:
                 out_null[start:stop] = f["log_likelihood_no_dla"]
-                if "sample_ll_resid" in f:
-                    # f16 wire-format checkpoint: reconstruct exactly as
-                    # the live fetch path does (bit-identical resume)
-                    out_samples[start:stop] = f["sample_ll_resid"].astype(
-                        np.float32
-                    ) + f["sample_ll_row_max"][:, None]
-                else:
-                    out_samples[start:stop] = f["sample_log_likelihoods_dla"]
+                # wire-format checkpoints reconstruct exactly as the
+                # live fetch path does (bit-identical resume)
+                out_samples[start:stop] = rows_from_checkpoint(
+                    f, "sample_ll_resid", "sample_ll_row_max",
+                    "sample_log_likelihoods_dla",
+                )
                 out_min_z[start:stop] = f["min_z_dla"]
                 out_max_z[start:stop] = f["max_z_dla"]
             if meter is not None:
@@ -314,8 +361,6 @@ def process_spectra_sharded(
         run_pipelined,
     )
     import jax.numpy as jnp
-
-    from .streaming import pack_rows, reconstruct_rows
 
     def pack(out):
         # enqueue the f16 wire-format packing NOW, directly behind this
@@ -399,13 +444,10 @@ def process_spectra_sharded(
         # Checkpoints keep the f16 wire format (resid + row max) when
         # the run streamed one — half the bytes, no recompression of
         # high-entropy data — and skip zlib entirely (atomic_io note).
-        if rows_host[0] == "packed":
-            payload = {
-                "sample_ll_resid": rows_host[1],
-                "sample_ll_row_max": rows_host[2],
-            }
-        else:
-            payload = {"sample_log_likelihoods_dla": rows_host[1]}
+        payload = checkpoint_payload(
+            rows_host, "sample_ll_resid", "sample_ll_row_max",
+            "sample_log_likelihoods_dla",
+        )
         atomic_savez(
             ckpt_file,
             compress=False,
@@ -423,6 +465,7 @@ def process_spectra_sharded(
                 "num_spectra": n,
                 "super_batch": super_batch,
                 "num_samples": num_samples,
+                "fingerprint": fingerprint,
             },
         )
 

@@ -38,8 +38,14 @@ from .mesh import (
     make_mesh,
     replicated,
     sample_sharding,
+    shard_map_compat,
 )
-from .sharded_inference import ShardedRunConfig, process_spectra_sharded
+from .sharded_inference import (
+    ShardedRunConfig,
+    process_spectra_sharded,
+    run_fingerprint,
+)
+from .streaming import checkpoint_payload, rows_from_checkpoint
 
 __all__ = ["process_spectra_multi_sharded"]
 
@@ -147,22 +153,15 @@ def process_spectra_multi_sharded(
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             # per-shard Pallas program (see sharded_inference): shard_map
             # over the data axis; fresh-sample axis sharded when possible
-            try:
-                from jax import shard_map  # jax >= 0.8
-                sm_kwargs = {"check_vma": False}
-            except ImportError:
-                from jax.experimental.shard_map import shard_map
-                sm_kwargs = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
 
             d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
             s1 = P(SAMPLE_AXIS) if pallas_sample_sharded else r
             ds = P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
-            fn = shard_map(
-                fn, mesh=mesh,
+            fn = shard_map_compat(
+                fn, mesh,
                 in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1, ds, ds),
                 out_specs=ds,
-                **sm_kwargs,
             )
         return fn
 
@@ -216,6 +215,14 @@ def process_spectra_multi_sharded(
 
     ckpt_dir = ckpt_root / "pair" if ckpt_root else None
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    # shape + numerics fingerprint (see run_fingerprint): the pair stage
+    # additionally depends on the separation cut and on the resampled
+    # base indices (which encode base_seed AND the single-stage
+    # likelihoods they were drawn from)
+    fingerprint = run_fingerprint(
+        dtype, config, params, model, offsets, nhis,
+        extra=([min_sep_z], base),
+    )
     done: set = set()
     if manifest_path and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
@@ -224,6 +231,7 @@ def process_spectra_multi_sharded(
             and manifest.get("super_batch") == super_batch
             and manifest.get("num_samples") == S
             and manifest.get("base_seed") == base_seed
+            and manifest.get("fingerprint") == fingerprint
         ):
             done = set(manifest["completed_batches"])
         else:
@@ -231,7 +239,7 @@ def process_spectra_multi_sharded(
 
             warnings.warn(
                 f"ignoring incompatible two-DLA checkpoints in {ckpt_dir} "
-                "(run shape changed)",
+                "(run shape or numerics config changed)",
                 stacklevel=2,
             )
     if ckpt_dir:
@@ -247,12 +255,10 @@ def process_spectra_multi_sharded(
         ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
         if bi in done and ckpt_file and ckpt_file.exists():
             with np.load(ckpt_file) as f:
-                if "dla2_resid" in f:
-                    out2[start:stop] = f["dla2_resid"].astype(
-                        np.float32
-                    ) + f["dla2_row_max"][:, None]
-                else:
-                    out2[start:stop] = f["sample_log_likelihoods_dla2"]
+                out2[start:stop] = rows_from_checkpoint(
+                    f, "dla2_resid", "dla2_row_max",
+                    "sample_log_likelihoods_dla2",
+                )
             if meter is not None:
                 meter.update(stop - start)
             continue
@@ -301,13 +307,10 @@ def process_spectra_multi_sharded(
 
     def write_checkpoint(ckpt_file, bi, rows_host):
         # f16 wire format when streamed; no zlib (see sharded_inference)
-        if rows_host[0] == "packed":
-            payload = {
-                "dla2_resid": rows_host[1],
-                "dla2_row_max": rows_host[2],
-            }
-        else:
-            payload = {"sample_log_likelihoods_dla2": rows_host[1]}
+        payload = checkpoint_payload(
+            rows_host, "dla2_resid", "dla2_row_max",
+            "sample_log_likelihoods_dla2",
+        )
         atomic_savez(ckpt_file, compress=False, **payload)
         done.add(bi)
         atomic_write_json(
@@ -317,6 +320,7 @@ def process_spectra_multi_sharded(
                 "super_batch": super_batch,
                 "num_samples": S,
                 "base_seed": base_seed,
+                "fingerprint": fingerprint,
                 "completed_batches": sorted(done),
             },
         )

@@ -33,6 +33,8 @@ __all__ = [
     "fetch_packed_rows",
     "fetch_packed_host",
     "reconstruct_rows",
+    "checkpoint_payload",
+    "rows_from_checkpoint",
 ]
 
 
@@ -92,6 +94,39 @@ def reconstruct_rows(host_packed) -> np.ndarray:
 def fetch_packed_rows(packed) -> np.ndarray:
     """Host fetch + reconstruction of a :func:`pack_rows` result."""
     return reconstruct_rows(fetch_packed_host(packed))
+
+
+def checkpoint_payload(rows_host, resid_key, row_max_key, plain_key) -> dict:
+    """npz-safe dict for a :func:`fetch_packed_host` result.
+
+    np.savez has no codec for ml_dtypes.bfloat16 — it silently writes a
+    raw void ('|V2') array that cannot be .astype()'d back on resume —
+    so bfloat16 residuals are stored as their uint16 bit pattern under
+    ``<resid_key>_bf16``; float16 (the default wire format) and plain
+    float32/float64 rows round-trip natively.
+    """
+    if rows_host[0] == "plain":
+        return {plain_key: rows_host[1]}
+    _, resid, row_max = rows_host
+    if resid.dtype == np.float16:
+        return {resid_key: resid, row_max_key: row_max}
+    import ml_dtypes
+
+    assert resid.dtype == ml_dtypes.bfloat16, resid.dtype
+    return {resid_key + "_bf16": resid.view(np.uint16), row_max_key: row_max}
+
+
+def rows_from_checkpoint(f, resid_key, row_max_key, plain_key) -> np.ndarray:
+    """Reconstruct the (B, S) rows from a :func:`checkpoint_payload`
+    npz — bit-identical to the live :func:`reconstruct_rows` path."""
+    if resid_key in f:
+        return f[resid_key].astype(np.float32) + f[row_max_key][:, None]
+    if resid_key + "_bf16" in f:
+        import ml_dtypes
+
+        resid = f[resid_key + "_bf16"].view(ml_dtypes.bfloat16)
+        return resid.astype(np.float32) + f[row_max_key][:, None]
+    return f[plain_key]
 
 
 def fetch_rows(sll, stream_dtype: str | None) -> np.ndarray:

@@ -468,6 +468,134 @@ def test_sharded_windowed_xla_matches_plain(problem):
     )
 
 
+def test_bfloat16_checkpoint_roundtrip(problem, tmp_path):
+    """stream_dtype='bfloat16' checkpoints must survive the npz round
+    trip: np.savez has no bfloat16 codec (it writes raw '|V2' voids), so
+    the driver stores the uint16 bit pattern — resume must be
+    bit-identical to the uninterrupted run."""
+    import ml_dtypes
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh()
+    cfg = ShardedRunConfig(
+        per_device_batch=1, sample_chunk=32, dtype="float32",
+        stream_dtype="bfloat16", checkpoint_dir=str(tmp_path / "bf16"),
+    )
+    full = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh, config=cfg,
+    )
+    ckpts = sorted((tmp_path / "bf16").glob("batch_*.npz"))
+    assert ckpts
+    with np.load(ckpts[0]) as f:
+        assert "sample_ll_resid_bf16" in f
+        assert f["sample_ll_resid_bf16"].dtype == np.uint16
+        row0 = f["sample_ll_resid_bf16"].view(ml_dtypes.bfloat16).astype(
+            np.float32
+        ) + f["sample_ll_row_max"][:, None]
+    assert np.isfinite(row0).any()
+    resumed = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh, config=cfg,
+    )
+    np.testing.assert_array_equal(
+        resumed.sample_log_likelihoods_dla, full.sample_log_likelihoods_dla
+    )
+    np.testing.assert_array_equal(resumed.p_dlas, full.p_dlas)
+
+
+def test_data_only_mesh(problem, tmp_path):
+    """A mesh with ONLY a data axis (the layout the pallas-backend docs
+    recommend) must work in both drivers — sample arrays replicate."""
+    from jax.sharding import Mesh
+
+    from gp_dla_detection_tpu.multi_dla import process_spectra_multi
+    from gp_dla_detection_tpu.parallel import process_spectra_multi_sharded
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    single = process_spectra(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float64,
+    )
+    sharded = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh,
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float64"
+        ),
+    )
+    np.testing.assert_allclose(
+        sharded.sample_log_likelihoods_dla,
+        single.sample_log_likelihoods_dla,
+        rtol=1e-10,
+    )
+
+    prior_num = prior_f.astype(int)
+    m_single = process_spectra_multi(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, batch_size=4, sample_chunk=32, dtype=np.float64,
+    )
+    m_sharded = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=mesh,
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float64"
+        ),
+    )
+    assert np.array_equal(
+        np.isnan(m_sharded.sample_log_likelihoods_dla2),
+        np.isnan(m_single.sample_log_likelihoods_dla2),
+    )
+    valid = ~np.isnan(m_single.sample_log_likelihoods_dla2)
+    np.testing.assert_allclose(
+        m_sharded.sample_log_likelihoods_dla2[valid],
+        m_single.sample_log_likelihoods_dla2[valid],
+        rtol=1e-10,
+    )
+
+
+def test_numerics_change_invalidates_checkpoints(problem, tmp_path):
+    """The manifest fingerprints the numerics (dtype, wire format,
+    model, samples): a config change that keeps every SHAPE identical
+    must not silently resume stale likelihood values."""
+    import dataclasses
+    import warnings as _warnings
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    mesh = make_mesh()
+    cfg = ShardedRunConfig(
+        per_device_batch=1, sample_chunk=32, dtype="float32",
+        stream_dtype="float16", checkpoint_dir=str(tmp_path / "fp"),
+    )
+    process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh, config=cfg,
+    )
+    # same shapes, different wire numerics: must warn + recompute
+    cfg_exact = dataclasses.replace(cfg, stream_dtype="float32")
+    with pytest.warns(UserWarning, match="numerics config changed"):
+        exact = process_spectra_sharded(
+            model, offsets, nhis, spectra, prior_z, prior_f,
+            params=params, mesh=mesh, config=cfg_exact,
+        )
+    fresh = process_spectra_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_f,
+        params=params, mesh=mesh,
+        config=dataclasses.replace(cfg_exact, checkpoint_dir=None),
+    )
+    np.testing.assert_array_equal(
+        exact.sample_log_likelihoods_dla, fresh.sample_log_likelihoods_dla
+    )
+    # identical numerics: resume silently (no recompute warning)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        process_spectra_sharded(
+            model, offsets, nhis, spectra, prior_z, prior_f,
+            params=params, mesh=mesh, config=cfg_exact,
+        )
+
+
 def test_dispatch_thread_off_is_bit_identical(problem):
     """dispatch_thread only changes WHERE uploads run (a worker thread
     vs the calling thread) — results must be bit-identical, and the
