@@ -115,7 +115,12 @@ def correct_prior_dla_flags(prior_z_qsos, prior_dla_flags, prior_z_dlas):
     """
     flags = np.array(prior_dla_flags, bool).copy()
     for i in np.flatnonzero(flags):
-        z_dlas = np.atleast_1d(prior_z_dlas[i])
+        entry = prior_z_dlas[i]
+        if entry is None:
+            # documented "no DLA" marker: np.atleast_1d(None) would be a
+            # size-1 object array and crash in the arithmetic below
+            continue
+        z_dlas = np.atleast_1d(np.asarray(entry, dtype=float))
         if z_dlas.size and np.all(
             LYA_WAVELENGTH * (1 + z_dlas) < LYMAN_LIMIT * (1 + prior_z_qsos[i])
         ):
@@ -170,15 +175,22 @@ def _extend_wavelengths(wavelengths, width: int, pixel_spacing: float):
 
 
 def compute_sample_window(
-    offset_samples, sample_chunk: int, num_pixels: int, num_lines: int = 3
+    offset_samples, sample_chunk: int, num_pixels: int, num_lines: int = 3,
+    pixel_spacing: float | None = None,
 ):
     """Static window size (pixels) for the windowed Voigt fast path.
 
-    The line-center spread of a z-sorted chunk of samples is bounded by
-    the chunk's offset spread times the full pixel span; WINDOW_MARGIN
-    pixels of slack are reserved on each side (consumers offset the
-    window start by exactly WINDOW_MARGIN, so coverage holds for any
-    window size).  Returns None when windowing would not help:
+    A z-sorted chunk spanning offset fraction ``s`` covers exactly
+    log10((1+z(f+s))/(1+z(f)))/pixel_spacing pixels of line centers
+    (ops/voigt.py windowed contract), which is bounded by
+    log10(1 + s*R)/pixel_spacing with R = (1+max_z)/(1+min_z) - 1 <=
+    LYA_WAVELENGTH/LYMAN_LIMIT - 1 for EVERY spectrum (the z_DLA search
+    range, set_parameters.m:65-73).  The naive linear bound
+    s*num_pixels understates the low-z end of the log-uniform grid by
+    up to ~13% (pixel density per unit offset is highest there), so the
+    window is sized by the LARGER of the two bounds, plus WINDOW_MARGIN
+    pixels of slack on each side (consumers offset the window start by
+    exactly WINDOW_MARGIN).  Returns None when windowing would not help:
     window >= grid, or ``num_lines`` above the PALLAS kernel's unroll
     limit — the windowed pass must then run as a fori_loop (the
     31-line unroll crashes the TPU compiler), measured ~2x slower than
@@ -197,7 +209,15 @@ def compute_sample_window(
     if m <= 1 or len(off) == 0:
         return None
     spread = float(np.max(off[m - 1 :] - off[: len(off) - m + 1]))
-    window = int(np.ceil(spread * num_pixels)) + 2 * WINDOW_MARGIN
+    if pixel_spacing is None:
+        from .params import InstrumentParams
+
+        pixel_spacing = InstrumentParams().pixel_spacing
+    from .params import LYA_WAVELENGTH, LYMAN_LIMIT
+
+    ratio = LYA_WAVELENGTH / LYMAN_LIMIT - 1.0
+    exact = np.log10(1.0 + spread * ratio) / pixel_spacing
+    window = int(np.ceil(max(spread * num_pixels, exact))) + 2 * WINDOW_MARGIN
     window = -(-window // 8) * 8
     return window if window < num_pixels else None
 
@@ -278,7 +298,16 @@ def ladder_configs(
     """pallas_config_ladder gated on the pallas-capable dtype, with the
     shared loud warning when the requested backend cannot even start
     (spectrum longer than the minimum-tile VMEM ceiling)."""
-    if backend in ("pallas", "pallas_interpret") and np.dtype(dtype) == np.float32:
+    if backend in ("pallas", "pallas_interpret"):
+        if np.dtype(dtype) != np.float32:
+            # without this the ladder would hold a single rung that can
+            # never start (Mosaic has no f64) and hard-fail mid-run with
+            # an opaque kernel error instead of a config-time message
+            raise ValueError(
+                f"backend={backend!r} is float32-only (Mosaic has no f64 "
+                f"support); use backend='xla' for dtype={np.dtype(dtype)} "
+                "parity runs"
+            )
         configs = pallas_config_ladder(
             backend, num_pixels_ext, tile=tile, two_dla=two_dla,
             windowed=windowed,
@@ -606,8 +635,13 @@ def spectrum_log_likelihoods(
     sample_chunk: int = 1000,
     sample_window: int | None = None,
     reference_misaligned_absorption: bool = False,
+    samples_sorted: bool = False,
 ):
     """Null + per-sample DLA log likelihoods for one padded spectrum.
+
+    ``samples_sorted=True`` asserts offset_samples arrive z-ascending,
+    skipping the windowed path's in-graph argsort and un-sort gather
+    (the caller gets columns in its own — sorted — order either way).
 
     Pure jittable function of arrays; the sample axis is processed in
     lax.map chunks of ``sample_chunk`` to bound the (S, P) working set.
@@ -640,7 +674,8 @@ def spectrum_log_likelihoods(
     offsets = jnp.asarray(offset_samples, dtype)
     nhis = jnp.asarray(nhi_samples, dtype)
     windowed = sample_window is not None and dtype == jnp.float32
-    if windowed:
+    sort_in_graph = windowed and not samples_sorted
+    if sort_in_graph:
         # z-sort the samples so each chunk spans a narrow pixel window
         # (undone after the chunked evaluation)
         order = jnp.argsort(offsets)
@@ -718,7 +753,7 @@ def spectrum_log_likelihoods(
     sample_lls = jax.lax.map(one_chunk, (z_chunks, n_chunks)).reshape(-1)[
         :num_samples
     ]
-    if windowed:
+    if sort_in_graph:
         sample_lls = sample_lls[unsort]
 
     return {
@@ -797,6 +832,7 @@ def batch_log_likelihoods(
             sample_chunk,
             sample_window,
             reference_misaligned_absorption,
+            samples_sorted,
         )
         return jax.vmap(fn)(wavelengths, flux, noise_variance, mask, z_qso)
 
@@ -1015,19 +1051,10 @@ def process_spectra(
     out_min_z = np.empty(n)
     out_max_z = np.empty(n)
 
-    model_args = (
-        jnp.asarray(model.rest_wavelengths, dtype),
-        jnp.asarray(model.mu, dtype),
-        jnp.asarray(model.M, dtype),
-        jnp.asarray(model.log_omega, dtype),
-        model.log_c_0,
-        model.log_tau_0,
-        model.log_beta,
-        jnp.asarray(offset_samples, dtype),
-        jnp.asarray(nhi_samples, dtype),
-    )
-
     sample_window = None
+    unsort_cols = None
+    offsets_host = np.asarray(offset_samples, dtype)
+    nhis_host = np.asarray(nhi_samples, dtype)
     # gate matches the sharded driver: interpret mode runs the SAME
     # windowed kernel as production pallas, so interpret tests/debug
     # runs cover the windowed code path
@@ -1038,8 +1065,29 @@ def process_spectra(
             offset_samples,
             SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
+            pixel_spacing=params.instrument.pixel_spacing,
             num_lines=params.num_lines,
         )
+        if sample_window is not None:
+            # sort ONCE on the host (the sample set is static) instead
+            # of per-batch in-graph, and un-sort columns on the host —
+            # the sharded driver's layout (samples_sorted)
+            order = np.argsort(offsets_host, kind="stable")
+            unsort_cols = np.argsort(order, kind="stable")
+            offsets_host = offsets_host[order]
+            nhis_host = nhis_host[order]
+
+    model_args = (
+        jnp.asarray(model.rest_wavelengths, dtype),
+        jnp.asarray(model.mu, dtype),
+        jnp.asarray(model.M, dtype),
+        jnp.asarray(model.log_omega, dtype),
+        model.log_c_0,
+        model.log_tau_0,
+        model.log_beta,
+        jnp.asarray(offsets_host),
+        jnp.asarray(nhis_host),
+    )
 
     # Degradation ladder: a pallas request that cannot fit VMEM (long
     # spectra) or lower on this device retries with halved sample tiles,
@@ -1056,6 +1104,10 @@ def process_spectra(
                 sample_window=sample_window if windowed else None,
                 tile=tile,
                 reference_misaligned_absorption=reference_misaligned_absorption,
+                # the host pre-sorted whenever a window was computed;
+                # every ladder rung then emits columns in that sorted
+                # order (windowed or not), un-sorted at the store below
+                samples_sorted=unsort_cols is not None,
             )
 
         return call
@@ -1086,7 +1138,10 @@ def process_spectra(
         out = fetch_with_ladder(runner, runner(*args), args, fetch)
         keep = stop - start
         out_null[start:stop] = out["log_likelihood_no_dla"][:keep]
-        out_samples[start:stop] = out["sample_log_likelihoods_dla"][:keep]
+        rows = out["sample_log_likelihoods_dla"][:keep]
+        out_samples[start:stop] = (
+            rows[:, unsort_cols] if unsort_cols is not None else rows
+        )
         out_min_z[start:stop] = out["min_z_dla"][:keep]
         out_max_z[start:stop] = out["max_z_dla"][:keep]
         if progress:

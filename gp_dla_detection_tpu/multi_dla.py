@@ -501,6 +501,7 @@ def process_spectra_multi(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
             num_lines=params.num_lines,
+            pixel_spacing=params.instrument.pixel_spacing,
         )
 
     # VMEM/lowering degradation ladder (two_dla halves the budget: both

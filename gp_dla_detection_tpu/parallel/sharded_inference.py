@@ -253,12 +253,14 @@ def process_spectra_sharded(
         window_pallas = compute_sample_window(
             offset_samples, SAMPLE_TILE, num_pixels_ext,
             num_lines=params.num_lines,
+            pixel_spacing=params.instrument.pixel_spacing,
         )
     # no num_lines gate here: the unroll limit is a Pallas-compiler
     # constraint; the XLA windowed path handles any line count
     window_xla = (
         compute_sample_window(
             offset_samples, config.sample_chunk, num_pixels_ext,
+            pixel_spacing=params.instrument.pixel_spacing,
         )
         if config.windowed_voigt and dtype == np.float32
         else None

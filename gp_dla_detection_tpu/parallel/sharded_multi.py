@@ -124,6 +124,7 @@ def process_spectra_multi_sharded(
             offsets, SAMPLE_TILE,
             spectra.wavelengths.shape[1] + 2 * params.instrument.width,
             num_lines=params.num_lines,
+            pixel_spacing=params.instrument.pixel_spacing,
         )
     # fused pair kernel + sample-axis mesh: fresh samples are already
     # z-sorted for the windowed kernel, so each shard can take a

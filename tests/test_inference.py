@@ -286,6 +286,16 @@ def test_correct_prior_dla_flags():
     out = correct_prior_dla_flags(z_qsos, flags, z_dlas)
     assert list(out) == [False, True]
 
+    # the documented "no DLA" markers (None / empty) must not crash and
+    # must leave the flag untouched (matching the reference's behaviour
+    # for an empty vectorized `if`)
+    out = correct_prior_dla_flags(
+        np.array([4.0, 4.0, 4.0]),
+        np.array([True, True, True]),
+        [None, np.array([]), np.array([2.0])],
+    )
+    assert list(out) == [True, True, False]
+
 
 def test_batching_invariance(setup):
     """Batched/padded execution must match per-spectrum execution."""
@@ -361,6 +371,98 @@ def test_windowed_fast_path_matches(setup):
     b = np.asarray(windowed["sample_log_likelihoods_dla"], np.float64)
     scale = np.maximum(np.abs(a), 1.0)
     assert np.max(np.abs(a - b) / scale) < 5e-5
+
+
+def test_window_bound_covers_exact_chunk_spread():
+    """Regression (code review): the linear bound spread*num_pixels
+    understates a low-z chunk's pixel spread on the log-uniform grid —
+    the exact spread is log10((1+z_hi)/(1+z_lo))/pixel_spacing, whose
+    worst case over the z_DLA search range is log10(1+spread*R)/spacing
+    with R = LYA/LY_LIMIT - 1.  The sized window minus both margins
+    must cover that for every chunking."""
+    from gp_dla_detection_tpu.inference import compute_sample_window
+    from gp_dla_detection_tpu.ops.voigt import WINDOW_MARGIN
+    from gp_dla_detection_tpu.params import LYA_WAVELENGTH, LYMAN_LIMIT
+
+    spacing = 1e-4
+    ratio = LYA_WAVELENGTH / LYMAN_LIMIT - 1.0
+    offsets = np.linspace(0.0, 1.0, 10_000)
+    for chunk in (128, 256, 1000, 2500, 3300, 5000):
+        window = compute_sample_window(
+            offsets, chunk, 1280, pixel_spacing=spacing
+        )
+        if window is None:
+            continue
+        spread = offsets[chunk - 1] - offsets[0]
+        exact_px = np.log10(1.0 + spread * ratio) / spacing
+        assert window - 2 * WINDOW_MARGIN >= exact_px, (
+            chunk, window, exact_px
+        )
+
+
+def test_ladder_pallas_f64_is_a_config_error():
+    """backend='pallas' with a non-f32 dtype used to build a single
+    ladder rung that could never start (Mosaic has no f64) and
+    hard-failed mid-run with an opaque kernel error; it must be a clear
+    config-time ValueError."""
+    from gp_dla_detection_tpu.inference import ladder_configs
+
+    with pytest.raises(ValueError, match="float32-only"):
+        ladder_configs("pallas", 1286, np.float64)
+    with pytest.raises(ValueError, match="float32-only"):
+        ladder_configs("pallas_interpret", 1286, np.float64)
+    # f32 pallas and any-dtype xla remain valid
+    assert ladder_configs("pallas", 1286, np.float32)[0][0] == "pallas"
+    assert ladder_configs("xla", 1286, np.float64) == [("xla", None, False)]
+
+
+def test_samples_sorted_skips_identity_unsort(setup):
+    """samples_sorted=True on pre-sorted samples must reproduce the
+    default path's likelihoods exactly (modulo the caller-side column
+    permutation) on BOTH backends."""
+    import jax.numpy as jnp
+    from gp_dla_detection_tpu.inference import (
+        batch_log_likelihoods,
+        compute_sample_window,
+    )
+
+    params, model, spec, offsets, nhis = setup
+    dtype = np.float32
+    order = np.argsort(offsets, kind="stable")
+
+    def run(off, nh, backend, **kw):
+        return np.asarray(
+            batch_log_likelihoods(
+                jnp.asarray(spec.wavelengths, dtype),
+                jnp.asarray(spec.flux, dtype),
+                jnp.asarray(spec.noise_variance, dtype),
+                jnp.asarray(spec.mask),
+                jnp.asarray(spec.z_qso, dtype),
+                jnp.asarray(model.rest_wavelengths, dtype),
+                jnp.asarray(model.mu, dtype),
+                jnp.asarray(model.M, dtype),
+                jnp.asarray(model.log_omega, dtype),
+                model.log_c_0,
+                model.log_tau_0,
+                model.log_beta,
+                jnp.asarray(off, dtype),
+                jnp.asarray(nh, dtype),
+                params=params, sample_chunk=8, backend=backend, **kw,
+            )["sample_log_likelihoods_dla"]
+        )
+
+    window = compute_sample_window(offsets, 8, spec.wavelengths.shape[1] + 6)
+    assert window is not None
+    for backend in ("xla", "pallas_interpret"):
+        kw = {"sample_window": window}
+        if backend == "pallas_interpret":
+            kw["tile"] = 8
+        default = run(offsets, nhis, backend, **kw)
+        sorted_out = run(
+            offsets[order], nhis[order], backend,
+            samples_sorted=True, **kw,
+        )
+        np.testing.assert_array_equal(sorted_out[:, np.argsort(order)], default)
 
 
 def test_windowed_large_window_coverage():
