@@ -157,11 +157,17 @@ def wofz_real(x, y):
     safe_ax = jnp.where(outer, ax, BRANCH_RADIUS)
     w_cf, _ = _w_continued_fraction(safe_ax, y)
 
-    # --- branch 2: Weideman at (|x|, y)
-    w_in_re, _ = _w_weideman(ax, y)
+    # --- branches 2 and 3 share ONE Weideman Horner (the dominant cost,
+    # 64 fma/element): branch 2 reads Re w at (|x|, y) where
+    # y >= SMALL_Y, branch 3 reads Im w at (|x|, 0) where y < SMALL_Y —
+    # mutually exclusive regions, so evaluating at the per-element
+    # branch argument yields both, bit-identical to two separate calls
+    # in each branch's selected region.
+    w_in_re, w_axis_im = _w_weideman(
+        ax, jnp.where(y < SMALL_Y, jnp.zeros_like(y), y)
+    )
 
     # --- branch 3: small-y Taylor about the real axis (order 4)
-    _, w_axis_im = _w_weideman(ax, jnp.zeros_like(ax))
     # numerically exact real part on the axis: Re w(x) = e^{-x^2}
     wm_prev_r = jnp.exp(-ax * ax)
     wm_prev_i = w_axis_im

@@ -109,7 +109,10 @@ def interp_stack_uniform(xp, stack, x):
     :func:`interp1_uniform` / :func:`interp_columns_uniform` (and hence
     to the generic searchsorted path on uniform grids).
     """
-    arrs = [a if a.ndim == 2 else a[:, None] for a in map(jnp.asarray, stack)]
+    stack = [jnp.asarray(a) for a in stack]  # materialize: a generator
+    # input would otherwise be exhausted here and yield [] below
+    flat = [a.ndim == 1 for a in stack]
+    arrs = [a if a.ndim == 2 else a[:, None] for a in stack]
     widths = [a.shape[1] for a in arrs]
     f = jnp.concatenate(arrs, axis=1)
     ff = jnp.concatenate([f[:-1], f[1:]], axis=1)       # (n-1, 2w)
@@ -119,8 +122,8 @@ def interp_stack_uniform(xp, stack, x):
     out = rows[:, :w] * (1.0 - t)[:, None] + rows[:, w:] * t[:, None]
     pieces = []
     start = 0
-    for a, width in zip(stack, widths):
+    for was_flat, width in zip(flat, widths):
         piece = out[:, start : start + width]
-        pieces.append(piece[:, 0] if jnp.asarray(a).ndim == 1 else piece)
+        pieces.append(piece[:, 0] if was_flat else piece)
         start += width
     return pieces

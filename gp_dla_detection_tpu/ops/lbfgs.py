@@ -41,6 +41,8 @@ def _strong_wolfe(fg, x, f0, g0, p, t0, c1, c2, max_evals):
     Returns (t, f_t, g_t, evals).
     """
     d0 = float(np.dot(g0, p))
+    # the caller guarantees a descent direction (steepest-descent reset
+    # + non-finite termination in minimize_lbfgs)
     assert d0 < 0, "search direction must be a descent direction"
 
     def phi(t):
@@ -163,6 +165,12 @@ def minimize_lbfgs(
                 s_hist = [ck[f"s{i}"] for i in range(n_hist)]
                 y_hist = [ck[f"y{i}"] for i in range(n_hist)]
                 rho_hist = list(ck["rho"][:n_hist])
+                # a checkpoint from a larger-history run: keep the most
+                # recent `history` pairs — exactly the state a history-
+                # sized run would hold (the device optimizer's fixed
+                # shapes force it to reject instead, lbfgs_device.py)
+                while len(s_hist) > history:
+                    s_hist.pop(0), y_hist.pop(0), rho_hist.pop(0)
 
     def save_checkpoint(it):
         if checkpoint_path is None:
@@ -190,6 +198,14 @@ def minimize_lbfgs(
         ):
             save_checkpoint(it)
         gnorm = np.max(np.abs(g))
+        if not (np.isfinite(f) and np.isfinite(gnorm)):
+            # a NaN/inf value or gradient (exp overflow on bad data)
+            # would otherwise sail through every comparison below and
+            # die in the line search's descent assertion — terminate
+            # with a status instead, like the device optimizer's
+            # isfinite line-search guard (lbfgs_device.py)
+            message = "NonFinite"
+            break
         if gnorm <= opt_tol:
             message = "optTol"
             break
@@ -215,10 +231,15 @@ def minimize_lbfgs(
 
         p = q
         d0 = float(np.dot(g, p))
-        if d0 >= 0:  # safeguard: reset to steepest descent
+        if not (d0 < 0):  # safeguard (also catches NaN): steepest descent
             p = -g
             d0 = float(np.dot(g, p))
             s_hist.clear(), y_hist.clear(), rho_hist.clear()
+            if not (d0 < 0):
+                # -|g|^2 can only fail to be negative through a
+                # non-finite intermediate; g itself was finite above
+                message = "NonFinite"
+                break
 
         t0 = 1.0 if y_hist else min(1.0, 1.0 / np.sum(np.abs(g)))
         t, f_new, g_new, ls_evals = _strong_wolfe(
@@ -229,9 +250,13 @@ def minimize_lbfgs(
         step = t * p
         x_new = x + step
         if t == 0.0:
-            # the line search failed outright (budget exhausted or no
-            # acceptable point); not convergence
-            message = "LineSearchFailed"
+            # a search stopped by the eval budget is not a line-search
+            # FAILURE (same classification as lbfgs_device.py) — report
+            # the budget stop so training logs show the true reason
+            message = (
+                "MaxFunEvals" if evals >= max_fun_evals
+                else "LineSearchFailed"
+            )
             break
         if np.max(np.abs(step)) <= prog_tol:
             x, f, g = x_new, f_new, g_new

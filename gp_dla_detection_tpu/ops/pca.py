@@ -31,11 +31,15 @@ def pairwise_pca(X: np.ndarray, k: int):
     means = Xz.sum(axis=0) / np.maximum(counts, 1)
     Xc = np.where(valid, X - means, 0.0)
 
-    # pairwise-complete covariance: C_ij = sum_r x_ri x_rj / (n_ij - 1)
+    # pairwise-complete covariance: C_ij = sum_r x_ri x_rj / (n_ij - 1).
+    # Reference quirk intentionally not replicated: MATLAB's
+    # pca(...,'Rows','pairwise') yields NaN entries for variable pairs
+    # with n_ij <= 1 observations, poisoning eigh; the clamped divisor
+    # gives those pairs a finite (zero-cross) covariance instead.  Real
+    # training grids (>= 200-pixel spectra) never hit n_ij <= 1.
     cross = Xc.T @ Xc
     n_pair = valid.astype(np.float64).T @ valid.astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cov = cross / np.maximum(n_pair - 1.0, 1.0)
+    cov = cross / np.maximum(n_pair - 1.0, 1.0)
 
     eigvals, eigvecs = np.linalg.eigh(cov)
     order = np.argsort(eigvals)[::-1][:k]

@@ -340,6 +340,75 @@ def test_lbfgs_line_search_failure_not_converged():
     assert res.f == 0.0 and res.x[0] == 0.0
 
 
+def test_lbfgs_nan_gradient_terminates_with_status():
+    """Regression (code review): a NaN value/gradient used to sail
+    through every tolerance comparison and die in the line search's
+    descent assertion — it must terminate with a clean status like the
+    device optimizer does."""
+    def fg(x):
+        if x[0] > 0.4:  # blow up away from the start
+            return np.nan, np.array([np.nan])
+        return -x[0], np.array([-1.0])
+
+    res = minimize_lbfgs(fg, np.zeros(1), max_iterations=50)
+    assert res.message in ("NonFinite", "LineSearchFailed")
+    assert not res.converged
+
+    # NaN from the very first gradient
+    res0 = minimize_lbfgs(
+        lambda x: (np.nan, np.full(1, np.nan)), np.zeros(1),
+        max_iterations=5,
+    )
+    assert res0.message == "NonFinite"
+
+
+def test_lbfgs_restore_with_smaller_history(tmp_path):
+    """Regression (code review): restoring a checkpoint written with a
+    larger history must trim to the newest `history` pairs, not run the
+    two-loop with more pairs than the configuration maintains."""
+    def fg(x):
+        a, b = 1.0, 100.0
+        f = (a - x[0]) ** 2 + b * (x[1] - x[0] ** 2) ** 2
+        g = np.array(
+            [
+                -2 * (a - x[0]) - 4 * b * x[0] * (x[1] - x[0] ** 2),
+                2 * b * (x[1] - x[0] ** 2),
+            ]
+        )
+        return f, g
+
+    ckpt = tmp_path / "l.npz"
+    minimize_lbfgs(
+        fg, np.array([-1.2, 1.0]), max_iterations=30, history=10,
+        checkpoint_path=ckpt, checkpoint_every=2,
+    )
+    with np.load(ckpt) as ck:
+        assert int(ck["n_hist"]) > 3  # the premise: more pairs on disk
+    res = minimize_lbfgs(
+        fg, np.array([-1.2, 1.0]), max_iterations=200, history=3,
+        checkpoint_path=ckpt, checkpoint_every=1000,
+    )
+    assert res.f < 1e-9  # still converges from the trimmed state
+
+
+def test_interp_stack_accepts_generators():
+    """Regression (code review): a generator `stack` was exhausted by the
+    first pass and silently returned []."""
+    import jax.numpy as jnp
+
+    from gp_dla_detection_tpu.ops.interp import interp_stack_uniform
+
+    xp = jnp.linspace(0.0, 1.0, 11)
+    a = jnp.sin(xp)
+    b = jnp.stack([xp, xp**2], axis=1)
+    x = jnp.asarray([0.05, 0.55, 0.95])
+    lists = interp_stack_uniform(xp, [a, b], x)
+    gens = interp_stack_uniform(xp, (v for v in [a, b]), x)
+    assert len(gens) == 2
+    for got, want in zip(gens, lists):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_device_lbfgs_rosenbrock():
     import jax
     import jax.numpy as jnp
