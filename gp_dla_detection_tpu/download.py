@@ -129,6 +129,19 @@ def _parse_table(path: Path, skip: int) -> list[list[str]]:
     return rows
 
 
+def _gawk_num(fields: list[str], i: int) -> float:
+    """gawk's numeric coercion of ``$i``: a missing field or a
+    non-numeric token is 0 — a short or malformed catalog row must be
+    skipped by its own predicate (as the shell pipeline did), not crash
+    the whole extraction with an IndexError/ValueError."""
+    if i >= len(fields):
+        return 0.0
+    try:
+        return float(fields[i])
+    except ValueError:
+        return 0.0
+
+
 def extract_dla_catalog(
     name: str, source_path: Path, out_dir: Path
 ) -> tuple[Path, Path]:
@@ -150,20 +163,22 @@ def extract_dla_catalog(
     if name == "dr9q_concordance":
         rows = _parse_table(source_path, skip=1)
         dla = [
-            (r[3], r[14], r[15]) for r in rows if float(r[14]) > 0
+            (r[3], r[14], r[15])
+            for r in rows
+            if len(r) > 15 and _gawk_num(r, 14) > 0
         ]
-        los = [r[3] for r in rows]
+        los = [r[3] for r in rows if len(r) > 3]
     elif name == "dr12q_noterdaeme":
         dla_rows = _parse_table(source_path / "DLA_DR12_v2.dat", skip=2)
         los_rows = _parse_table(source_path / "LOS_DR12_v2.dat", skip=2)
-        dla = [(r[0], r[9], r[10]) for r in dla_rows]
+        dla = [(r[0], r[9], r[10]) for r in dla_rows if len(r) > 10]
         los = [r[0] for r in los_rows]
     elif name == "dr12q_visual":
         los_rows = _parse_table(source_path / "LOS_DR12_v2.dat", skip=2)
         dla = [
             (r[0], r[4], "20.3")
             for r in los_rows
-            if len(r) > 5 and float(r[5]) != 0
+            if _gawk_num(r, 5) != 0
         ]
         los = [r[0] for r in los_rows]
     else:
@@ -180,6 +195,7 @@ def extract_dla_catalog(
 def extract_all_dla_catalogs(params: Parameters | None = None) -> None:
     if params is None:
         params = Parameters()
+    untarred: set[Path] = set()
     for name, (filename, _) in DLA_CATALOG_SOURCES.items():
         dist = params.dla_catalog_directory(name).parent / "distfiles"
         src = dist / filename
@@ -198,11 +214,16 @@ def extract_all_dla_catalogs(params: Parameters | None = None) -> None:
                     dist = alt.parent
                     break
         if filename.endswith(".tgz") and src.exists():
-            with tarfile.open(src) as tf:
-                tf.extractall(dist, filter="data")
+            if src not in untarred:  # shared archives untar once
+                untarred.add(src)
+                with tarfile.open(src) as tf:
+                    # the "data" safety filter landed in 3.10.12/3.11.4;
+                    # older interpreters reject the kwarg
+                    if hasattr(tarfile, "data_filter"):
+                        tf.extractall(dist, filter="data")
+                    else:  # pragma: no cover - old-interpreter fallback
+                        tf.extractall(dist)
             src = dist  # extractors read the .dat files from the dir
-        elif not filename.endswith(".tgz"):
-            src = dist / filename
         extract_dla_catalog(name, src, params.dla_catalog_directory(name))
 
 

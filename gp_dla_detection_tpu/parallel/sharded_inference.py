@@ -204,10 +204,13 @@ def process_spectra_sharded(
     # silently resume stale likelihoods either
     # fingerprint the ORIGINAL sample order: checkpoints store unsorted
     # columns regardless of mesh layout, so a run may resume on a
-    # different mesh without invalidation
+    # different mesh without invalidation.  z_qso stands in for the test
+    # selection: a different-but-equal-sized set of sightlines (e.g. a
+    # changed test mask) must not resume the old set's batches.
     fingerprint = run_fingerprint(
         dtype, config, params, model,
         np.asarray(offset_samples, dtype), np.asarray(nhi_samples, dtype),
+        extra=(spectra.z_qso,),
     )
     done: set[int] = set()
     if manifest_path and manifest_path.exists():

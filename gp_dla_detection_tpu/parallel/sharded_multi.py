@@ -222,7 +222,7 @@ def process_spectra_multi_sharded(
     # likelihoods they were drawn from)
     fingerprint = run_fingerprint(
         dtype, config, params, model, offsets, nhis,
-        extra=([min_sep_z], base),
+        extra=([min_sep_z], base, spectra.z_qso),
     )
     done: set = set()
     if manifest_path and manifest_path.exists():

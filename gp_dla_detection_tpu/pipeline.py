@@ -140,7 +140,10 @@ class Pipeline:
     def run_preload(self, catalog: Catalog, force: bool = False) -> RaggedSpectra:
         if self.preloaded_path.exists() and not force:
             return RaggedSpectra.load(self.preloaded_path)
-        spectra = preload_qsos(catalog, self.params, file_loader=self.file_loader)
+        spectra = preload_qsos(
+            catalog, self.params, file_loader=self.file_loader,
+            release=self.config.release,
+        )
         spectra.save(self.preloaded_path)
         catalog.save(self.catalog_path)  # filter_flags amended in place
         return spectra
@@ -154,6 +157,10 @@ class Pipeline:
     ) -> GPModel:
         if self.model_path.exists() and not force:
             return GPModel.load(self.model_path)
+        if force:
+            # a forced retrain must not silently resume the previous
+            # run's L-BFGS state (iterate + curvature history)
+            (self.workdir / "training_ckpt.npz").unlink(missing_ok=True)
         if train_mask is None:
             train_mask = catalog.train_dr9_no_concordance_dlas()
         idx = np.flatnonzero(train_mask & (spectra.lengths() > 0))
@@ -199,17 +206,34 @@ class Pipeline:
         prior_mask=None,
         force: bool = False,
     ) -> InferenceResults:
+        if test_mask is None:
+            test_mask = self.default_test_mask(catalog, spectra)
+        if prior_mask is None:
+            prior_mask = catalog.prior_dr9_concordance()
         if self.results_path.exists() and not force:
-            return InferenceResults.load(self.results_path)
+            # a cached result is only valid for the SAME test selection:
+            # returning it unconditionally would pair old result rows
+            # with a new mask downstream (ascii/snrs/analysis)
+            mask_path = self.workdir / "test_mask.npz"
+            stale = False
+            if mask_path.exists():
+                with np.load(mask_path) as f:
+                    stale = not np.array_equal(f["test_mask"], test_mask)
+            if not stale:
+                return InferenceResults.load(self.results_path)
+            import warnings
+
+            warnings.warn(
+                "test selection changed since the cached inference run; "
+                "recomputing (stale results + batch checkpoints dropped)",
+                stacklevel=2,
+            )
+            force = True
         if force:
             # stale per-batch checkpoints must not survive a forced rerun
             import shutil
 
             shutil.rmtree(self.workdir / "inference_ckpt", ignore_errors=True)
-        if test_mask is None:
-            test_mask = self.default_test_mask(catalog, spectra)
-        if prior_mask is None:
-            prior_mask = catalog.prior_dr9_concordance()
 
         dc = catalog.dla_catalogs[self.config.dla_catalog_name]
         prior_idx = np.flatnonzero(prior_mask)
@@ -344,16 +368,20 @@ class Pipeline:
         """SNR per processed spectrum for the analysis layer's cuts
         (calc_cddf.py compute_all_snrs equivalent)."""
         path = self.workdir / "snrs.npz"
+        idx = np.flatnonzero(test_mask)
         if path.exists() and not force:
             with np.load(path) as f:
-                return f["snrs"]
+                # only valid for the same test selection (the cache used
+                # to be keyed on nothing and could silently misalign the
+                # analysis layer's SNR cuts)
+                if "test_idx" in f and np.array_equal(f["test_idx"], idx):
+                    return f["snrs"]
         from .analysis.cddf import compute_all_snrs
 
-        idx = np.flatnonzero(test_mask)
         snrs = compute_all_snrs(
             spectra, idx, results.min_z_dlas, results.max_z_dlas
         )
-        np.savez_compressed(path, snrs=snrs)
+        np.savez_compressed(path, snrs=snrs, test_idx=idx)
         if self.config.export_matlab:
             from .io.matio import write_snrs_mat
 

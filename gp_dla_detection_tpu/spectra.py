@@ -140,6 +140,10 @@ class RaggedSpectra:
         which the Voigt convolution padding relies on) and are masked
         out.  ``z_qsos`` must align with ``indices``.
         """
+        if z_qsos is None:
+            # validate BEFORE building the (B, P) batch: at survey scale
+            # the loop below fills ~6 GB before a late check would fire
+            raise ValueError("z_qsos required to build a PaddedSpectra batch")
         if indices is None:
             indices = np.arange(len(self))
         indices = np.asarray(indices)
@@ -171,8 +175,6 @@ class RaggedSpectra:
                 wavelengths[row, L:] = w[-1] * 10 ** (
                     pixel_spacing * np.arange(1, P - L + 1)
                 )
-        if z_qsos is None:
-            raise ValueError("z_qsos required to build a PaddedSpectra batch")
         return PaddedSpectra(
             wavelengths=wavelengths,
             flux=flux,
@@ -189,6 +191,7 @@ def preload_qsos(
     progress: bool = False,
     use_native: bool = True,
     max_pixels: int = 4800,
+    release: str = "dr12q",
 ) -> RaggedSpectra:
     """Load, normalize, filter, and truncate all catalog spectra
     (preload_qsos.m:18-83).
@@ -207,7 +210,10 @@ def preload_qsos(
 
     native_loader = None
     if file_loader is None:
-        base = params.spectra_directory("dr12q")
+        # the same release knob pipeline.run_catalog writes file_list
+        # under — a hardcoded "dr12q" here would read a different tree
+        # than download_spectra populated
+        base = params.spectra_directory(release)
 
         def spec_path(plate, mjd, fiber_id):
             # files land under a per-plate subdirectory, matching
@@ -259,12 +265,16 @@ def preload_qsos(
     waves, fluxes, noises, masks = [], [], [], []
     normalizers = np.zeros(num_quasars)
 
+    def append_empty():
+        """Filtered-out quasar: an empty row in every ragged array."""
+        waves.append(np.empty(0))
+        fluxes.append(np.empty(0))
+        noises.append(np.empty(0))
+        masks.append(np.empty(0, bool))
+
     for i in range(num_quasars):
         if catalog.filter_flags[i] > 0:
-            waves.append(np.empty(0))
-            fluxes.append(np.empty(0))
-            noises.append(np.empty(0))
-            masks.append(np.empty(0, bool))
+            append_empty()
             continue
 
         if native_loader is not None:
@@ -288,8 +298,7 @@ def preload_qsos(
 
         if np.isnan(this_median):  # bit 2 (preload_qsos.m:36-39)
             catalog.filter_flags[i] |= 1 << FILTER_NORMALIZATION
-            waves.append(np.empty(0)); fluxes.append(np.empty(0))
-            noises.append(np.empty(0)); masks.append(np.empty(0, bool))
+            append_empty()
             continue
 
         usable = (
@@ -299,8 +308,7 @@ def preload_qsos(
         )
         if usable.sum() < params.min_num_pixels:  # bit 3 (:41-49)
             catalog.filter_flags[i] |= 1 << FILTER_MIN_PIXELS
-            waves.append(np.empty(0)); fluxes.append(np.empty(0))
-            noises.append(np.empty(0)); masks.append(np.empty(0, bool))
+            append_empty()
             continue
 
         normalizers[i] = this_median

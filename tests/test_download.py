@@ -88,6 +88,41 @@ def test_extract_noterdaeme_and_visual(tmp_path):
     np.testing.assert_allclose(dla[:, 2], [20.3, 20.3])
 
 
+def test_extract_skips_malformed_rows_like_gawk(tmp_path):
+    """Regression (code review): short or non-numeric rows crashed the
+    whole extraction with IndexError/ValueError; gawk coerces a missing
+    field to 0 and lets the row's own predicate skip it."""
+    src = tmp_path / "BOSSLyaDR9_cat.txt"
+    good = ["x"] * 16
+    good[3], good[14], good[15] = "101", "2.5", "20.6"
+    lines = [
+        "# header",
+        " ".join(good),
+        "short row only",              # truncated line
+        " ".join(["x"] * 15),          # one field short of log_nhi
+        " ".join(["y"] * 16),          # non-numeric z_dla column
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    dla_path, los_path = extract_dla_catalog(
+        "dr9q_concordance", src, tmp_path / "p"
+    )
+    dla = np.loadtxt(dla_path, ndmin=2)
+    assert dla.shape == (1, 3)  # only the good row survives
+    np.testing.assert_allclose(dla[0], [101, 2.5, 20.6])
+
+    dist = tmp_path / "distfiles"
+    dist.mkdir()
+    (dist / "DLA_DR12_v2.dat").write_text(
+        "h1\nh2\n201 0 0 0 0 0 0 0 0 2.2 20.9\ntruncated 0 0\n"
+    )
+    (dist / "LOS_DR12_v2.dat").write_text("h1\nh2\n201 0 0 0 2.5 1\n202\n")
+    dla_path, _ = extract_dla_catalog("dr12q_noterdaeme", dist, tmp_path / "n")
+    assert np.loadtxt(dla_path, ndmin=2).shape == (1, 3)
+    dla_path, _ = extract_dla_catalog("dr12q_visual", dist, tmp_path / "v")
+    dla = np.loadtxt(dla_path, ndmin=2)
+    assert dla.shape == (1, 3)  # the short LOS row has no flag -> skipped
+
+
 def test_spectra_rsync_command(tmp_path):
     params = Parameters(base_directory=str(tmp_path))
     cmd = download_spectra_command(params)

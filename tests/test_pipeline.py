@@ -117,6 +117,50 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
         assert p.stat().st_mtime_ns == t, f"{p} recomputed on resume"
 
 
+def test_pipeline_stale_caches_invalidate(synthetic_release, tmp_path):
+    """Regression (code review): cached inference results / SNRs were
+    returned for ANY mask, and a forced retrain silently resumed the old
+    optimizer state."""
+    import pytest
+
+    params = small_params(synthetic_release)
+    config = PipelineConfig(
+        workdir=str(tmp_path / "run"), per_device_batch=1,
+        sample_chunk=50, dtype="float64",
+    )
+    pipe = Pipeline(params, config)
+    catalog = pipe.run_catalog()
+    spectra = pipe.run_preload(catalog)
+    model = pipe.run_learn(catalog, spectra)
+    samples = pipe.run_samples(catalog)
+    mask = pipe.default_test_mask(catalog, spectra)
+    res = pipe.run_inference(catalog, spectra, model, samples, mask)
+    snrs = pipe.run_snrs(spectra, res, mask)
+
+    # identical mask: cache hit (no warning, same rows)
+    again = pipe.run_inference(catalog, spectra, model, samples, mask)
+    np.testing.assert_array_equal(again.p_dlas, res.p_dlas)
+
+    # changed mask: must warn and recompute with matching row count
+    mask2 = mask.copy()
+    mask2[np.flatnonzero(mask)[0]] = False
+    with pytest.warns(UserWarning, match="test selection changed"):
+        res2 = pipe.run_inference(catalog, spectra, model, samples, mask2)
+    assert len(res2.p_dlas) == mask2.sum()
+    snrs2 = pipe.run_snrs(spectra, res2, mask2)
+    assert len(snrs2) == mask2.sum() != len(snrs)
+
+    # forced retrain must not resume a stale optimizer checkpoint: plant
+    # one that would crash np.load if consulted — force must delete it
+    ckpt = pipe.workdir / "training_ckpt.npz"
+    ckpt.write_bytes(b"stale garbage, not an npz")
+    model2 = pipe.run_learn(catalog, spectra, force=True)
+    assert model2 is not None
+    # the short fixture run converges before checkpoint_every, so the
+    # stale file's absence proves the unlink (nothing rewrote it)
+    assert not ckpt.exists()
+
+
 def test_pipeline_matlab_export(synthetic_release, tmp_path):
     import h5py
 
