@@ -26,13 +26,12 @@ from pathlib import Path
 
 import numpy as np
 
-from .cosmology import OMEGA_M_WMAP9, AbsorptionPath, rho_crit
+from .cosmology import H100_PER_S, OMEGA_M_WMAP9, AbsorptionPath, rho_crit
 from .pb import combine_with_poisson, interval, pdf_confidence, poisson_binomial_pdf
 
 __all__ = ["DLACatalogue", "compute_all_snrs", "compute_pixel_noise"]
 
 PROTON_MASS = 1.67262178e-24      # g (calc_cddf.py:535)
-H100_PER_S = 3.2407789e-18        # 100 km/s/Mpc in 1/s (calc_cddf.py:537)
 LIGHT_CMS = 2.99e10               # cm/s as used by the reference (:539)
 LYB_OVER_LYA = 1026.72 / 1215.67  # calc_cddf.py:694-698
 
@@ -232,18 +231,27 @@ class DLACatalogue:
     def _view(self, arr):
         return arr[self._resample] if self.do_resample else arr
 
+    def _idx(self, spec):
+        """Per-spectrum index into the STORED arrays, resolving bootstrap
+        resampling.  Accessors use this instead of ``_view(arr)[spec]``,
+        which would fancy-index a full copy of the array (for the (N, S)
+        likelihood matrix that is ~13 GB per single-row access at DR12
+        scale) before selecting one row."""
+        return self._resample[spec] if self.do_resample else spec
+
     def z_min(self, spec=None):
-        z = self._view(self._z_min)
-        return z if spec is None else z[spec]
+        if spec is None:
+            return self._view(self._z_min)
+        return self._z_min[self._idx(spec)]
 
     def z_max(self, spec=None):
-        z = self._view(self._z_max)
-        return z if spec is None else z[spec]
+        if spec is None:
+            return self._view(self._z_max)
+        return self._z_max[self._idx(spec)]
 
     def _log_norm_like(self, spec, second=False):
-        if second:
-            return self._view(self.log_norm_like_2)[spec]
-        return self._view(self.log_norm_like)[spec]
+        arr = self.log_norm_like_2 if second else self.log_norm_like
+        return arr[self._idx(spec)]
 
     def _p_dla(self, second=False):
         if second:
@@ -276,10 +284,13 @@ class DLACatalogue:
         """Total absorption path dX searched within [z_min, z_max]."""
         assert z_min < z_max
         keep = self._filter_snr_spectra()
-        max_z = self.z_max()[keep]
+        max_z_orig = self.z_max()[keep]
         min_z = self.z_min()[keep]
+        max_z = max_z_orig
         if self.lowzcut:
-            max_z = np.maximum(np.minimum(max_z, self.proximity(max_z)), min_z)
+            max_z = np.maximum(
+                np.minimum(max_z_orig, self.proximity(max_z_orig)), min_z
+            )
 
         if not self.filter_noisy_pixels:
             return self._path.total_path(min_z, max_z, z_min, z_max)
@@ -291,7 +302,9 @@ class DLACatalogue:
             self.pixel_noise[i] for i, k in zip(self._resample, keep) if k
         ]
         total = 0.0
-        for zmin_s, zmax_s, pn in zip(min_z, max_z, pixel_noise):
+        for zmin_s, zmax_s, zmax_o, pn in zip(
+            min_z, max_z, max_z_orig, pixel_noise
+        ):
             lo, hi = max(zmin_s, z_min), min(zmax_s, z_max)
             if hi <= lo:
                 continue
@@ -299,7 +312,16 @@ class DLACatalogue:
             if pn.size == 0 or np.all(pn < self.noise_thresh):
                 total += float(self._path(lo, hi))
                 continue
-            zzs = zmin_s + (zmax_s - zmin_s) * np.arange(pn.size) / (pn.size - 1)
+            # the pixel grid spans the spectrum's FULL search range
+            # [zmin_s, zmax_o] (the noise arrays were captured before any
+            # proximity cut); the cut acts through the [lo, hi] clip.
+            # Reference wart intentionally not replicated: calc_cddf maps
+            # pixels over the truncated range under lowzcut, compressing
+            # the pixel->redshift mapping and excising the wrong
+            # intervals.  max(size-1, 1) guards the one-pixel case.
+            zzs = zmin_s + (zmax_o - zmin_s) * np.arange(pn.size) / max(
+                pn.size - 1, 1
+            )
             good = (pn < self.noise_thresh) & (zzs >= lo) & (zzs <= hi)
             if not good.any():
                 continue
@@ -326,7 +348,7 @@ class DLACatalogue:
             # the second DLA's parameters for (first-DLA) sample j live
             # at sample index base_sample_inds[spec, j]
             # (calc_cddf.py:683-692)
-            base = self._view(self.base_sample_inds)[spec]
+            base = self.base_sample_inds[self._idx(spec)]
             lnhi_vals = lnhi_vals[base]
             redshifts = redshifts[base]
         return lnhi_vals, redshifts
@@ -370,11 +392,7 @@ class DLACatalogue:
                 & (redshifts < upper_z)
             )
             if self.filter_noisy_pixels:
-                pn = np.asarray(
-                    self.pixel_noise[
-                        self._resample[spec] if self.do_resample else spec
-                    ]
-                )
+                pn = np.asarray(self.pixel_noise[self._idx(spec)])
                 if pn.size:
                     pind = np.clip(
                         (
@@ -638,31 +656,54 @@ class DLACatalogue:
 
     def get_sample_errors(self, z_min=2.0, z_max=5.0, nsample=5, seed=0):
         """Bootstrap error bars on dN/dX and Omega_DLA
-        (calc_cddf.py:186-209)."""
-        dndx_sample, om_sample = [], []
+        (calc_cddf.py:186-209).
+
+        Per-draw statistics are aligned onto the COMMON z grid before
+        aggregation: line_density/omega_dla_cddf drop z bins whose
+        resampled path length is zero, so draws can return different bin
+        sets (np.array over ragged lists raises on numpy >= 1.24; equal-
+        length rags would silently misalign).  Missing bins are NaN and
+        aggregated with the nan-aware median/percentile; the returned
+        ``z_cent`` is the grid the medians/intervals index.
+        """
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        z_cent = 0.5 * (z_bins[1:] + z_bins[:-1])
+        dndx_sample = np.full((nsample, nbins), np.nan)
+        om_sample = np.full((nsample, nbins), np.nan)
+
+        def place(row, zc_draw, values):
+            idx = np.searchsorted(z_cent, zc_draw)
+            assert np.allclose(z_cent[idx], zc_draw)  # same linspace
+            row[idx] = values
+
         for i in range(nsample):
             self.resample(True, seed=seed + i)
-            _, dNdX, _, _, _ = self.line_density(z_min=z_min, z_max=z_max)
-            _, omega, _, _, _ = self.omega_dla_cddf(
+            zc_d, dNdX, _, _, _ = self.line_density(z_min=z_min, z_max=z_max)
+            place(dndx_sample[i], zc_d, dNdX)
+            zc_o, omega, _, _, _ = self.omega_dla_cddf(
                 z_min=z_min, z_max=z_max, lnhi_nbins=15
             )
-            dndx_sample.append(dNdX)
-            om_sample.append(1000 * omega)
+            place(om_sample[i], zc_o, 1000 * omega)
         self.resample(False)
-        dndx_sample = np.array(dndx_sample)
-        om_sample = np.array(om_sample)
-        out = {
-            "dndx_median": np.median(dndx_sample, axis=0),
-            "dndx_68": np.array(
-                [np.percentile(dndx_sample, 16, axis=0),
-                 np.percentile(dndx_sample, 84, axis=0)]
-            ),
-            "omega_median": np.median(om_sample, axis=0),
-            "omega_68": np.array(
-                [np.percentile(om_sample, 16, axis=0),
-                 np.percentile(om_sample, 84, axis=0)]
-            ),
-        }
+        import warnings
+
+        with warnings.catch_warnings():
+            # a bin with zero path in EVERY draw is legitimately NaN
+            warnings.simplefilter("ignore", RuntimeWarning)
+            out = {
+                "z_cent": z_cent,
+                "dndx_median": np.nanmedian(dndx_sample, axis=0),
+                "dndx_68": np.array(
+                    [np.nanpercentile(dndx_sample, 16, axis=0),
+                     np.nanpercentile(dndx_sample, 84, axis=0)]
+                ),
+                "omega_median": np.nanmedian(om_sample, axis=0),
+                "omega_68": np.array(
+                    [np.nanpercentile(om_sample, 16, axis=0),
+                     np.nanpercentile(om_sample, 84, axis=0)]
+                ),
+            }
         return out
 
     # --- per-spectrum diagnostics (calc_cddf.py:872-903) ---------------

@@ -16,6 +16,7 @@ import numpy as np
 
 __all__ = [
     "OMEGA_M_WMAP9",
+    "H100_PER_S",
     "hubble_by_h0",
     "path_length_integrand",
     "AbsorptionPath",
@@ -23,6 +24,10 @@ __all__ = [
 ]
 
 OMEGA_M_WMAP9 = 0.279
+# 100 km/s/Mpc in 1/s (calc_cddf.py:537) — the single definition; the
+# Omega_DLA conversions in cddf.py import it so the normalization cannot
+# drift between code paths
+H100_PER_S = 3.2407789e-18
 
 
 def hubble_by_h0(z, omega_m: float = OMEGA_M_WMAP9):
@@ -37,7 +42,7 @@ def path_length_integrand(z, omega_m: float = OMEGA_M_WMAP9):
 
 def rho_crit(hubble: float = 0.7) -> float:
     """Critical density at z=0 [g/cm^3] (calc_cddf.py:1065-1072)."""
-    h100 = 3.2407789e-18 * hubble  # 100 h km/s/Mpc in 1/s
+    h100 = H100_PER_S * hubble  # 100 h km/s/Mpc in 1/s
     grav_cgs = 6.674e-8
     return 3.0 * h100**2 / (8.0 * np.pi * grav_cgs)
 

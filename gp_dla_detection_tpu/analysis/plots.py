@@ -29,6 +29,9 @@ __all__ = [
     "do_lowzcut_check",
     "do_qso_split",
     "do_length_split",
+    "do_sample_error_check",
+    "do_2dla_plots",
+    "do_compare_plots",
 ]
 
 
@@ -365,11 +368,10 @@ def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
     subdir.mkdir(parents=True, exist_ok=True)
     out = cat.get_sample_errors(z_min=2.0, z_max=5.0, nsample=nsample)
 
-    z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(z_min=2, z_max=5)
     plot_line_density(cat, zmin=2, zmax=5, label="Total")
     _errorbar(
         plt,
-        z_cent, out["dndx_median"],
+        out["z_cent"], out["dndx_median"],
         yerr=(out["dndx_median"] - out["dndx_68"][0],
               out["dndx_68"][1] - out["dndx_median"]),
         fmt="o", label="Resampled",
@@ -378,11 +380,10 @@ def do_sample_error_check(cat, subdir, nsample: int = 13) -> None:
     plt.savefig(subdir / "dndx_gp_resample.pdf")
     plt.clf()
 
-    z_cent, omega_k, om68, om95 = plot_omega_dla(cat, zmin=2, zmax=5,
-                                                 label="Total")
+    plot_omega_dla(cat, zmin=2, zmax=5, label="Total")
     _errorbar(
         plt,
-        z_cent, out["omega_median"],
+        out["z_cent"], out["omega_median"],
         yerr=(out["omega_median"] - out["omega_68"][0],
               out["omega_68"][1] - out["omega_median"]),
         fmt="o", label="Resampled",

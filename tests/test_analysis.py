@@ -201,6 +201,41 @@ def test_bootstrap_runs():
     assert np.all(out["omega_68"][0] <= out["omega_68"][1] + 1e-12)
 
 
+def test_bootstrap_handles_empty_bins_and_wide_range():
+    """Regression (code review): draws whose resampled spectra leave a
+    z bin with zero path length return fewer bins than other draws —
+    aggregation must align on the common grid (ragged np.array raises
+    on numpy >= 1.24), with all-empty bins NaN."""
+    cat = make_synthetic_catalogue(n_certain=20, n_empty=100, n_weak=20)
+    # z_max far beyond the data: the top bins have zero path in EVERY
+    # draw and must come back NaN on the common grid, not crash
+    out = cat.get_sample_errors(z_min=2.0, z_max=6.0, nsample=3, seed=1)
+    nbins = max(int((6.0 - 2.0) * cat.bins_per_z), 1)
+    assert out["z_cent"].shape == (nbins,)
+    assert out["dndx_median"].shape == (nbins,)
+    assert np.isnan(out["dndx_median"][-1])  # empty top bin
+    assert np.isfinite(out["dndx_median"]).any()
+
+
+def test_resampled_accessors_match_view_semantics():
+    """Regression (code review): per-spectrum accessors resolve the
+    bootstrap index instead of fancy-indexing a full-array copy; the
+    values must equal the old _view(arr)[spec] semantics."""
+    cat = make_synthetic_catalogue(n_certain=10, n_empty=30)
+    cat.resample(True, seed=7)
+    r = cat._resample
+    for spec in (0, 3, len(r) - 1):
+        np.testing.assert_array_equal(
+            cat._log_norm_like(spec), cat.log_norm_like[r[spec]]
+        )
+        assert cat.z_min(spec) == cat._z_min[r[spec]]
+        assert cat.z_max(spec) == cat._z_max[r[spec]]
+    # vector access still works
+    np.testing.assert_array_equal(cat.z_min(), cat._z_min[r])
+    cat.resample(False)
+    np.testing.assert_array_equal(cat._log_norm_like(1), cat.log_norm_like[1])
+
+
 def test_find_max_like_and_deltas():
     cat = make_synthetic_catalogue()
     lnhi, z = cat.find_max_like(0)
