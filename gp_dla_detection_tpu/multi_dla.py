@@ -76,7 +76,14 @@ def prior_dla_multiplicity(
     flags = np.asarray(prior_dla_flags, bool)
     num = np.zeros(len(flags), np.int64)
     for i in np.flatnonzero(flags):
-        z_dlas = np.atleast_1d(prior_z_dlas[i])
+        entry = prior_z_dlas[i]
+        if entry is None:
+            # documented "no absorber redshifts" marker, same contract
+            # as correct_prior_dla_flags (np.atleast_1d(None) would be
+            # an object array and crash the arithmetic below)
+            num[i] = 1
+            continue
+        z_dlas = np.atleast_1d(np.asarray(entry, dtype=float))
         if z_dlas.size == 0:
             num[i] = 1
         else:
@@ -112,8 +119,17 @@ def make_base_sample_inds(
         sll = sll_all[c0 : c0 + row_chunk].astype(np.float64)
         m = sll.shape[0]
         # vectorized row-wise inverse CDF: offset each row's CDF (in
-        # [0,1]) by 2*i so a single flat searchsorted handles all rows
-        w = np.exp(sll - sll.max(axis=1, keepdims=True))
+        # [0,1]) by 2*i so a single flat searchsorted handles all rows.
+        # Degenerate rows (all-NaN likelihoods from a fully-masked
+        # spectrum, or all -inf) get a UNIFORM weight fallback: a NaN
+        # row would break the flat array's sortedness and silently
+        # corrupt the indices of every later row in the chunk (binary
+        # search treats NaN as >= any query).
+        sll = np.where(np.isnan(sll), -np.inf, sll)
+        rowmax = sll.max(axis=1, keepdims=True)
+        rowmax = np.where(np.isfinite(rowmax), rowmax, 0.0)
+        w = np.exp(sll - rowmax)
+        w[w.sum(axis=1) == 0.0] = 1.0
         cdf = np.cumsum(w, axis=1)
         cdf /= cdf[:, -1:]
         offs = 2.0 * np.arange(m)[:, None]
@@ -532,14 +548,34 @@ def process_spectra_multi(
     nh_host = nhis[order] if use_pallas else nhis
     off_j = jnp.asarray(off_host, dtype)
     nh_j = jnp.asarray(nh_host, dtype)
-    off_base = offsets[base]   # (N, S) pair-indexed like the fresh axis
-    nh_base = nhis[base]       # (N, S)
-    if use_pallas:
-        off_base = off_base[:, order]
-        nh_base = nh_base[:, order]
+
+    def base_slice(arr, start, stop):
+        """Per-batch gather of the (B, S) pair-indexed base values —
+        materializing offsets[base]/nhis[base] whole would stand ~13 GB
+        each (f64) for the entire pass, twice that transiently for the
+        pallas column permutation, when each batch needs only its rows."""
+        vals = arr[base[start:stop]]
+        return vals[:, order] if use_pallas else vals
 
     ckpt_dir = Path(checkpoint_dir) if checkpoint_dir else None
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    # shape + numerics fingerprint, same scheme as the sharded drivers
+    # (parallel.run_fingerprint): shape checks alone miss dtype /
+    # backend / separation-cut / model / sample changes, which must not
+    # silently mix stale batches with fresh ones.  Imported lazily —
+    # a module-level import would cycle through parallel.__init__.
+    from .parallel.sharded_inference import run_fingerprint
+    from types import SimpleNamespace
+
+    fingerprint = run_fingerprint(
+        dtype,
+        SimpleNamespace(
+            stream_dtype=None, backend=backend, windowed_voigt=False,
+            sample_chunk=sample_chunk,
+        ),
+        params, model, offsets, nhis,
+        extra=([min_sep_z], base, spectra.z_qso),
+    )
     done: set = set()
     if manifest_path and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
@@ -548,6 +584,7 @@ def process_spectra_multi(
             and manifest.get("batch_size") == batch_size
             and manifest.get("num_samples") == S
             and manifest.get("base_seed") == base_seed
+            and manifest.get("fingerprint") == fingerprint
         ):
             done = set(manifest["completed_batches"])
         else:
@@ -555,7 +592,7 @@ def process_spectra_multi(
 
             warnings.warn(
                 f"ignoring incompatible two-DLA checkpoints in {ckpt_dir} "
-                "(run shape changed)",
+                "(run shape or numerics config changed)",
                 stacklevel=2,
             )
     if ckpt_dir:
@@ -570,14 +607,11 @@ def process_spectra_multi(
             continue
         batch = spectra.slice(slice(start, stop)).pad_to(batch_size)
         pad_rows = batch_size - (stop - start)
-        ob = np.concatenate(
-            [off_base[start:stop]]
-            + ([off_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
-        )
-        nb = np.concatenate(
-            [nh_base[start:stop]]
-            + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
-        )
+        ob = base_slice(offsets, start, stop)
+        nb = base_slice(nhis, start, stop)
+        if pad_rows:
+            ob = np.concatenate([ob, np.repeat(ob[-1:], pad_rows, axis=0)])
+            nb = np.concatenate([nb, np.repeat(nb[-1:], pad_rows, axis=0)])
         fn_args = (
             jnp.asarray(batch.wavelengths, dtype),
             jnp.asarray(batch.flux, dtype),
@@ -599,20 +633,26 @@ def process_spectra_multi(
         )[: stop - start]
         out2[start:stop] = rows[:, unsort] if use_pallas else rows
         if ckpt_file:
-            np.savez_compressed(
-                ckpt_file, sample_log_likelihoods_dla2=out2[start:stop]
+            # atomic + uncompressed, matching the sharded drivers: a
+            # kill mid-write must leave old-or-new, never a torn npz/
+            # manifest, and zlib on high-entropy lls buys ~nothing
+            from .utils.atomic_io import atomic_savez, atomic_write_json
+
+            atomic_savez(
+                ckpt_file, compress=False,
+                sample_log_likelihoods_dla2=out2[start:stop],
             )
             done.add(bi)
-            manifest_path.write_text(
-                json.dumps(
-                    {
-                        "num_spectra": n,
-                        "batch_size": batch_size,
-                        "num_samples": S,
-                        "base_seed": base_seed,
-                        "completed_batches": sorted(done),
-                    }
-                )
+            atomic_write_json(
+                manifest_path,
+                {
+                    "num_spectra": n,
+                    "batch_size": batch_size,
+                    "num_samples": S,
+                    "base_seed": base_seed,
+                    "fingerprint": fingerprint,
+                    "completed_batches": sorted(done),
+                },
             )
 
     return finalize_multi(

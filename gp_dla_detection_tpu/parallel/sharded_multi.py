@@ -199,11 +199,13 @@ def process_spectra_multi_sharded(
 
     off_host = offsets[order] if use_pallas else offsets
     nh_host = nhis[order] if use_pallas else nhis
-    off_base = offsets[base]
-    nh_base = nhis[base]
-    if use_pallas:
-        off_base = off_base[:, order]
-        nh_base = nh_base[:, order]
+
+    def base_slice(arr, start, stop):
+        """Per-batch gather of the (B, S) pair-indexed base values; a
+        full offsets[base]/nhis[base] would stand ~13 GB each (f64) for
+        the whole pair pass when each batch needs only its rows."""
+        vals = arr[base[start:stop]]
+        return vals[:, order] if use_pallas else vals
 
     model_args = (
         jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
@@ -280,14 +282,11 @@ def process_spectra_multi_sharded(
         bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
         pad_rows = super_batch - (stop - start)
-        ob = np.concatenate(
-            [off_base[start:stop]]
-            + ([off_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
-        )
-        nb = np.concatenate(
-            [nh_base[start:stop]]
-            + ([nh_base[stop - 1 : stop]] * pad_rows if pad_rows else [])
-        )
+        ob = base_slice(offsets, start, stop)
+        nb = base_slice(nhis, start, stop)
+        if pad_rows:
+            ob = np.concatenate([ob, np.repeat(ob[-1:], pad_rows, axis=0)])
+            nb = np.concatenate([nb, np.repeat(nb[-1:], pad_rows, axis=0)])
         args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),

@@ -237,6 +237,13 @@ def generate_dla_samples(
     mixture = cfg.alpha * unnormalized / Z + (1.0 - cfg.alpha) * uniform_pdf
 
     cdf = _simpson_cumulative(mixture, dx)
+    # the Simpson gradient correction can overshoot by ~1e-8 in the
+    # interval just past the uniform component's step down at
+    # uniform_max_log_nhi, leaving one locally DECREASING cdf step —
+    # np.interp requires increasing xp, and a u2 landing in the inverted
+    # band would get an arbitrary bracket.  Monotonize (the change is at
+    # the correction's own error floor).
+    cdf = np.maximum.accumulate(cdf)
     cdf /= cdf[-1]
 
     # vectorized inverse transform (replaces the per-sample fzero loop,

@@ -29,6 +29,41 @@ def test_base_sample_inds_resample_posterior():
     assert len(np.unique(flat[0])) > 90
 
 
+def test_base_sample_inds_nan_row_does_not_corrupt_neighbours():
+    """Regression (code review): an all-NaN likelihood row (fully-masked
+    spectrum) broke the flat searchsorted's sortedness and silently
+    corrupted the base indices of every LATER row in the chunk."""
+    rng = np.random.default_rng(5)
+    sll = rng.normal(-10.0, 3.0, (4, 200))
+    clean = make_base_sample_inds(sll, seed=0)
+    poisoned = sll.copy()
+    poisoned[1] = np.nan
+    out = make_base_sample_inds(poisoned, seed=0)
+    # rows after the NaN row must be identical to the clean run
+    np.testing.assert_array_equal(out[2], clean[2])
+    np.testing.assert_array_equal(out[3], clean[3])
+    np.testing.assert_array_equal(out[0], clean[0])
+    # the degenerate row falls back to ~uniform resampling
+    assert len(np.unique(out[1])) > 150
+    # all -inf behaves the same as all-NaN
+    poisoned[1] = -np.inf
+    out2 = make_base_sample_inds(poisoned, seed=0)
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_prior_dla_multiplicity_none_marker():
+    """None / empty absorber lists are the documented 'no redshifts'
+    marker (same contract as correct_prior_dla_flags) and count as 1."""
+    from gp_dla_detection_tpu.multi_dla import prior_dla_multiplicity
+
+    num = prior_dla_multiplicity(
+        np.array([4.0, 4.0, 4.0, 4.0]),
+        np.array([True, True, True, False]),
+        [None, np.array([]), np.array([3.5, 3.6]), None],
+    )
+    assert list(num) == [1, 1, 2, 0]
+
+
 def test_multi_dla_rate_priors():
     params = Parameters()
     prior_z = np.array([2.0, 2.1, 2.2, 2.3])
