@@ -117,16 +117,25 @@ def _card_str(cards: dict, key: str) -> str:
 
 
 def _data_size(cards: dict) -> int:
+    """FITS 4.0 data size: |BITPIX|/8 * GCOUNT * (PCOUNT + prod(NAXIS)).
+
+    For the random-groups convention (NAXIS1 == 0) the axis product
+    excludes NAXIS1 — the previous form multiplied GCOUNT into the zero
+    product and mis-sized such HDUs, shifting every later extension.
+    """
     bitpix = abs(_card_int(cards, "BITPIX", 8))
     naxis = _card_int(cards, "NAXIS", 0)
     if naxis == 0:
         return 0
-    size = bitpix // 8
-    for i in range(1, naxis + 1):
-        size *= _card_int(cards, f"NAXIS{i}")
-    size *= _card_int(cards, "GCOUNT", 1)
-    size += _card_int(cards, "PCOUNT", 0) * (bitpix // 8)
-    return size
+    dims = [_card_int(cards, f"NAXIS{i}") for i in range(1, naxis + 1)]
+    if dims[0] == 0:  # random groups
+        dims = dims[1:]
+    prod = 1
+    for d in dims:
+        prod *= d
+    gcount = _card_int(cards, "GCOUNT", 1)
+    pcount = _card_int(cards, "PCOUNT", 0)
+    return (bitpix // 8) * gcount * (pcount + prod)
 
 
 def read_bintable(path: str | Path, hdu: int = 1) -> BinTable:

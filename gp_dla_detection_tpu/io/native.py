@@ -93,14 +93,18 @@ def read_spec_batch(
 
     Returns (wavelengths, flux, noise_variance, pixel_mask, lengths):
     (N, max_pixels) float64/bool arrays + (N,) int32 valid pixel counts
-    (< 0 where a file failed to parse).
+    (< 0 where a file failed to parse).  Row tails beyond ``lengths[i]``
+    (and whole rows of failed files) hold defined filler — zero
+    wavelengths/flux, infinite noise, masked pixels — so a caller that
+    forgets to slice by ``lengths`` sees deterministic invalid pixels,
+    never uninitialized memory.
     """
     lib = load_library()
     n = len(paths)
-    wavelengths = np.empty((n, max_pixels), np.float64)
-    flux = np.empty((n, max_pixels), np.float64)
-    noise = np.empty((n, max_pixels), np.float64)
-    mask = np.empty((n, max_pixels), np.uint8)
+    wavelengths = np.zeros((n, max_pixels), np.float64)
+    flux = np.zeros((n, max_pixels), np.float64)
+    noise = np.full((n, max_pixels), np.inf)
+    mask = np.ones((n, max_pixels), np.uint8)
     lengths = np.empty(n, np.int32)
 
     if lib is None:
