@@ -96,9 +96,9 @@ def main(
             lam[i, -1], params.null_model.max_lambda * (1 + z_qso[i])
         )
         zmax = lam_search_max / lya - 1 - params.max_z_cut
+        ext = extend_wavelengths(lam[i], params.instrument) if n_dla else None
         for z_dla in rng.uniform(zmin, zmax, n_dla):
             nhi = 10 ** rng.uniform(20.3, 21.8)
-            ext = extend_wavelengths(lam[i], params.instrument)
             f *= np.asarray(voigt_absorption(ext, z_dla, nhi, num_lines=3))
         injected[i] = n_dla
         flux[i] = f

@@ -126,7 +126,28 @@ def inject_dlas(lam, flux, inj, params, num_lines: int = 3,
             )
         )
         keep = len(part) - pad
-        flux[idx[:keep]] *= absorb[:keep]
+        # unbuffered in-place multiply: plain fancy-index *= collapses
+        # duplicate row indices (two absorbers injected into the same
+        # sightline within a chunk would silently apply only one)
+        np.multiply.at(flux, idx[:keep], absorb[:keep])
+
+
+def recovered_dla_total(cat, z_cent, dNdX, z_lo, z_hi) -> float:
+    """Integrate a line_density result back to a recovered DLA count.
+
+    line_density DROPS zero-path bins, so each returned center's true
+    bin edges must be recovered from the full grid it binned on (a
+    relinspace over the kept count misaligns when bins drop).  Shared
+    by synthetic_universe and survey_run so the subtlety lives once.
+    """
+    nbins = max(int((z_hi - z_lo) * cat.bins_per_z), 1)
+    width = (z_hi - z_lo) / nbins
+    return float(
+        sum(
+            dNdX[b] * cat.path_length(zc - width / 2, zc + width / 2)
+            for b, zc in enumerate(z_cent)
+        )
+    )
 
 
 def standard_samples(rng: np.random.Generator, params):

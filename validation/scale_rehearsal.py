@@ -90,7 +90,16 @@ def build(workdir: Path, n_spectra: int = DEFAULT_N, seed: int = 40) -> None:
             + rng.normal(0, noise_sd, P)
         )
 
-    # ~30% of sightlines host one DLA inside their searchable range
+    # ~30% of sightlines host one DLA inside their searchable range, and
+    # ~20% of THOSE host a second, well-separated absorber.  The second
+    # population is load-bearing for the pair-stage validation: with a
+    # single-DLA-only concordance catalog the two-DLA counting prior is
+    # exactly zero (multi_dla_rate_priors n2=0 -> log_p_two=-inf), so
+    # "the pair stage never over-splits" would be vacuously true no
+    # matter how broken the pair kernel is.
+    from gp_dla_detection_tpu.params import kms_to_z
+
+    min_sep_log = float(np.log1p(kms_to_z(3000.0)))
     dla_flag = np.zeros(n_spectra, bool)
     z_rows: list[np.ndarray] = [np.empty(0)] * n_spectra
     n_rows: list[np.ndarray] = [np.empty(0)] * n_spectra
@@ -109,11 +118,19 @@ def build(workdir: Path, n_spectra: int = DEFAULT_N, seed: int = 40) -> None:
         )
         if zmax > zmin:
             z_dla = rng.uniform(zmin, zmax)
-            log_n = rng.uniform(20.3, 21.8)
-            inj.append((i, z_dla, log_n))
+            entries = [(z_dla, rng.uniform(20.3, 21.8))]
+            if rng.uniform() < 0.2:
+                # second absorber at >= 3x the pair-selection separation
+                # cut, so the truth is unambiguously two
+                for _ in range(12):
+                    z2 = rng.uniform(zmin, zmax)
+                    if abs(np.log1p(z2) - np.log1p(z_dla)) > 3 * min_sep_log:
+                        entries.append((z2, rng.uniform(20.3, 21.5)))
+                        break
+            inj.extend((i, z, ln) for z, ln in entries)
             dla_flag[i] = True
-            z_rows[i] = np.array([z_dla])
-            n_rows[i] = np.array([log_n])
+            z_rows[i] = np.array([z for z, _ in entries])
+            n_rows[i] = np.array([ln for _, ln in entries])
 
     # batched absorption: numpy log-continuation padding + one vmapped
     # Voigt compile per chunk shape
@@ -144,7 +161,9 @@ def build(workdir: Path, n_spectra: int = DEFAULT_N, seed: int = 40) -> None:
             )
         )
         keep = len(chunk) - pad
-        flux_full[idx[:keep]] *= absorb[:keep]
+        # unbuffered: a sightline hosting TWO absorbers appears twice in
+        # idx, and plain fancy-index *= would apply only one of them
+        np.multiply.at(flux_full, idx[:keep], absorb[:keep])
 
     waves, fluxes, noises, masks = [], [], [], []
     for i in range(n_spectra):
@@ -282,20 +301,31 @@ def _launch(workdir: Path, run_name: str,
 def _kill_when(proc: subprocess.Popen, manifest: Path, at_least: int,
                timeout: float = 3600.0) -> int:
     """SIGKILL the worker once ``manifest`` shows >= at_least completed
-    batches (mid-flight: also requires the run to not already be done).
-    Returns the completed-batch count at kill time."""
+    batches.  Returns the completed-batch count at kill time.
+
+    The manifest is checked BEFORE the process: a worker that crosses
+    the kill point and exits within one poll interval must count as
+    reaching it (killing an already-dead process is a no-op), not raise
+    a spurious 'exited before the kill point'.
+    """
     t0 = time.time()
     while time.time() - t0 < timeout:
-        if proc.poll() is not None:
-            raise RuntimeError(
-                f"worker exited (rc={proc.returncode}) before the kill "
-                f"point; see {getattr(proc, '_log_path', '?')}"
-            )
         n = _manifest_count(manifest)
         if n >= at_least:
             proc.kill()
             proc.wait()
             return n
+        if proc.poll() is not None:
+            state = (
+                "completed the whole run before the kill point — "
+                "n_spectra/batch too small to exercise kill/resume "
+                f"(need at_least={at_least} < total batches)"
+                if proc.returncode == 0
+                else f"crashed (rc={proc.returncode})"
+            )
+            raise RuntimeError(
+                f"worker {state}; see {getattr(proc, '_log_path', '?')}"
+            )
         time.sleep(1.0)
     proc.kill()
     proc.wait()

@@ -13,10 +13,13 @@ Writes validation/RESULTS.md.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
@@ -143,17 +146,9 @@ def main(n_spectra: int = 512, rate_dndx: float = 0.12, seed: int = 12):
     z_lo, z_hi = 2.0, 3.4
     z_cent, dNdX, dndx68, dndx95, _ = cat.line_density(z_min=z_lo, z_max=z_hi)
     dX_total = cat.path_length(z_lo, z_hi)
-    # line_density DROPS zero-path bins, so recover each returned
-    # center's true bin edges from the full grid it binned on instead
-    # of relinspacing over the kept count (misaligned when bins drop)
-    nbins = max(int((z_hi - z_lo) * cat.bins_per_z), 1)
-    width = (z_hi - z_lo) / nbins
-    recovered_total = float(
-        sum(
-            dNdX[b] * cat.path_length(zc - width / 2, zc + width / 2)
-            for b, zc in enumerate(z_cent)
-        )
-    )
+    from _universe import recovered_dla_total
+
+    recovered_total = recovered_dla_total(cat, z_cent, dNdX, z_lo, z_hi)
     recovered_rate = recovered_total / dX_total
     n_in_range = sum(
         1 for _, z, logn in injected if z_lo < z < z_hi and logn > 20.3

@@ -135,28 +135,39 @@ def part_a(workdir: Path, n_quasars: int = 25000, dtype: str = "float32",
 
     def launch(tag):
         log = workdir / f"worker_{tag}.log"
-        return subprocess.Popen(
-            [sys.executable, str(HERE / "training_convergence.py"),
-             "run-device", "--workdir", str(workdir),
-             "--n-quasars", str(n_quasars), "--dtype", dtype],
-            stdout=open(log, "w"), stderr=subprocess.STDOUT,
-        )
+        with open(log, "w") as fh:  # the child keeps its own descriptor
+            return subprocess.Popen(
+                [sys.executable, str(HERE / "training_convergence.py"),
+                 "run-device", "--workdir", str(workdir),
+                 "--n-quasars", str(n_quasars), "--dtype", dtype],
+                stdout=fh, stderr=subprocess.STDOUT,
+            )
 
     t_all = time.time()
     proc = launch("leg1")
     t0 = time.time()
     killed = False
     while time.time() - t0 < kill_after_s:
-        if proc.poll() is not None:
-            break  # finished before the kill point (fast convergence)
         if ckpt.exists():
             time.sleep(5.0)  # let a second checkpoint land mid-descent
             proc.kill()
             proc.wait()
             killed = True
             break
+        if proc.poll() is not None:
+            if proc.returncode != 0:
+                # a crashed leg 1 must not masquerade as fast
+                # convergence: the kill/resume property would then be
+                # silently un-exercised and leg 2 would redo everything
+                raise RuntimeError(
+                    f"leg 1 crashed (rc={proc.returncode}): "
+                    f"{(workdir / 'worker_leg1.log').read_text()[-2000:]}"
+                )
+            break  # finished cleanly before the kill point
         time.sleep(2.0)
     else:
+        proc.kill()  # don't orphan a worker that still holds the chip
+        proc.wait()
         raise TimeoutError(
             f"no optimizer checkpoint appeared within {kill_after_s}s — "
             "cannot exercise kill/resume"
