@@ -43,9 +43,27 @@ def _artifacts(workdir: Path) -> Path:
     return workdir / "artifacts"
 
 
+def _maybe_force_cpu() -> None:
+    """Honor GPDLA_REHEARSAL_CPU in EVERY process that touches jax —
+    build() compiles the injection Voigt kernel, so an orchestrator
+    that only gated the worker would still initialize the remote TPU
+    backend (and hang through a tunnel outage) just to build the
+    universe.  Must run before first device use."""
+    import os
+
+    if os.environ.get("GPDLA_REHEARSAL_CPU"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (caller's responsibility)
+
+
 def build(workdir: Path, n_spectra: int = DEFAULT_N, seed: int = 40) -> None:
     """Synthesize the universe and save the stage artifacts the two
     inference stages consume (catalog, ragged spectra, model, samples)."""
+    _maybe_force_cpu()
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.catalog import Catalog, DLACatalog
     from gp_dla_detection_tpu.models.qso_model import GPModel
@@ -223,14 +241,7 @@ def run(workdir: Path, run_name: str, batch: int = PER_DEVICE_BATCH,
     headline workload (process_qsos.m is single-DLA {0,1} selection;
     the pair stage is a later-pipeline extension) — used by
     survey_run.py at full DR12Q scale."""
-    import os
-
-    if os.environ.get("GPDLA_REHEARSAL_CPU"):
-        # CPU smoke mode (tests/dev): must run before first device use —
-        # the environment's sitecustomize forces the axon TPU otherwise
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    _maybe_force_cpu()
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.catalog import Catalog
     from gp_dla_detection_tpu.models.qso_model import GPModel

@@ -247,8 +247,14 @@ def analysis_stage(workdir: Path) -> None:
     from _universe import recovered_dla_total
 
     recovered_total = recovered_dla_total(cat, z_cent, dNdX, z_lo, z_hi)
-    truth_z = np.concatenate([z for z in dc.z_dlas if z.size])
-    n_in_range = int(((truth_z > z_lo) & (truth_z < z_hi)).sum())
+    # the SINGLE-DLA posterior models at most one absorber per
+    # sightline, so its line density is compared against sightlines
+    # with >= 1 in-range absorber — a 2-DLA sightline contributes one
+    # detection here (the pair stage accounts for the second)
+    n_in_range = sum(
+        1 for z_arr in dc.z_dlas
+        if z_arr.size and ((z_arr > z_lo) & (z_arr < z_hi)).any()
+    )
 
     t0 = time.time()
     lnhi_grid, cddf, *_ = cat.column_density_function(
@@ -264,8 +270,10 @@ def analysis_stage(workdir: Path) -> None:
         "",
         "## Analysis layer at survey scale (calc_cddf workload, full catalog)",
         "",
-        f"- DLACatalogue over the 162,861 x 10,000 posterior: "
-        f"{t_load:.0f} s to load + normalize (13 GB f64 normalized "
+        f"- DLACatalogue over the {len(cat.p_dla):,} x "
+        f"{cat.log_norm_like.shape[1]:,} posterior: "
+        f"{t_load:.0f} s to load + normalize "
+        f"({cat.log_norm_like.nbytes / 1e9:.1f} GB f64 normalized "
         "sample probabilities)",
         f"- dN/dX over z=[{z_lo}, {z_hi}] ({len(z_cent)} bins, "
         f"Poisson-binomial DFT confidence intervals): {t_dndx:.0f} s; "
