@@ -95,18 +95,37 @@ def test_corrupted_files_fail_their_slot_only(tmp_path):
     names.append("good")
     paths.append(good)
 
-    if native_available():
-        w, f, nv, pm, lengths = read_spec_batch(paths, max_pixels=MAX_PIXELS)
-        assert lengths[-1] == 300  # the healthy rider parsed fully
-        for i, name in enumerate(names):
-            n = int(lengths[i])
-            assert -16 <= n <= MAX_PIXELS, f"{name}: insane length {n}"
-            py_n, py_arrays = _python_read(paths[i])
-            if n >= 0 and py_n == n and n > 0:
-                # both readers accepted it: they must agree bit-for-bit
-                # (a corrupt-but-parseable file is data, and divergence
-                # would mean one of them mis-parsed)
+    # the pure-python reader never crashes the process: every corpus
+    # entry either parses or raises a catchable exception.  This runs
+    # FIRST so python coverage survives a missing native toolchain.
+    python_results = {
+        name: _python_read(p) for name, p in zip(names, paths)
+    }
+
+    if not native_available():  # pragma: no cover - toolchain in CI
+        pytest.skip("native library unavailable (python half still ran)")
+
+    w, f, nv, pm, lengths = read_spec_batch(paths, max_pixels=MAX_PIXELS)
+    assert lengths[-1] == 300  # the healthy rider parsed fully
+    for i, name in enumerate(names):
+        n = int(lengths[i])
+        assert -16 <= n <= MAX_PIXELS, f"{name}: insane length {n}"
+        py_n, py_arrays = _python_read(paths[i])
+        if n >= 0 and py_n is not None:
+            # BOTH readers report success: they must agree on the row
+            # count (a wrong count from either IS the garbage-flows-
+            # into-a-successful-parse failure mode) and bit-for-bit on
+            # every value (a corrupt-but-parseable file is data)
+            assert py_n == n, (
+                f"{name}: readers disagree on length ({n} vs {py_n})"
+            )
+            if n > 0:
                 w_py, f_py, nv_py, pm_py = py_arrays
+                # rtol, not equality: C pow(10, x) and numpy 10**x may
+                # differ in the last ulp (same bound as test_native_io)
+                np.testing.assert_allclose(
+                    w[i, :n], np.float64(w_py), rtol=1e-12, err_msg=name
+                )
                 np.testing.assert_array_equal(
                     f[i, :n], np.float64(f_py), err_msg=name
                 )
@@ -116,13 +135,7 @@ def test_corrupted_files_fail_their_slot_only(tmp_path):
                     err_msg=name,
                 )
                 np.testing.assert_array_equal(pm[i, :n], pm_py, err_msg=name)
-    else:  # pragma: no cover - toolchain always present in CI
-        pytest.skip("native library unavailable")
-
-    # the pure-python reader never crashes the process either: every
-    # corpus entry either parses or raises a catchable exception
-    for name, p in zip(names, paths):
-        _python_read(p)
+    assert python_results  # (the python half ran on the same corpus)
 
 
 def test_row_boundary_truncation_raises(tmp_path):

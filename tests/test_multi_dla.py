@@ -287,11 +287,17 @@ def test_multi_matlab_roundtrip(multi_problem, tmp_path):
 
 def test_two_dla_pallas_full_lyman_series(multi_problem):
     """Pair kernel at num_lines=31 (the reference kernel's default,
-    voigt.c:266): the fresh axis's per-line windows must track all 31
-    line centers while the resampled axis accumulates its full-grid
-    optical depth, for BOTH absorbers of each pair.  Interpret mode
-    (the 31-line kernel does not lower on real v5e, CLAUDE.md); XLA f64
-    is the oracle."""
+    voigt.c:266), WINDOWED: the fresh axis's per-line fori_loop windows
+    must track all 31 line centers while the resampled axis accumulates
+    its full-grid optical depth, for BOTH absorbers of each pair.
+    Interpret mode (production gates 31-line runs to the faster
+    full-grid unroll, but the windowed loop kernel must stay correct);
+    XLA f64 is the oracle.
+
+    The offsets are drawn in a NARROW band so one 128-sample tile spans
+    a small pixel window: uniform [0,1] offsets at S <= tile make
+    compute_sample_window return None (window >= grid) and the test
+    would silently exercise the full-grid kernel instead."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -304,7 +310,7 @@ def test_two_dla_pallas_full_lyman_series(multi_problem):
     params31 = dataclasses.replace(params, num_lines=31)
     S = 96
     order = np.argsort(offsets[:S])
-    off = offsets[:S][order]
+    off = 0.30 + 0.15 * offsets[:S][order]  # narrow z band (see docstring)
     nh = nhis[:S][order]
     rng = np.random.default_rng(7)
     base = rng.integers(0, S, size=(len(spectra), S))
@@ -336,8 +342,18 @@ def test_two_dla_pallas_full_lyman_series(multi_problem):
         np.float64,
     )
 
+    # num_lines deliberately NOT passed: the production gate returns
+    # None above the unroll limit (a PERF choice — the windowed loop
+    # kernel is ~2x slower than the full-grid unroll); the window SIZE
+    # is line-independent (ops/voigt.py: every line's center spread is
+    # log10((1+z_hi)/(1+z_lo))/dex), so forcing a window here is the
+    # only way to pin the windowed 31-line pair numerics
     window = compute_sample_window(
-        off, 128, spectra.wavelengths.shape[1] + 2 * params31.instrument.width
+        off, 128, spectra.wavelengths.shape[1] + 2 * params31.instrument.width,
+        pixel_spacing=params31.instrument.pixel_spacing,
+    )
+    assert window is not None, (
+        "test premise broken: the windowed kernel is not being exercised"
     )
     fn_pl = make_batch_dla2_fn(
         model, params31, S, 48, min_sep, "pallas_interpret", window, tile=128
@@ -373,4 +389,3 @@ def test_base_sample_inds_chunking_bit_identical():
     np.testing.assert_array_equal(
         make_base_sample_inds(sll, row_chunk=77), full
     )
-    np.testing.assert_array_equal(make_base_sample_inds(sll), full)

@@ -46,24 +46,26 @@ def test_run_pipelined_threaded_overlaps_and_bounds():
     inflight = []
     n_inflight = 0
     lock = threading.Lock()
-    first_complete_entered = threading.Event()
-    later_dispatched = threading.Event()
+    d3_started = threading.Event()
 
     def dispatch(i):
         nonlocal n_inflight
         with lock:
             n_inflight += 1
             inflight.append(n_inflight)
-        if i >= 1:
-            later_dispatched.set()
+        if i == 3:
+            d3_started.set()
         return i * 10
 
     def complete(i, s):
         nonlocal n_inflight
-        if i == 0:
-            first_complete_entered.set()
-            # a slow fetch: dispatcher must run ahead DURING this wait
-            assert later_dispatched.wait(timeout=5.0), (
+        if i == 1:
+            # depth=3: dispatch(3)'s slot frees when complete(0) returns,
+            # so a THREADED dispatcher starts it while the caller is
+            # still inside complete(1) — a serial implementation would
+            # only reach dispatch(3) after complete(1) returns, so this
+            # wait genuinely distinguishes overlap from lookahead
+            assert d3_started.wait(timeout=5.0), (
                 "dispatch did not overlap a blocking complete"
             )
         completed.append((i, s))
@@ -145,12 +147,15 @@ def test_background_writer_ordered_and_raises():
 
     # ... or at a later submit, whichever comes first
     w2 = BackgroundWriter()
-    w2.submit(boom)
-    time.sleep(0.1)
-    with pytest.raises(OSError, match="disk full"):
-        for _ in range(50):
+    try:
+        w2.submit(boom)
+        deadline = time.time() + 10.0
+        while not w2._pending[0].done() and time.time() < deadline:
+            time.sleep(0.01)  # deterministic: wait for the failure to land
+        with pytest.raises(OSError, match="disk full"):
             w2.submit(time.sleep, 0)
-    w2._pool.shutdown(wait=True, cancel_futures=True)
+    finally:
+        w2._pool.shutdown(wait=True, cancel_futures=True)
 
 
 def test_background_writer_error_exit_does_not_mask(tmp_path):

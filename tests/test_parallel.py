@@ -225,7 +225,7 @@ def test_sharded_multi_dla_matches_single_device(problem, tmp_path):
 
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     rng = np.random.default_rng(11)
-    prior_num = prior_f.astype(int) + (rng.uniform(size=200) < 0.05)
+    prior_num = prior_f.astype(int) + (rng.uniform(size=prior_f.size) < 0.05)
 
     single = process_spectra_multi(
         model, offsets, nhis, spectra, prior_z, prior_num,
@@ -351,19 +351,32 @@ def test_two_process_distributed_matches_single(problem, tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     worker = Path(__file__).parent / "distributed_worker.py"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", addr, str(tmp_path)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
+    # worker output goes to FILES, not PIPEs: waiting on worker 0 while
+    # worker 1 fills a ~64 KB pipe buffer would block worker 1 mid-write
+    # inside a collective and deadlock both (they are gloo-coupled)
+    logs = [tmp_path / f"worker_{i}.log" for i in range(2)]
+    procs = []
+    for i in range(2):
+        with open(logs[i], "w") as fh:  # the child keeps its own fd
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(worker), str(i), "2", addr,
+                     str(tmp_path)],
+                    env=env, stdout=fh, stderr=subprocess.STDOUT, text=True,
+                )
+            )
+    try:
+        for p in procs:
+            p.wait(timeout=420)
+    finally:
+        for p in procs:  # no orphans on timeout/assert failure
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, (
+            f"worker {p.args} failed:\n{log.read_text()[-3000:]}"
         )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker {p.args} failed:\n{out}"
 
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     single = process_spectra(
