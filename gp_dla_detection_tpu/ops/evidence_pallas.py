@@ -16,8 +16,10 @@ entirely in VMEM — no (samples x pixels) intermediate ever touches HBM.
 
 Layout: the sample axis lives on the TPU *lane* dimension (tiles of
 128 samples), pixels on sublanes; the Gram accumulation is a
-(k^2, P) x (P, T) MXU contraction against the precomputed full
-pair-product matrix, so no in-kernel gather is needed to symmetrize.
+(k(k+1)/2, P) x (P, T) MXU contraction against the precomputed
+PACKED-lower-triangle pair-product matrix (210 rows at k=20 — only
+unique pairs; the Cholesky consumes the packed form directly), so no
+in-kernel gather is needed to symmetrize.
 
 Grid: (spectrum, sample_tile); per-spectrum blocks (wavelengths, model,
 pair products) are revisited across the sample-tile axis, which Pallas
@@ -348,6 +350,15 @@ def pallas_sample_log_likelihoods(
     if instrument is None:
         instrument = InstrumentParams()
     taps = tuple(float(t) for t in instrument.profile())
+    if ext_wavelengths.shape[-1] != flux.shape[-1] + 2 * instrument.width:
+        # a padding/width disagreement would pass every in-kernel bounds
+        # check (the taps loop reads raw[m:m+P] for any wider grid) and
+        # silently evaluate absorption a few pixels off its wavelength
+        raise ValueError(
+            f"ext_wavelengths has {ext_wavelengths.shape[-1]} px but flux "
+            f"has {flux.shape[-1]}; expected exactly 2*width="
+            f"{2 * instrument.width} convolution-padding pixels"
+        )
 
     # Tracing this kernel builds a deep Python expression stack (the
     # k=20 Cholesky/solve is fully unrolled: 210 dependent triangle

@@ -117,9 +117,16 @@ def voigt_absorption(
     nhi = jnp.asarray(nhi)
     dtype = wavelengths.dtype
 
-    scalar_sample = z_dla.ndim == 0
-    z = jnp.atleast_1d(z_dla).astype(dtype)[:, None]     # (S, 1)
-    column = jnp.atleast_1d(nhi).astype(dtype)[:, None]  # (S, 1)
+    # "scalar sample" only when BOTH are scalar: a scalar z with a
+    # vector nhi (a column-density sweep at fixed redshift) used to
+    # broadcast to an (S, n) batch and then silently return profile[0]
+    scalar_sample = z_dla.ndim == 0 and nhi.ndim == 0
+    z, column = jnp.broadcast_arrays(
+        jnp.atleast_1d(z_dla).astype(dtype),
+        jnp.atleast_1d(nhi).astype(dtype),
+    )
+    z = z[:, None]           # (S, 1)
+    column = column[:, None]  # (S, 1)
 
     sigma = jnp.asarray(lines.DOPPLER_SIGMA, dtype)
     inv_sqrt2_sigma = 1.0 / (_SQRT_2 * sigma)
@@ -196,6 +203,15 @@ def voigt_absorption_windowed(
 
     wavelengths = jnp.asarray(padded_wavelengths)
     dtype = wavelengths.dtype
+    if dtype != jnp.float32:
+        # the documented contract ("float32 fast mode only"): the fast
+        # Faddeeva path here is ~6.6e-6 relative, above the 1e-6 parity
+        # bound f64 runs are held to — silently serving it to an f64
+        # oracle would masquerade as a numerics regression
+        raise ValueError(
+            "voigt_absorption_windowed is the float32 fast path; use "
+            f"voigt_absorption for dtype={dtype} (accurate Faddeeva)"
+        )
     z = jnp.atleast_1d(z_dla_sorted).astype(dtype)[:, None]   # (S, 1)
     column = jnp.atleast_1d(nhi).astype(dtype)[:, None]
     P6 = wavelengths.shape[-1]

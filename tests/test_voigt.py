@@ -141,3 +141,35 @@ def test_broadening_conserves_unit_continuum():
     raw = np.ones((3, 50))
     out = np.asarray(instrumental_broadening(raw, InstrumentParams()))
     np.testing.assert_allclose(out, 1.0, rtol=1e-12)
+
+
+def test_scalar_z_vector_nhi_broadcasts():
+    """Regression (code review): a column-density sweep at fixed z used
+    to key 'scalar sample' on z alone and silently return only the
+    first nhi's profile."""
+    lam = 10 ** (np.log10(3650.0) + 1e-4 * np.arange(200))
+    both = np.asarray(voigt_absorption(lam, 2.0, np.array([1e20, 1e22])))
+    assert both.shape == (2, 194)
+    one = np.asarray(voigt_absorption(lam, 2.0, 1e22))
+    np.testing.assert_array_equal(both[1], one)
+    assert not np.allclose(both[0], both[1])
+    # the symmetric case: vector z, scalar nhi
+    zs = np.asarray(voigt_absorption(lam, np.array([2.0, 2.05]), 1e21))
+    assert zs.shape == (2, 194)
+    # scalar-scalar still returns a 1-D profile
+    assert np.asarray(voigt_absorption(lam, 2.0, 1e21)).shape == (194,)
+
+
+def test_windowed_rejects_float64():
+    """voigt_absorption_windowed is the float32 fast path (~6.6e-6 rel);
+    silently serving it to an f64 parity run would masquerade as a
+    numerics regression — it must refuse loudly."""
+    import pytest
+
+    from gp_dla_detection_tpu.ops.voigt import voigt_absorption_windowed
+
+    lam = 10 ** (np.log10(3650.0) + 1e-4 * np.arange(200))
+    with pytest.raises(ValueError, match="float32 fast path"):
+        voigt_absorption_windowed(
+            lam, np.array([2.0, 2.01]), np.array([1e20, 1e20])
+        )
