@@ -195,7 +195,7 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
 def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
                 num_samples: int = 10000, pixels: int = 1274, k: int = 20,
                 backend: str = "pallas", checkpoint: bool = True,
-                pipeline_depth: int = 4) -> None:
+                pipeline_depth: int = 4, lean: bool = False) -> None:
     """Sustained END-TO-END throughput through the production sharded
     driver: device_put + execute + f16 result streaming + background
     checkpointing per super-batch — everything a survey run pays, not
@@ -241,6 +241,7 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
             per_device_batch=per_device_batch, backend=backend,
             dtype="float32", stream_dtype="float16",
             checkpoint_dir=ckpt_dir, pipeline_depth=pipeline_depth,
+            store_sample_likelihoods=not lean,
         )
         return process_spectra_sharded(
             model, prob["offsets"], prob["nhis"], spectra.slice(sl),
@@ -269,7 +270,10 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
         json.dumps(
             {
                 "metric": "spectra/sec/chip (sustained end-to-end driver, "
-                f"{num_samples} QMC samples, f16 streaming, checkpointing)",
+                f"{num_samples} QMC samples, "
+                + ("lean device-reduced results"
+                   if lean else "f16 streaming")
+                + ", checkpointing)",
                 "value": round(value, 3),
                 "unit": "spectra/s",
                 "mesh_chips": n_chips,
@@ -300,12 +304,15 @@ if __name__ == "__main__":
                    help="--driver: disable per-batch checkpointing")
     p.add_argument("--pipeline-depth", type=int, default=4,
                    help="--driver: super-batches in flight (1 = serial)")
+    p.add_argument("--lean", action="store_true",
+                   help="--driver: catalog-only mode — evidence + MAP "
+                        "reduced on device, no (B, S) matrix fetch")
     a = p.parse_args()
     wait_for_backend()
     if a.driver:
         main_driver(a.n_spectra, a.batch_size, a.num_samples, a.pixels, a.k,
                     a.backend or "pallas", not a.no_checkpoint,
-                    a.pipeline_depth)
+                    a.pipeline_depth, lean=a.lean)
     else:
         main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk,
              a.iters, a.backend or "auto")

@@ -153,6 +153,13 @@ class DLACatalogue:
         )
         with np.load(workdir / fname) as f:
             results = {k: f[k] for k in f.files}
+        if "sample_log_likelihoods_dla" not in results:
+            raise ValueError(
+                f"{fname} was written by a lean (catalog-only) run and "
+                "has no sample_log_likelihoods_dla matrix; the CDDF "
+                "marginalizes posterior sample weights (calc_cddf.py) — "
+                "rerun inference with store_sample_likelihoods=True"
+            )
         if multi:
             kwargs.setdefault(
                 "sample_log_likelihoods_2",

@@ -118,11 +118,20 @@ def write_ascii_catalog(
                     ),
                 )
             )
-            sample_lls = results.sample_log_likelihoods_dla[i]
-            # all-NaN rows (degenerate spectra) fall back to index 0,
-            # like the reference's nanmax (generate_ascii_catalog.m:74)
-            finite = np.isfinite(sample_lls)
-            map_ind = int(np.nanargmax(sample_lls)) if finite.any() else 0
+            if results.sample_log_likelihoods_dla is None:
+                # lean (catalog-only) run: the argmax was reduced on
+                # device with the same NaN->-inf / all-NaN->0 semantics
+                # (parallel/streaming.pack_lean)
+                map_ind = int(results.map_sample_inds[i])
+            else:
+                sample_lls = results.sample_log_likelihoods_dla[i]
+                # all-NaN rows (degenerate spectra) fall back to index
+                # 0, like the reference's nanmax
+                # (generate_ascii_catalog.m:74)
+                finite = np.isfinite(sample_lls)
+                map_ind = (
+                    int(np.nanargmax(sample_lls)) if finite.any() else 0
+                )
             map_z_dla = results.min_z_dlas[i] + (
                 results.max_z_dlas[i] - results.min_z_dlas[i]
             ) * samples.offset_samples[map_ind]

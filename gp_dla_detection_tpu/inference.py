@@ -916,7 +916,14 @@ def batch_log_likelihoods(
 
 @dataclass
 class InferenceResults:
-    """Everything processed_qsos_<set>.mat stores (process_qsos.m:235-243)."""
+    """Everything processed_qsos_<set>.mat stores (process_qsos.m:235-243).
+
+    Lean (catalog-only) runs — ShardedRunConfig(store_sample_likelihoods
+    =False) — carry ``sample_log_likelihoods_dla=None`` and instead hold
+    the device-reduced ``map_sample_inds``; everything a DLA *catalog*
+    needs is present, while posterior-sample consumers (the two-DLA
+    stage, the CDDF analysis) raise a clear error.
+    """
 
     min_z_dlas: np.ndarray
     max_z_dlas: np.ndarray
@@ -924,12 +931,15 @@ class InferenceResults:
     log_priors_dla: np.ndarray
     log_likelihoods_no_dla: np.ndarray
     log_likelihoods_dla: np.ndarray
-    sample_log_likelihoods_dla: np.ndarray  # (N, num_dla_samples)
+    sample_log_likelihoods_dla: np.ndarray | None  # (N, num_dla_samples)
     log_posteriors_no_dla: np.ndarray
     log_posteriors_dla: np.ndarray
     model_posteriors: np.ndarray            # (N, 2): [no_dla, dla]
     p_no_dlas: np.ndarray
     p_dlas: np.ndarray
+    # per-spectrum argmax over samples, device-reduced on lean runs
+    # (None otherwise: the catalog writer argmaxes the matrix directly)
+    map_sample_inds: np.ndarray | None = None
 
     def save(self, path: str | Path) -> None:
         from .utils.atomic_io import atomic_savez
@@ -939,17 +949,25 @@ class InferenceResults:
         # the (N, S) log-likelihood matrix dominates the file and is
         # high-entropy (zlib gains ~2% for minutes of CPU at survey
         # scale — measured 41 MB compressed vs 40 MB raw per 1024-row
-        # block).
+        # block).  None fields (lean runs / full runs' map inds) are
+        # simply omitted; load() restores them as None.
         atomic_savez(
             path,
             compress=False,
-            **{f.name: getattr(self, f.name) for f in dataclasses.fields(self)},
+            **{
+                f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self)
+                if getattr(self, f.name) is not None
+            },
         )
 
     @classmethod
     def load(cls, path: str | Path) -> "InferenceResults":
         with np.load(Path(path)) as f:
-            return cls(**{k: f[k] for k in f.files})
+            data = {k: f[k] for k in f.files}
+        for fld in dataclasses.fields(cls):
+            data.setdefault(fld.name, None)
+        return cls(**data)
 
 
 def finalize_posteriors(
@@ -968,7 +986,25 @@ def finalize_posteriors(
     log_likelihoods_dla = max_ll + np.log(
         np.mean(np.exp(sample_lls - max_ll[:, None]), axis=-1)
     )
+    return posteriors_from_evidence(
+        log_priors_no_dla,
+        log_priors_dla,
+        log_likelihoods_no_dla,
+        log_likelihoods_dla,
+    )
 
+
+def posteriors_from_evidence(
+    log_priors_no_dla,
+    log_priors_dla,
+    log_likelihoods_no_dla,
+    log_likelihoods_dla,
+):
+    """Model posteriors from already-aggregated evidences — the second
+    half of :func:`finalize_posteriors`, used directly by lean
+    (catalog-only) runs whose evidence was reduced on device
+    (parallel/streaming.pack_lean)."""
+    log_likelihoods_dla = np.asarray(log_likelihoods_dla)
     log_posteriors_no_dla = log_priors_no_dla + log_likelihoods_no_dla
     log_posteriors_dla = log_priors_dla + log_likelihoods_dla
 

@@ -104,6 +104,14 @@ def write_processed_mat(results, test_ind, path: str | Path) -> None:
     """Export InferenceResults as processed_qsos_*.mat
     (process_qsos.m:235-249 fields, in the orientation
     calc_cddf.py:59-99 reads: per-spectrum axis last)."""
+    if results.sample_log_likelihoods_dla is None:
+        raise ValueError(
+            "the processed-qsos .mat format carries the full "
+            "sample_log_likelihoods_dla matrix (process_qsos.m:240), "
+            "which a lean (catalog-only) run never stores — rerun with "
+            "store_sample_likelihoods=True to export for the reference "
+            "analysis code"
+        )
     S = results.sample_log_likelihoods_dla.shape[1]
     col = lambda a: np.asarray(a).reshape(-1, 1)  # MATLAB column vector:
     # process_qsos.m:74-86 allocates per-quasar results as (N, 1), which

@@ -235,6 +235,9 @@ class MultiDLAResults:
         payload = {
             f.name: getattr(self.single, f.name)
             for f in dataclasses.fields(type(self.single))
+            # None fields (a full run's map_sample_inds) have no npz
+            # representation; load() restores them as None
+            if getattr(self.single, f.name) is not None
         }
         payload.update(
             sample_log_likelihoods_dla2=self.sample_log_likelihoods_dla2,
@@ -484,6 +487,13 @@ def process_spectra_multi(
             prior_z_qsos, np.asarray(prior_num_dlas) >= 1,
             params=params, batch_size=batch_size, sample_chunk=sample_chunk,
             dtype=dtype, backend=backend if use_pallas else "xla",
+        )
+    elif single.sample_log_likelihoods_dla is None:
+        raise ValueError(
+            "two-stage {0,1,2}-DLA selection resamples the base absorber "
+            "from the single-stage sample likelihoods, which a lean "
+            "(catalog-only) run never stores — rerun the single stage "
+            "with ShardedRunConfig(store_sample_likelihoods=True)"
         )
     elif len(single.p_dlas) != n or single.sample_log_likelihoods_dla.shape[1] != S:
         raise ValueError(

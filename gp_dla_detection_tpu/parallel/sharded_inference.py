@@ -45,6 +45,7 @@ from .mesh import (
 )
 from .streaming import (
     checkpoint_payload,
+    pack_lean,
     pack_rows,
     reconstruct_rows,
     rows_from_checkpoint,
@@ -69,7 +70,10 @@ def run_fingerprint(dtype, config, params, model, offsets, nhis, extra=()):
     h = hashlib.md5()
     h.update(
         f"{np.dtype(dtype)}|{config.stream_dtype}|{config.backend}|"
-        f"{config.windowed_voigt}|{config.sample_chunk}".encode()
+        f"{config.windowed_voigt}|{config.sample_chunk}|"
+        # getattr: pair-stage callers fingerprint with a minimal config
+        # namespace (multi_dla.py) that always stores the matrix
+        f"{getattr(config, 'store_sample_likelihoods', True)}".encode()
     )
     h.update(params.to_json().encode())
     for a in (
@@ -111,6 +115,16 @@ class ShardedRunConfig:
     # with result fetches (both block the host through a remote tunnel);
     # False re-serializes them on the calling thread (the r3a behaviour)
     dispatch_thread: bool = True
+    # False = "lean" catalog-only mode: the (B, num_samples) matrices
+    # are reduced ON DEVICE to per-spectrum evidence + MAP sample index
+    # (streaming.pack_lean) and never fetched or stored — results carry
+    # sample_log_likelihoods_dla=None and checkpoints shrink from
+    # ~20 MB/batch to a few KB.  Everything the reference's DLA catalog
+    # output needs survives (process_qsos.m:235-243 consumers that
+    # only read evidences/posteriors/MAP); the two-DLA stage and the
+    # CDDF analysis need the matrix and raise a clear error on lean
+    # results.
+    store_sample_likelihoods: bool = True
 
 
 def process_spectra_sharded(
@@ -174,10 +188,12 @@ def process_spectra_sharded(
         and dtype == np.float32
     )
     unsort_cols = None
+    sort_order = None  # sorted-column index -> original sample index
     offsets_host = np.asarray(offset_samples, dtype)
     nhis_host = np.asarray(nhi_samples, dtype)
     if pallas_sample_sharded:
         order = np.argsort(offsets_host, kind="stable")
+        sort_order = order
         unsort_cols = np.argsort(order, kind="stable")
         offsets_host = offsets_host[order]
         nhis_host = nhis_host[order]
@@ -233,11 +249,22 @@ def process_spectra_sharded(
     if ckpt_dir:
         ckpt_dir.mkdir(parents=True, exist_ok=True)
 
+    lean = not config.store_sample_likelihoods
+    if lean and num_samples >= 1 << 24:
+        # the MAP index rides the stacked small-vector fetch as float32
+        raise ValueError(
+            f"lean mode supports < 2**24 samples (got {num_samples})"
+        )
     out_null = np.empty(n)
     # the (N, S) sample matrix is the dominant host-memory term at
     # survey scale (162k x 10k f32 = 6.5 GB; f64 would double it for
-    # values computed at the run dtype anyway) — store at that dtype
-    out_samples = np.empty((n, num_samples), np.dtype(dtype))
+    # values computed at the run dtype anyway) — store at that dtype.
+    # Lean runs never materialize it at all.
+    out_samples = (
+        None if lean else np.empty((n, num_samples), np.dtype(dtype))
+    )
+    out_evidence = np.empty(n) if lean else None
+    out_map = np.empty(n, np.int64) if lean else None
     out_min_z = np.empty(n)
     out_max_z = np.empty(n)
 
@@ -340,12 +367,18 @@ def process_spectra_sharded(
         if bi in done and ckpt_file and ckpt_file.exists():
             with np.load(ckpt_file) as f:
                 out_null[start:stop] = f["log_likelihood_no_dla"]
-                # wire-format checkpoints reconstruct exactly as the
-                # live fetch path does (bit-identical resume)
-                out_samples[start:stop] = rows_from_checkpoint(
-                    f, "sample_ll_resid", "sample_ll_row_max",
-                    "sample_log_likelihoods_dla",
-                )
+                if lean:
+                    # lean checkpoints store the device-reduced vectors
+                    # (the matrix never existed on the host)
+                    out_evidence[start:stop] = f["log_likelihood_dla"]
+                    out_map[start:stop] = f["map_sample_ind"]
+                else:
+                    # wire-format checkpoints reconstruct exactly as the
+                    # live fetch path does (bit-identical resume)
+                    out_samples[start:stop] = rows_from_checkpoint(
+                        f, "sample_ll_resid", "sample_ll_row_max",
+                        "sample_log_likelihoods_dla",
+                    )
                 out_min_z[start:stop] = f["min_z_dla"]
                 out_max_z[start:stop] = f["max_z_dla"]
             if meter is not None:
@@ -379,20 +412,31 @@ def process_spectra_sharded(
         # while z ranges may be f32) promote for the stack and are cast
         # back exactly on the host — float widening round-trips bit-for-
         # bit, so checkpoints stay identical to the unstacked format.
-        rows = pack_rows(
-            out["sample_log_likelihoods_dla"], config.stream_dtype
-        )
         small = [
             out["log_likelihood_no_dla"],
             out["min_z_dla"],
             out["max_z_dla"],
         ]
-        if rows[0] == "packed":
-            small.append(rows[2])  # f32 row max rides the small stack
+        if lean:
+            # catalog-only mode: reduce the matrix ON DEVICE to the
+            # evidence + MAP index and drop it — nothing (B, S)-sized
+            # ever crosses the wire or touches the host
+            evidence, map_f32 = pack_lean(
+                out["sample_log_likelihoods_dla"]
+            )
+            tag, wire = "lean", None
+            small += [evidence, map_f32]
+        else:
+            rows = pack_rows(
+                out["sample_log_likelihoods_dla"], config.stream_dtype
+            )
+            tag, wire = rows[0], rows[1]
+            if tag == "packed":
+                small.append(rows[2])  # f32 row max rides the stack
         dtypes = tuple(a.dtype for a in small)
         wide = jnp.result_type(*dtypes)
         stacked = jnp.stack([a.astype(wide) for a in small])
-        return rows[0], rows[1], stacked, dtypes
+        return tag, wire, stacked, dtypes
 
     import os
     import time as _time
@@ -435,11 +479,12 @@ def process_spectra_sharded(
         small = [
             np.asarray(smalls[i], dtype=dt) for i, dt in enumerate(dtypes)
         ]
-        rows_host = (
-            ("plain", fetch_global(wire))
-            if tag == "plain"
-            else ("packed", fetch_global(wire), small[3])
-        )
+        if tag == "plain":
+            rows_host = ("plain", fetch_global(wire))
+        elif tag == "packed":
+            rows_host = ("packed", fetch_global(wire), small[3])
+        else:  # lean: no wire matrix; vectors rode the small stack
+            rows_host = ("lean", small[3], small[4])
         return small[0], rows_host, small[1], small[2]
 
     def write_checkpoint(ckpt_file, bi, null_ll, rows_host, min_z, max_z):
@@ -449,10 +494,17 @@ def process_spectra_sharded(
         # Checkpoints keep the f16 wire format (resid + row max) when
         # the run streamed one — half the bytes, no recompression of
         # high-entropy data — and skip zlib entirely (atomic_io note).
-        payload = checkpoint_payload(
-            rows_host, "sample_ll_resid", "sample_ll_row_max",
-            "sample_log_likelihoods_dla",
-        )
+        # Lean checkpoints store just the device-reduced vectors.
+        if rows_host[0] == "lean":
+            payload = {
+                "log_likelihood_dla": rows_host[1],
+                "map_sample_ind": rows_host[2],
+            }
+        else:
+            payload = checkpoint_payload(
+                rows_host, "sample_ll_resid", "sample_ll_row_max",
+                "sample_log_likelihoods_dla",
+            )
         atomic_savez(
             ckpt_file,
             compress=False,
@@ -485,7 +537,17 @@ def process_spectra_sharded(
             ~1 s/batch of host work from the dispatch/fetch critical
             path (measured via GPDLA_DRIVER_TIMING)."""
             keep = stop - start
-            if unsort_cols is not None:
+            if rows_host[0] == "lean":
+                # vectors, not a matrix: the evidence is column-order-
+                # invariant; the MAP index was taken in z-sorted sample
+                # space when the sample axis is sharded — translate it
+                # back to the original sample numbering
+                evidence = np.asarray(rows_host[1][:keep], np.float64)
+                map_idx = np.asarray(rows_host[2][:keep]).astype(np.int64)
+                if sort_order is not None:
+                    map_idx = sort_order[map_idx]
+                rows_host = ("lean", evidence, map_idx)
+            elif unsort_cols is not None:
                 # columns arrive in global z-sorted order (sample-axis
                 # sharding pre-sorts on the host) — restore sample order
                 # in the wire representation so checkpoints and results
@@ -499,14 +561,19 @@ def process_spectra_sharded(
                         rows_host[2],
                     )
                 )
-            rows_host = tuple(
-                a[:keep] if isinstance(a, np.ndarray) else a
-                for a in rows_host
-            )
+            if rows_host[0] != "lean":
+                rows_host = tuple(
+                    a[:keep] if isinstance(a, np.ndarray) else a
+                    for a in rows_host
+                )
             null_ll = null_ll[:keep]
             min_z, max_z = min_z[:keep], max_z[:keep]
             out_null[start:stop] = null_ll
-            out_samples[start:stop] = reconstruct_rows(rows_host)
+            if rows_host[0] == "lean":
+                out_evidence[start:stop] = rows_host[1]
+                out_map[start:stop] = rows_host[2]
+            else:
+                out_samples[start:stop] = reconstruct_rows(rows_host)
             out_min_z[start:stop] = min_z
             out_max_z[start:stop] = max_z
             if ckpt_file and is_coordinator():
@@ -546,7 +613,16 @@ def process_spectra_sharded(
             threaded=config.dispatch_thread and jax.process_count() == 1,
         )
 
-    post = finalize_posteriors(log_p_no_dla, log_p_dla, out_null, out_samples)
+    if lean:
+        from ..inference import posteriors_from_evidence
+
+        post = posteriors_from_evidence(
+            log_p_no_dla, log_p_dla, out_null, out_evidence
+        )
+    else:
+        post = finalize_posteriors(
+            log_p_no_dla, log_p_dla, out_null, out_samples
+        )
     return InferenceResults(
         min_z_dlas=out_min_z,
         max_z_dlas=out_max_z,
@@ -555,6 +631,7 @@ def process_spectra_sharded(
         log_likelihoods_no_dla=out_null,
         log_likelihoods_dla=post["log_likelihoods_dla"],
         sample_log_likelihoods_dla=out_samples,
+        map_sample_inds=out_map,
         log_posteriors_no_dla=post["log_posteriors_no_dla"],
         log_posteriors_dla=post["log_posteriors_dla"],
         model_posteriors=post["model_posteriors"],

@@ -30,12 +30,42 @@ from .mesh import fetch_global
 __all__ = [
     "fetch_rows",
     "pack_rows",
+    "pack_lean",
     "fetch_packed_rows",
     "fetch_packed_host",
     "reconstruct_rows",
     "checkpoint_payload",
     "rows_from_checkpoint",
 ]
+
+
+@jax.jit
+def pack_lean(sll):
+    """Per-spectrum reduction of a (B, S) sample-likelihood matrix for
+    catalog-only ("lean") runs: the DLA evidence and the MAP sample
+    index, computed ON DEVICE so the matrix never crosses the wire.
+
+    The evidence is the same max + log(mean(exp(ll - max))) form as
+    :func:`gp_dla_detection_tpu.inference.finalize_posteriors`
+    (process_qsos.m:200-232), evaluated at the run dtype from the exact
+    device values (no f16 wire round trip — lean evidences are at least
+    as accurate as full-mode ones).  NaN rows propagate to a NaN
+    evidence exactly like the host np.max/np.mean path.  The MAP index
+    treats NaN as -inf and falls back to 0 on all-NaN rows, matching
+    the catalog writer's np.nanargmax + guard
+    (ascii_catalog.py, generate_ascii_catalog.m:74).
+
+    Returns (evidence (B,), map_index (B,) as float32 — exact for any
+    S < 2**24; stacked with the other per-spectrum vectors into one
+    fetch round trip by the sharded driver).
+    """
+    finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
+    map_ind = jnp.argmax(finite, axis=1)
+    row_max = jnp.max(sll, axis=1)  # NaN propagates, like np.max
+    evidence = row_max + jnp.log(
+        jnp.mean(jnp.exp(sll - row_max[:, None]), axis=1)
+    )
+    return evidence, map_ind.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("wire_dtype",))

@@ -56,6 +56,12 @@ class PipelineConfig:
     # True = default dir / $GPDLA_JAX_CACHE_DIR, a str = that dir,
     # False = leave jax untouched
     compilation_cache: bool | str = True
+    # False = lean catalog-only inference: per-spectrum evidence + MAP
+    # are reduced on device and the (N, num_samples) matrix is never
+    # fetched or stored (no .mat export, no multi-DLA stage, no CDDF —
+    # see ShardedRunConfig.store_sample_likelihoods); the results npz
+    # shrinks from ~6.5 GB to ~10 MB at DR12Q scale
+    store_sample_likelihoods: bool = True
 
     def __post_init__(self):
         # fail at config time, not hours into the run
@@ -65,6 +71,14 @@ class PipelineConfig:
             raise ValueError(
                 "backend='pallas' is float32-only; use dtype='float32' "
                 "or backend='xla' for float64 parity mode"
+            )
+        if not self.store_sample_likelihoods and (
+            self.multi_dla or self.export_matlab
+        ):
+            raise ValueError(
+                "store_sample_likelihoods=False (lean catalog-only "
+                "inference) cannot feed the multi-DLA stage or the "
+                ".mat export — both need the sample-likelihood matrix"
             )
 
 
@@ -216,16 +230,32 @@ class Pipeline:
             # with a new mask downstream (ascii/snrs/analysis)
             mask_path = self.workdir / "test_mask.npz"
             stale = False
+            why = "test selection changed since the cached inference run"
             if mask_path.exists():
                 with np.load(mask_path) as f:
                     stale = not np.array_equal(f["test_mask"], test_mask)
             if not stale:
-                return InferenceResults.load(self.results_path)
+                cached = InferenceResults.load(self.results_path)
+                # a lean artifact must not satisfy a full-matrix request
+                # (and vice versa — the two carry different fields)
+                if (cached.sample_log_likelihoods_dla is None) == (
+                    not self.config.store_sample_likelihoods
+                ):
+                    return cached
+                why = (
+                    "cached inference artifact is "
+                    + (
+                        "lean (no sample matrix)"
+                        if cached.sample_log_likelihoods_dla is None
+                        else "full"
+                    )
+                    + " but this config requests the other form"
+                )
             import warnings
 
             warnings.warn(
-                "test selection changed since the cached inference run; "
-                "recomputing (stale results + batch checkpoints dropped)",
+                f"{why}; recomputing (stale results + batch checkpoints "
+                "dropped)",
                 stacklevel=2,
             )
             force = True
@@ -268,6 +298,9 @@ class Pipeline:
                 dtype=self.config.dtype,
                 backend=self.config.backend,
                 checkpoint_dir=str(self.workdir / "inference_ckpt"),
+                store_sample_likelihoods=(
+                    self.config.store_sample_likelihoods
+                ),
             ),
         )
         results.save(self.results_path)
