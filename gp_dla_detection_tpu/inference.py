@@ -961,12 +961,27 @@ class InferenceResults:
             },
         )
 
+    # the ONLY fields save() may legitimately omit (lean runs omit the
+    # matrix; full runs omit the device-reduced MAP) — any other
+    # missing key is a corrupt/incompatible artifact and must fail
+    # loudly, not default to None
+    _OPTIONAL_FIELDS = ("sample_log_likelihoods_dla", "map_sample_inds")
+
     @classmethod
     def load(cls, path: str | Path) -> "InferenceResults":
         with np.load(Path(path)) as f:
             data = {k: f[k] for k in f.files}
-        for fld in dataclasses.fields(cls):
-            data.setdefault(fld.name, None)
+        for name in cls._OPTIONAL_FIELDS:
+            data.setdefault(name, None)
+        missing = [
+            fld.name
+            for fld in dataclasses.fields(cls)
+            if fld.name not in data
+        ]
+        if missing:
+            raise ValueError(
+                f"{path} is not a results artifact: missing {missing}"
+            )
         return cls(**data)
 
 

@@ -544,8 +544,13 @@ def process_spectra_sharded(
                 # back to the original sample numbering
                 evidence = np.asarray(rows_host[1][:keep], np.float64)
                 map_idx = np.asarray(rows_host[2][:keep]).astype(np.int64)
+                no_finite = map_idx < 0  # pack_lean's no-finite-row flag
                 if sort_order is not None:
-                    map_idx = sort_order[map_idx]
+                    map_idx = sort_order[np.where(no_finite, 0, map_idx)]
+                # the catalog fallback index is 0 in ORIGINAL sample
+                # numbering (ascii_catalog semantics), so it is applied
+                # after the sort translation, not before
+                map_idx[no_finite] = 0
                 rows_host = ("lean", evidence, map_idx)
             elif unsort_cols is not None:
                 # columns arrive in global z-sorted order (sample-axis

@@ -85,6 +85,21 @@ def process_spectra_multi_sharded(
             f"float64 parity mode (got dtype={dtype})"
         )
 
+    # fail at config time, not after an hours-long single stage: the
+    # pair stage resamples base absorbers from the single-stage sample
+    # matrix, which a lean run never stores (same guard as the
+    # single-host process_spectra_multi)
+    if not config.store_sample_likelihoods or (
+        single is not None and single.sample_log_likelihoods_dla is None
+    ):
+        raise ValueError(
+            "two-stage {0,1,2}-DLA selection resamples the base absorber "
+            "from the single-stage sample likelihoods, which a lean "
+            "(catalog-only) run never stores — use "
+            "ShardedRunConfig(store_sample_likelihoods=True) and a "
+            "non-lean precomputed `single`"
+        )
+
     offsets = np.asarray(offset_samples)
     nhis = np.asarray(nhi_samples)
     S = len(offsets)

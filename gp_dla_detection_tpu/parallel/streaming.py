@@ -51,16 +51,22 @@ def pack_lean(sll):
     device values (no f16 wire round trip — lean evidences are at least
     as accurate as full-mode ones).  NaN rows propagate to a NaN
     evidence exactly like the host np.max/np.mean path.  The MAP index
-    treats NaN as -inf and falls back to 0 on all-NaN rows, matching
-    the catalog writer's np.nanargmax + guard
-    (ascii_catalog.py, generate_ascii_catalog.m:74).
+    treats NaN as -inf; rows with NO finite entry return -1, which the
+    driver resolves to original index 0 AFTER any sample-sort
+    translation — matching the catalog writer's np.nanargmax + guard
+    (ascii_catalog.py, generate_ascii_catalog.m:74; a raw argmax of 0
+    would otherwise be translated to the lowest-z sample on
+    sample-sharded meshes).
 
     Returns (evidence (B,), map_index (B,) as float32 — exact for any
     S < 2**24; stacked with the other per-spectrum vectors into one
     fetch round trip by the sharded driver).
     """
     finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
-    map_ind = jnp.argmax(finite, axis=1)
+    best = jnp.max(finite, axis=1)
+    map_ind = jnp.where(
+        jnp.isfinite(best), jnp.argmax(finite, axis=1), -1
+    )
     row_max = jnp.max(sll, axis=1)  # NaN propagates, like np.max
     evidence = row_max + jnp.log(
         jnp.mean(jnp.exp(sll - row_max[:, None]), axis=1)

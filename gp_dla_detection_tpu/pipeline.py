@@ -236,20 +236,19 @@ class Pipeline:
                     stale = not np.array_equal(f["test_mask"], test_mask)
             if not stale:
                 cached = InferenceResults.load(self.results_path)
-                # a lean artifact must not satisfy a full-matrix request
-                # (and vice versa — the two carry different fields)
-                if (cached.sample_log_likelihoods_dla is None) == (
-                    not self.config.store_sample_likelihoods
+                # a full artifact is a strict superset of a lean
+                # request — serve it rather than destroying a
+                # (potentially multi-GB, hours-of-TPU) result to
+                # recompute less.  Only the lean->full direction
+                # genuinely lacks data and must recompute.
+                if (
+                    cached.sample_log_likelihoods_dla is not None
+                    or not self.config.store_sample_likelihoods
                 ):
                     return cached
                 why = (
-                    "cached inference artifact is "
-                    + (
-                        "lean (no sample matrix)"
-                        if cached.sample_log_likelihoods_dla is None
-                        else "full"
-                    )
-                    + " but this config requests the other form"
+                    "cached inference artifact is lean (no sample "
+                    "matrix) but this config requests the full form"
                 )
             import warnings
 

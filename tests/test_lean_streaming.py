@@ -65,8 +65,9 @@ def test_lean_matches_full(problem):
 
 def test_pack_lean_nan_semantics():
     """NaN rows: evidence propagates NaN like the host np.max/np.mean
-    path; the MAP index treats NaN as -inf and falls back to 0 on
-    all-NaN rows (ascii_catalog semantics)."""
+    path; the MAP index treats NaN as -inf and flags no-finite rows as
+    -1 (the driver resolves that to ORIGINAL index 0 after any sample-
+    sort translation — ascii_catalog semantics)."""
     import jax.numpy as jnp
 
     from gp_dla_detection_tpu.parallel.streaming import pack_lean
@@ -75,7 +76,8 @@ def test_pack_lean_nan_semantics():
         [
             [1.0, 3.0, 2.0],
             [np.nan, -1.0, -2.0],   # partial NaN: argmax skips it
-            [np.nan, np.nan, np.nan],  # all NaN: index 0
+            [np.nan, np.nan, np.nan],  # all NaN: no finite entry
+            [-np.inf, -np.inf, -np.inf],  # all -inf: no finite entry
         ]
     )
     evidence, map_f32 = pack_lean(jnp.asarray(rows))
@@ -86,7 +88,7 @@ def test_pack_lean_nan_semantics():
         evidence[0], max0 + np.log(np.mean(np.exp(rows[0] - max0)))
     )
     assert np.isnan(evidence[1]) and np.isnan(evidence[2])  # like np.max
-    assert map_idx.tolist() == [1, 1, 0]
+    assert map_idx.tolist() == [1, 1, -1, -1]
 
 
 def test_lean_checkpoint_resume(problem, tmp_path):
@@ -140,6 +142,75 @@ def test_lean_sample_axis_sharding(problem):
     np.testing.assert_allclose(
         lean.log_likelihoods_dla, single.log_likelihoods_dla, rtol=2e-4
     )
+
+
+def test_lean_no_finite_row_falls_back_to_original_index_zero(problem):
+    """A spectrum whose sample likelihoods have no finite entry must get
+    MAP index 0 in ORIGINAL sample numbering even on a sample-sharded
+    mesh (where the device argmax runs in z-sorted space and a naive
+    translation would yield the lowest-z sample instead)."""
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    from gp_dla_detection_tpu.inference import PaddedSpectra
+
+    # fully masked spectrum -> all-NaN likelihood row (known edge)
+    mask = np.array(spectra.mask)
+    mask[3] = False
+    broken = PaddedSpectra(
+        spectra.wavelengths, spectra.flux, spectra.noise_variance,
+        mask, spectra.z_qso,
+    )
+    lean = process_spectra_sharded(
+        model, offsets, nhis, broken, prior_z, prior_f,
+        params=params, mesh=make_mesh(sample_parallelism=2),
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float32",
+            backend="pallas_interpret", store_sample_likelihoods=False,
+        ),
+    )
+    assert not np.isfinite(lean.log_likelihoods_dla[3])
+    assert lean.map_sample_inds[3] == 0
+    assert (lean.map_sample_inds >= 0).all()
+
+
+def test_lean_guard_in_sharded_pair_driver(problem):
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    from gp_dla_detection_tpu.parallel.sharded_multi import (
+        process_spectra_multi_sharded,
+    )
+
+    # config-time rejection: BEFORE any single-stage compute
+    with pytest.raises(ValueError, match="lean"):
+        process_spectra_multi_sharded(
+            model, offsets, nhis, spectra, prior_z,
+            prior_f.astype(int), params=params,
+            config=ShardedRunConfig(store_sample_likelihoods=False),
+        )
+    # a precomputed lean single is rejected just as clearly
+    lean = _run(problem, store_sample_likelihoods=False)
+    with pytest.raises(ValueError, match="lean"):
+        process_spectra_multi_sharded(
+            model, offsets, nhis, spectra, prior_z,
+            prior_f.astype(int), params=params, single=lean,
+            config=ShardedRunConfig(),
+        )
+
+
+def test_load_rejects_missing_required_fields(problem, tmp_path):
+    """Only the two optional fields may be absent from a results npz;
+    anything else missing is a corrupt artifact and must fail loudly."""
+    lean = _run(problem, store_sample_likelihoods=False)
+    path = tmp_path / "broken.npz"
+    keep = {
+        k: v
+        for k, v in (
+            (f.name, getattr(lean, f.name))
+            for f in dataclasses.fields(InferenceResults)
+        )
+        if v is not None and k != "p_dlas"
+    }
+    np.savez(path, **keep)
+    with pytest.raises(ValueError, match="p_dlas"):
+        InferenceResults.load(path)
 
 
 def test_lean_blocks_matrix_consumers(problem, tmp_path):
