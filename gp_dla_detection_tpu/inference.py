@@ -490,6 +490,14 @@ class LadderRunner:
             if not self._advance(exc):
                 raise exc
 
+    def try_advance(self, exc: BaseException) -> bool:
+        """Like :meth:`recover` but returns False instead of re-raising
+        when this ladder cannot absorb ``exc`` — for drivers that chain
+        SEVERAL runners in one dispatch (the fused lean two-stage
+        driver) and fall through to the next runner's ladder."""
+        with self.lock:
+            return self._advance(exc)
+
 
 def fetch_with_ladder(
     runner: LadderRunner, out, args, fetch, repack=None, dispatch_idx=None

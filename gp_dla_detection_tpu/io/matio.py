@@ -145,6 +145,17 @@ def write_multi_processed_mat(results, test_ind, path: str | Path) -> None:
     sample_log_likelihoods_dla as (num_models, S, N) in the h5py view,
     1-based base_sample_inds, 3-row model_posteriors."""
     single = results.single
+    if (
+        single.sample_log_likelihoods_dla is None
+        or results.sample_log_likelihoods_dla2 is None
+    ):
+        raise ValueError(
+            "the multi-DLA .mat format carries the full per-sample "
+            "matrices (calc_cddf.py:85-116), which a lean (catalog-only) "
+            "fused two-stage run never stores — rerun with "
+            "store_sample_likelihoods=True to export for the reference "
+            "analysis code"
+        )
     S = single.sample_log_likelihoods_dla.shape[1]
     col = lambda a: np.asarray(a).reshape(-1, 1)
     # h5py view must be (num_models, S, N); write_mat transposes the

@@ -51,10 +51,14 @@ from .params import Parameters, kms_to_z
 
 __all__ = [
     "MultiDLAResults",
+    "base_sample_grid",
+    "device_base_sample_inds",
     "finalize_multi",
+    "finalize_multi_from_evidence",
     "make_base_sample_inds",
     "make_batch_dla2_fn",
     "multi_dla_rate_priors",
+    "pack_lean_pair",
     "prior_dla_multiplicity",
     "process_spectra_multi",
 ]
@@ -96,6 +100,87 @@ def prior_dla_multiplicity(
     return num
 
 
+def base_sample_grid(num_samples: int, seed: int = 0) -> np.ndarray:
+    """The shuffled inverse-CDF grid points shared by the host
+    (:func:`make_base_sample_inds`) and device
+    (:func:`device_base_sample_inds`) resamplers: u_j = (perm(S)_j +
+    0.5) / S.  Deterministic in (seed, S); the shuffle decorrelates the
+    base draw from the fresh QMC axis (sample j would otherwise always
+    pair with the j/S posterior quantile)."""
+    rng = np.random.default_rng(seed)
+    return (rng.permutation(num_samples) + 0.5) / num_samples
+
+
+@jax.jit
+def device_base_sample_inds(sample_log_likelihoods, u):
+    """On-device :func:`make_base_sample_inds`: per-spectrum inverse-CDF
+    resampling of the 1-DLA posterior at the shuffled grid points ``u``
+    (from :func:`base_sample_grid`), computed where the (B, S) sample
+    matrix already lives so lean (catalog-only) runs never fetch it.
+
+    Same semantics as the host resampler — NaN rows treated as -inf,
+    degenerate (no finite mass) rows fall back to uniform weights,
+    side='left' search — with two documented deviations: the CDF
+    accumulates at the INPUT dtype (f32 on the production path; the
+    host casts to f64) and XLA's cumsum associates differently than
+    numpy's serial scan, so a draw landing within rounding error of a
+    CDF step can resolve to a neighbouring sample.  Both paths are
+    individually deterministic; the draws are identically distributed.
+    """
+    sll = sample_log_likelihoods
+    s = sll.shape[1]
+    finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
+    rowmax = jnp.max(finite, axis=1, keepdims=True)
+    rowmax = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
+    w = jnp.exp(finite - rowmax)
+    # degenerate rows (fully-masked spectrum: all-NaN or all -inf) get
+    # uniform weights, mirroring the host fallback — a zero-total CDF
+    # would divide to NaN and corrupt the search
+    w = jnp.where(jnp.sum(w, axis=1, keepdims=True) == 0.0, 1.0, w)
+    cdf = jnp.cumsum(w, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    inds = jax.vmap(
+        lambda row: jnp.searchsorted(row, u.astype(row.dtype))
+    )(cdf)
+    return jnp.clip(inds, 0, s - 1).astype(jnp.int32)
+
+
+@jax.jit
+def pack_lean_pair(pair_lls, base_inds):
+    """Device reduction of a (B, S) two-DLA pair matrix for lean runs:
+    pair evidence + MAP pair index + the base sample index at the MAP.
+
+    Evidence matches :func:`finalize_multi`'s host form — nanmax +
+    log(nanmean(exp(x - nanmax))) over VALID pairs only (NaN = closer
+    than min_separation; those carry no posterior mass) — evaluated at
+    the run dtype from the exact device values.  Rows with NO valid
+    pair return NaN evidence and -1 indices (the host np.nanmax of an
+    all-NaN row is NaN too).
+
+    Returns (evidence (B,), map_index (B,) f32, map_base_index (B,)
+    f32) — indices as f32 so they ride the driver's stacked
+    small-vector fetch; exact for any S < 2**24.
+    """
+    valid = jnp.isfinite(pair_lls)
+    neg = jnp.where(valid, pair_lls, -jnp.inf)
+    rowmax = jnp.max(neg, axis=1)
+    safe_max = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
+    count = jnp.sum(valid, axis=1)
+    total = jnp.sum(
+        jnp.where(valid, jnp.exp(pair_lls - safe_max[:, None]), 0.0), axis=1
+    )
+    evidence = jnp.where(
+        count > 0,
+        safe_max + jnp.log(total / jnp.maximum(count, 1)),
+        jnp.nan,
+    )
+    map_ind = jnp.argmax(neg, axis=1)
+    map_base = jnp.take_along_axis(base_inds, map_ind[:, None], axis=1)[:, 0]
+    map_ind = jnp.where(count > 0, map_ind, -1)
+    map_base = jnp.where(count > 0, map_base, -1)
+    return evidence, map_ind.astype(jnp.float32), map_base.astype(jnp.float32)
+
+
 def make_base_sample_inds(
     sample_log_likelihoods, seed: int = 0, row_chunk: int = 8192
 ) -> np.ndarray:
@@ -112,8 +197,7 @@ def make_base_sample_inds(
     """
     sll_all = np.asarray(sample_log_likelihoods)
     n, s = sll_all.shape
-    rng = np.random.default_rng(seed)
-    u = (rng.permutation(s) + 0.5) / s
+    u = base_sample_grid(s, seed)
     out = np.empty((n, s), np.int32)
     for c0 in range(0, n, row_chunk):
         sll = sll_all[c0 : c0 + row_chunk].astype(np.float64)
@@ -221,15 +305,40 @@ def _second_dla_chunk(
 @dataclasses.dataclass
 class MultiDLAResults:
     """Single + two-DLA model selection outputs (the later-pipeline
-    format our analysis layer and matio exporter consume)."""
+    format our analysis layer and matio exporter consume).
+
+    Lean (catalog-only) two-stage runs carry None for both (N, S)
+    matrices and instead hold the device-reduced MAP indices; the
+    posterior-sample consumers (CDDF analysis, .mat export) raise a
+    clear error on lean results.
+    """
 
     single: "object"                     # InferenceResults (1-DLA fields)
-    sample_log_likelihoods_dla2: np.ndarray  # (N, S), NaN = invalid pair
-    base_sample_inds: np.ndarray             # (N, S), per-spectrum
+    # (N, S), NaN = invalid pair; None on lean runs
+    sample_log_likelihoods_dla2: np.ndarray | None
+    # (N, S) per-spectrum base indices; None on lean runs
+    base_sample_inds: np.ndarray | None
     log_likelihoods_dla2: np.ndarray          # (N,)
     log_priors_one_dla: np.ndarray
     log_priors_two_dla: np.ndarray
     model_posteriors: np.ndarray              # (N, 3)
+    # device-reduced on lean runs (None otherwise: the catalog writer
+    # argmaxes the matrices directly): per-spectrum argmax over valid
+    # pairs, and the base sample index at that argmax — both in
+    # ORIGINAL sample numbering; -1 = no valid pair
+    map_sample_inds2: np.ndarray | None = None
+    map_base_sample_inds: np.ndarray | None = None
+
+    # the ONLY fields save() may legitimately omit (lean runs omit the
+    # matrices; full runs omit the device-reduced MAPs) — any other
+    # missing key is a corrupt/incompatible artifact and must fail
+    # loudly, not default to None
+    _OPTIONAL_KEYS = (
+        "sample_log_likelihoods_dla2",
+        "base_sample_inds",
+        "map_sample_inds2",
+        "map_base_sample_inds",
+    )
 
     def save(self, path: str | Path) -> None:
         payload = {
@@ -240,12 +349,11 @@ class MultiDLAResults:
             if getattr(self.single, f.name) is not None
         }
         payload.update(
-            sample_log_likelihoods_dla2=self.sample_log_likelihoods_dla2,
-            base_sample_inds=self.base_sample_inds,
-            log_likelihoods_dla2=self.log_likelihoods_dla2,
-            log_priors_one_dla=self.log_priors_one_dla,
-            log_priors_two_dla=self.log_priors_two_dla,
-            multi_model_posteriors=self.model_posteriors,
+            {
+                key: getattr(self, attr)
+                for key, attr in self._MULTI_KEYS.items()
+                if getattr(self, attr) is not None
+            }
         )
         from .utils.atomic_io import atomic_savez
 
@@ -253,25 +361,50 @@ class MultiDLAResults:
         # is high-entropy (see InferenceResults.save)
         atomic_savez(path, compress=False, **payload)
 
+    _MULTI_KEYS = {
+        "sample_log_likelihoods_dla2": "sample_log_likelihoods_dla2",
+        "base_sample_inds": "base_sample_inds",
+        "log_likelihoods_dla2": "log_likelihoods_dla2",
+        "log_priors_one_dla": "log_priors_one_dla",
+        "log_priors_two_dla": "log_priors_two_dla",
+        "multi_model_posteriors": "model_posteriors",
+        "map_sample_inds2": "map_sample_inds2",
+        "map_base_sample_inds": "map_base_sample_inds",
+    }
+
     @classmethod
     def load(cls, path: str | Path) -> "MultiDLAResults":
         from .inference import InferenceResults
 
-        multi_keys = {
-            "sample_log_likelihoods_dla2": "sample_log_likelihoods_dla2",
-            "base_sample_inds": "base_sample_inds",
-            "log_likelihoods_dla2": "log_likelihoods_dla2",
-            "log_priors_one_dla": "log_priors_one_dla",
-            "log_priors_two_dla": "log_priors_two_dla",
-            "multi_model_posteriors": "model_posteriors",
-        }
         with np.load(Path(path)) as f:
             single = InferenceResults(
-                **{k: f[k] for k in f.files if k not in multi_keys}
+                **{
+                    k: f[k]
+                    for k in f.files
+                    if k not in cls._MULTI_KEYS
+                },
+                **{
+                    name: None
+                    for name in InferenceResults._OPTIONAL_FIELDS
+                    if name not in f.files
+                },
             )
+            missing = [
+                key
+                for key in cls._MULTI_KEYS
+                if key not in f.files and key not in cls._OPTIONAL_KEYS
+            ]
+            if missing:
+                raise ValueError(
+                    f"{path} is not a two-DLA results artifact: "
+                    f"missing {missing}"
+                )
             return cls(
                 single=single,
-                **{attr: f[key] for key, attr in multi_keys.items()},
+                **{
+                    attr: (f[key] if key in f.files else None)
+                    for key, attr in cls._MULTI_KEYS.items()
+                },
             )
 
 
@@ -381,6 +514,55 @@ def make_batch_dla2_fn(
     return batch_dla2
 
 
+def _multi_posteriors(single, ll2, z_qsos, prior_z_qsos, prior_num_dlas,
+                      params: Parameters):
+    """Extended counting priors + normalized 3-model posteriors
+    [no DLA, exactly 1, 2 DLAs] from the aggregated evidences."""
+    log_p0, log_p1, log_p2 = multi_dla_rate_priors(
+        z_qsos, prior_z_qsos, prior_num_dlas, params
+    )
+    posts = np.stack(
+        [
+            log_p0 + single.log_likelihoods_no_dla,
+            log_p1 + single.log_likelihoods_dla,
+            log_p2 + ll2,
+        ],
+        axis=1,
+    )
+    pmax = np.max(posts, axis=1, keepdims=True)
+    model_posteriors = np.exp(posts - pmax)
+    model_posteriors /= model_posteriors.sum(axis=1, keepdims=True)
+    return log_p1, log_p2, model_posteriors
+
+
+def finalize_multi_from_evidence(
+    single, ll2, z_qsos, prior_z_qsos, prior_num_dlas,
+    params: Parameters,
+    map_sample_inds2=None,
+    map_base_sample_inds=None,
+) -> MultiDLAResults:
+    """3-model posteriors from ALREADY-aggregated pair evidences — the
+    lean (catalog-only) analogue of :func:`finalize_multi`, used by the
+    fused two-stage driver whose pair evidence and MAP indices were
+    reduced on device (:func:`pack_lean_pair`); the (N, S) matrices
+    never existed on the host, so the result carries None for them."""
+    log_p1, log_p2, model_posteriors = _multi_posteriors(
+        single, np.asarray(ll2, np.float64), z_qsos, prior_z_qsos,
+        prior_num_dlas, params,
+    )
+    return MultiDLAResults(
+        single=single,
+        sample_log_likelihoods_dla2=None,
+        base_sample_inds=None,
+        log_likelihoods_dla2=np.asarray(ll2, np.float64),
+        log_priors_one_dla=log_p1,
+        log_priors_two_dla=log_p2,
+        model_posteriors=model_posteriors,
+        map_sample_inds2=map_sample_inds2,
+        map_base_sample_inds=map_base_sample_inds,
+    )
+
+
 def finalize_multi(
     single, out2, base, z_qsos, prior_z_qsos, prior_num_dlas,
     params: Parameters,
@@ -397,21 +579,9 @@ def finalize_multi(
             )
         )
 
-    log_p0, log_p1, log_p2 = multi_dla_rate_priors(
-        z_qsos, prior_z_qsos, prior_num_dlas, params
+    log_p1, log_p2, model_posteriors = _multi_posteriors(
+        single, ll2, z_qsos, prior_z_qsos, prior_num_dlas, params
     )
-    posts = np.stack(
-        [
-            log_p0 + single.log_likelihoods_no_dla,
-            log_p1 + single.log_likelihoods_dla,
-            log_p2 + ll2,
-        ],
-        axis=1,
-    )
-    pmax = np.max(posts, axis=1, keepdims=True)
-    model_posteriors = np.exp(posts - pmax)
-    model_posteriors /= model_posteriors.sum(axis=1, keepdims=True)
-
     return MultiDLAResults(
         single=single,
         sample_log_likelihoods_dla2=out2,
@@ -493,7 +663,10 @@ def process_spectra_multi(
             "two-stage {0,1,2}-DLA selection resamples the base absorber "
             "from the single-stage sample likelihoods, which a lean "
             "(catalog-only) run never stores — rerun the single stage "
-            "with ShardedRunConfig(store_sample_likelihoods=True)"
+            "with ShardedRunConfig(store_sample_likelihoods=True), or "
+            "use the fused lean driver "
+            "(parallel.process_spectra_multi_sharded with "
+            "store_sample_likelihoods=False and no `single`)"
         )
     elif len(single.p_dlas) != n or single.sample_log_likelihoods_dla.shape[1] != S:
         raise ValueError(

@@ -127,6 +127,111 @@ class ShardedRunConfig:
     store_sample_likelihoods: bool = True
 
 
+def build_single_ladder(
+    model: GPModel,
+    params: Parameters,
+    config: "ShardedRunConfig",
+    mesh,
+    dtype,
+    offset_samples,
+    num_pixels_ext: int,
+    pallas_sample_sharded: bool = False,
+):
+    """Degradation-ladder runner for the single-DLA batch evaluator.
+
+    Shared by :func:`process_spectra_sharded` and the fused lean
+    two-stage driver (parallel/sharded_multi).  Signature of each rung's
+    fn: (wavelengths, flux, noise_variance, mask, z_qso, grid, mu, M,
+    log_omega, offsets, nhis) -> batch_log_likelihoods dict.
+    """
+    # Window sizes are chunk-dependent (a window bounds one z-sorted
+    # chunk's line-center spread): the pallas kernel chunks by
+    # SAMPLE_TILE, the XLA path by config.sample_chunk — so each backend
+    # gets its OWN window, and a mid-run pallas->xla fallback keeps the
+    # windowed_voigt option honest instead of silently dropping it.
+    window_pallas = None
+    if config.backend in ("pallas", "pallas_interpret") and dtype == np.float32:
+        from ..ops.evidence_pallas import SAMPLE_TILE
+
+        window_pallas = compute_sample_window(
+            offset_samples, SAMPLE_TILE, num_pixels_ext,
+            num_lines=params.num_lines,
+            pixel_spacing=params.instrument.pixel_spacing,
+        )
+    # no num_lines gate here: the unroll limit is a Pallas-compiler
+    # constraint; the XLA windowed path handles any line count
+    window_xla = (
+        compute_sample_window(
+            offset_samples, config.sample_chunk, num_pixels_ext,
+            pixel_spacing=params.instrument.pixel_spacing,
+        )
+        if config.windowed_voigt and dtype == np.float32
+        else None
+    )
+    # On multi-device meshes the Pallas evidence kernel must run as a
+    # per-shard program: XLA's SPMD partitioner does not split a TPU
+    # custom call, so wrap the batch in shard_map over the data axis
+    # (samples replicated — use data-only meshes with this backend).
+    def make_call(run_backend, tile, windowed=True):
+        window = (
+            window_xla
+            if run_backend == "xla"
+            else (window_pallas if windowed else None)
+        )
+
+        def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
+            return batch_log_likelihoods(
+                w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
+                model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
+                params=params, sample_chunk=config.sample_chunk,
+                sample_window=window, backend=run_backend, tile=tile,
+                # sample-axis sharding pre-sorts on the host (each shard
+                # holds a contiguous z-sorted block), so the windowed
+                # path's in-graph argsort and the (B, S) un-sort gather
+                # would both be identity work — skip them
+                samples_sorted=(
+                    pallas_sample_sharded
+                    and run_backend in ("pallas", "pallas_interpret")
+                ),
+            )
+
+        if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
+            # XLA's SPMD partitioner does not split a TPU custom call, so
+            # the Pallas kernel runs as a per-shard program via shard_map
+            # over the data axis.  The QMC sample axis is split manually
+            # when the mesh has one (z-sorted contiguous blocks, see
+            # above); otherwise samples are replicated per shard.
+            from jax.sharding import PartitionSpec as P
+
+            d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            s1 = P(SAMPLE_AXIS) if pallas_sample_sharded else r
+            ds = (
+                P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
+            )
+            call_batch = shard_map_compat(
+                call_batch, mesh,
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1),
+                out_specs={
+                    "log_likelihood_no_dla": d1,
+                    "sample_log_likelihoods_dla": ds,
+                    "min_z_dla": d1,
+                    "max_z_dla": d1,
+                },
+            )
+        return call_batch
+
+    # VMEM/lowering degradation ladder (see inference.LadderRunner)
+    from ..inference import LadderRunner, ladder_configs
+
+    return LadderRunner(
+        ladder_configs(
+            config.backend, num_pixels_ext, dtype,
+            windowed=window_pallas is not None,
+        ),
+        make_call,
+    )
+
+
 def process_spectra_sharded(
     model: GPModel,
     offset_samples,
@@ -270,92 +375,10 @@ def process_spectra_sharded(
 
     from ..utils import ProgressMeter
 
-    # Window sizes are chunk-dependent (a window bounds one z-sorted
-    # chunk's line-center spread): the pallas kernel chunks by
-    # SAMPLE_TILE, the XLA path by config.sample_chunk — so each backend
-    # gets its OWN window, and a mid-run pallas->xla fallback keeps the
-    # windowed_voigt option honest instead of silently dropping it.
     num_pixels_ext = spectra.wavelengths.shape[1] + 2 * params.instrument.width
-    window_pallas = None
-    if config.backend in ("pallas", "pallas_interpret") and dtype == np.float32:
-        from ..ops.evidence_pallas import SAMPLE_TILE
-
-        window_pallas = compute_sample_window(
-            offset_samples, SAMPLE_TILE, num_pixels_ext,
-            num_lines=params.num_lines,
-            pixel_spacing=params.instrument.pixel_spacing,
-        )
-    # no num_lines gate here: the unroll limit is a Pallas-compiler
-    # constraint; the XLA windowed path handles any line count
-    window_xla = (
-        compute_sample_window(
-            offset_samples, config.sample_chunk, num_pixels_ext,
-            pixel_spacing=params.instrument.pixel_spacing,
-        )
-        if config.windowed_voigt and dtype == np.float32
-        else None
-    )
-    # On multi-device meshes the Pallas evidence kernel must run as a
-    # per-shard program: XLA's SPMD partitioner does not split a TPU
-    # custom call, so wrap the batch in shard_map over the data axis
-    # (samples replicated — use data-only meshes with this backend).
-    def make_call(run_backend, tile, windowed=True):
-        window = (
-            window_xla
-            if run_backend == "xla"
-            else (window_pallas if windowed else None)
-        )
-
-        def call_batch(w, f, nv, mk, zq, grid, mu_g, M_g, lo_g, off, nh):
-            return batch_log_likelihoods(
-                w, f, nv, mk, zq, grid, mu_g, M_g, lo_g,
-                model.log_c_0, model.log_tau_0, model.log_beta, off, nh,
-                params=params, sample_chunk=config.sample_chunk,
-                sample_window=window, backend=run_backend, tile=tile,
-                # sample-axis sharding pre-sorts on the host (each shard
-                # holds a contiguous z-sorted block), so the windowed
-                # path's in-graph argsort and the (B, S) un-sort gather
-                # would both be identity work — skip them
-                samples_sorted=(
-                    pallas_sample_sharded
-                    and run_backend in ("pallas", "pallas_interpret")
-                ),
-            )
-
-        if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
-            # XLA's SPMD partitioner does not split a TPU custom call, so
-            # the Pallas kernel runs as a per-shard program via shard_map
-            # over the data axis.  The QMC sample axis is split manually
-            # when the mesh has one (z-sorted contiguous blocks, see
-            # above); otherwise samples are replicated per shard.
-            from jax.sharding import PartitionSpec as P
-
-            d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
-            s1 = P(SAMPLE_AXIS) if pallas_sample_sharded else r
-            ds = (
-                P(DATA_AXIS, SAMPLE_AXIS) if pallas_sample_sharded else d2
-            )
-            call_batch = shard_map_compat(
-                call_batch, mesh,
-                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, s1, s1),
-                out_specs={
-                    "log_likelihood_no_dla": d1,
-                    "sample_log_likelihoods_dla": ds,
-                    "min_z_dla": d1,
-                    "max_z_dla": d1,
-                },
-            )
-        return call_batch
-
-    # VMEM/lowering degradation ladder (see inference.LadderRunner)
-    from ..inference import LadderRunner, ladder_configs
-
-    runner = LadderRunner(
-        ladder_configs(
-            config.backend, num_pixels_ext, dtype,
-            windowed=window_pallas is not None,
-        ),
-        make_call,
+    runner = build_single_ladder(
+        model, params, config, mesh, dtype, offset_samples,
+        num_pixels_ext, pallas_sample_sharded,
     )
 
     meter = ProgressMeter(n, unit="spectra") if progress else None

@@ -34,6 +34,7 @@ from .mesh import (
     DATA_AXIS,
     SAMPLE_AXIS,
     data_sharding,
+    fetch_global,
     is_coordinator,
     make_mesh,
     replicated,
@@ -85,19 +86,34 @@ def process_spectra_multi_sharded(
             f"float64 parity mode (got dtype={dtype})"
         )
 
+    if not config.store_sample_likelihoods:
+        # lean (catalog-only) two-stage: the FUSED driver evaluates both
+        # stages per super-batch and resamples the base absorber on
+        # device, so the (B, S) matrices never cross the wire
+        if single is not None:
+            raise ValueError(
+                "the fused lean two-stage driver recomputes the single "
+                "stage on device per batch (the base resampler needs the "
+                "sample matrix, which lean results never store) — drop "
+                "`single`, or use store_sample_likelihoods=True to reuse "
+                "a precomputed full single-stage result"
+            )
+        return _process_multi_lean_fused(
+            model, offset_samples, nhi_samples, spectra,
+            prior_z_qsos, prior_num_dlas, params, mesh, config,
+            progress, min_separation_kms, base_seed,
+        )
     # fail at config time, not after an hours-long single stage: the
-    # pair stage resamples base absorbers from the single-stage sample
-    # matrix, which a lean run never stores (same guard as the
-    # single-host process_spectra_multi)
-    if not config.store_sample_likelihoods or (
-        single is not None and single.sample_log_likelihoods_dla is None
-    ):
+    # CLASSIC pair stage resamples base absorbers from the single-stage
+    # sample matrix on the host, which a lean precomputed result never
+    # stores (same guard as the single-host process_spectra_multi)
+    if single is not None and single.sample_log_likelihoods_dla is None:
         raise ValueError(
             "two-stage {0,1,2}-DLA selection resamples the base absorber "
             "from the single-stage sample likelihoods, which a lean "
-            "(catalog-only) run never stores — use "
-            "ShardedRunConfig(store_sample_likelihoods=True) and a "
-            "non-lean precomputed `single`"
+            "(catalog-only) run never stores — pass a non-lean "
+            "precomputed `single`, or drop both `single` and "
+            "store_sample_likelihoods to run the fused lean driver"
         )
 
     offsets = np.asarray(offset_samples)
@@ -386,4 +402,373 @@ def process_spectra_multi_sharded(
     return finalize_multi(
         single, out2, base, spectra.z_qso, prior_z_qsos, prior_num_dlas,
         params,
+    )
+
+
+def _process_multi_lean_fused(
+    model: GPModel,
+    offset_samples,
+    nhi_samples,
+    spectra,
+    prior_z_qsos,
+    prior_num_dlas,
+    params: Parameters,
+    mesh,
+    config: ShardedRunConfig,
+    progress: bool,
+    min_separation_kms: float,
+    base_seed: int,
+) -> MultiDLAResults:
+    """Fused lean two-stage {0,1,2}-DLA selection: ONE pass per
+    super-batch.
+
+    Per batch, entirely on device: single-DLA sample likelihoods ->
+    (evidence, MAP) reductions AND inverse-CDF base-absorber resampling
+    (multi_dla.device_base_sample_inds) -> base (z, N_HI) gather ->
+    two-DLA pair likelihoods -> (pair evidence, MAP pair, MAP base)
+    reductions.  Only eight per-spectrum vectors ever cross the wire
+    (one stacked fetch), replacing the classic two-pass flow's
+    per-batch (B, S) f16 matrix fetches AND its two (B, S) f32
+    base-value uploads — the pair stage's dominant tunnel terms.
+
+    Trade-offs vs the classic path (store_sample_likelihoods=True):
+      - no (N, S) matrices: CDDF analysis and .mat export raise
+        (catalog consumers — evidences, posteriors, MAPs — all work);
+      - the base draw runs at the compute dtype with XLA's cumsum
+        association (see device_base_sample_inds) — identically
+        distributed but not bit-matched to the host resampler;
+      - one checkpoint stream (a few KB/batch) covers both stages.
+
+    Replaces process_qsos.m:88-220's per-quasar loop for the
+    multiplicity-catalog use case; format per calc_cddf.py:102-116.
+    """
+    import jax.numpy as jnp
+
+    from ..inference import (
+        InferenceResults,
+        dla_rate_priors,
+        ladder_configs,
+        LadderRunner,
+        posteriors_from_evidence,
+    )
+    from ..multi_dla import (
+        base_sample_grid,
+        device_base_sample_inds,
+        finalize_multi_from_evidence,
+        pack_lean_pair,
+    )
+    from ..utils import ProgressMeter
+    from .overlap import (
+        BackgroundWriter,
+        atomic_savez,
+        atomic_write_json,
+        run_pipelined,
+    )
+    from .sharded_inference import build_single_ladder
+    from .streaming import pack_lean
+
+    dtype = np.dtype(resolve_dtype(config.dtype, "process_spectra_multi_sharded"))
+    use_pallas = config.backend in ("pallas", "pallas_interpret")
+    if SAMPLE_AXIS in mesh.axis_names and mesh.shape[SAMPLE_AXIS] > 1:
+        raise ValueError(
+            "the fused lean two-stage driver requires a data-only mesh "
+            "(sample axis unsharded): the base resampler's per-row CDF "
+            f"needs the full sample axis on one shard (got mesh {mesh.shape})"
+        )
+
+    offsets = np.asarray(offset_samples)
+    nhis = np.asarray(nhi_samples)
+    S = len(offsets)
+    if S >= 1 << 24:
+        raise ValueError(
+            f"lean mode supports < 2**24 samples (got {S}): MAP indices "
+            "ride the stacked small-vector fetch as float32"
+        )
+    n = len(spectra)
+    n_data = mesh.shape[DATA_AXIS]
+    super_batch = config.per_device_batch * n_data
+    min_sep_z = kms_to_z(min_separation_kms)
+    num_pixels_ext = spectra.wavelengths.shape[1] + 2 * params.instrument.width
+
+    # priors are host-side and cheap: both the 1-DLA counting prior and
+    # the extended multiplicity prior come from the same prior catalog
+    prior_num = np.asarray(prior_num_dlas)
+    log_p_dla, log_p_no_dla = dla_rate_priors(
+        spectra.z_qso, prior_z_qsos, prior_num >= 1, params
+    )
+
+    repl = replicated(mesh)
+    data_spec = data_sharding(mesh)
+    data_spec2 = data_sharding(mesh, 1)
+
+    # ---- stage runners (each with its own degradation ladder) ----
+    runner1 = build_single_ladder(
+        model, params, config, mesh, dtype, offsets, num_pixels_ext,
+        pallas_sample_sharded=False,
+    )
+
+    window = None
+    order = None
+    if use_pallas:
+        from ..ops.evidence_pallas import SAMPLE_TILE
+
+        # the fused pair kernel needs a z-ascending fresh axis; the
+        # single-stage output stays in ORIGINAL sample order (its kernel
+        # sorts/unsorts in-graph), so only the pair-stage inputs are
+        # permuted — by `order` on device — and only index TRANSLATION
+        # happens on the host (for the fetched MAP pair index)
+        order = np.argsort(offsets)
+        window = compute_sample_window(
+            offsets, SAMPLE_TILE, num_pixels_ext,
+            num_lines=params.num_lines,
+            pixel_spacing=params.instrument.pixel_spacing,
+        )
+
+    def make_fn2(run_backend, tile, windowed=True):
+        fn = make_batch_dla2_fn(
+            model, params, S, config.sample_chunk, min_sep_z,
+            run_backend, window if windowed else None, tile=tile,
+        )
+        if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            d2, d1, r = P(DATA_AXIS, None), P(DATA_AXIS), P()
+            fn = shard_map_compat(
+                fn, mesh,
+                in_specs=(d2, d2, d2, d2, d1, r, r, r, r, r, r, d2, d2),
+                out_specs=d2,
+            )
+        return fn
+
+    runner2 = LadderRunner(
+        ladder_configs(
+            config.backend, num_pixels_ext, dtype,
+            two_dla=True, windowed=window is not None,
+        ),
+        make_fn2,
+        what="two-DLA",
+    )
+
+    # ---- device-resident sample tables ----
+    model_args = (
+        jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
+        jax.device_put(np.asarray(model.mu, dtype), repl),
+        jax.device_put(np.asarray(model.M, dtype), repl),
+        jax.device_put(np.asarray(model.log_omega, dtype), repl),
+    )
+    off_orig = jax.device_put(np.asarray(offsets, dtype), repl)
+    nh_orig = jax.device_put(np.asarray(nhis, dtype), repl)
+    if use_pallas:
+        off_j = jax.device_put(np.asarray(offsets[order], dtype), repl)
+        nh_j = jax.device_put(np.asarray(nhis[order], dtype), repl)
+        order_dev = jax.device_put(np.asarray(order, np.int32), repl)
+    else:
+        off_j, nh_j, order_dev = off_orig, nh_orig, None
+    u_dev = jax.device_put(
+        np.asarray(base_sample_grid(S, base_seed), dtype), repl
+    )
+
+    @jax.jit
+    def derive_base(sll):
+        """Base resample + value gather, in the pair kernel's column
+        order (sorted fresh axis when pallas).  base index VALUES stay
+        in original sample numbering."""
+        base = device_base_sample_inds(sll, u_dev)
+        base_cols = base[:, order_dev] if use_pallas else base
+        return base_cols, off_orig[base_cols], nh_orig[base_cols]
+
+    # ---- checkpoint manifest (one stream for the fused pass) ----
+    ckpt_dir = (
+        Path(config.checkpoint_dir) / "fused" if config.checkpoint_dir else None
+    )
+    manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    fingerprint = run_fingerprint(
+        dtype, config, params, model, offsets, nhis,
+        extra=([min_sep_z, float(base_seed)], spectra.z_qso),
+    )
+    done: set = set()
+    if manifest_path and manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if (
+            manifest.get("num_spectra") == n
+            and manifest.get("super_batch") == super_batch
+            and manifest.get("num_samples") == S
+            and manifest.get("fingerprint") == fingerprint
+        ):
+            done = set(manifest["completed_batches"])
+        else:
+            import warnings
+
+            warnings.warn(
+                f"ignoring incompatible fused two-stage checkpoints in "
+                f"{ckpt_dir} (run shape or numerics config changed)",
+                stacklevel=2,
+            )
+    if ckpt_dir:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    VEC_KEYS = (
+        "log_likelihood_no_dla", "min_z_dla", "max_z_dla",
+        "log_likelihood_dla", "map_sample_ind",
+        "log_likelihood_dla2", "map_sample_ind2", "map_base_sample_ind",
+    )
+    host_vecs = {k: np.empty(n) for k in VEC_KEYS}
+
+    meter = ProgressMeter(n, unit="spectra") if progress else None
+    todo: list[tuple[int, int, int, Path | None]] = []
+    for bi, start in enumerate(range(0, n, super_batch)):
+        stop = min(start + super_batch, n)
+        ckpt_file = ckpt_dir / f"batch_{bi:06d}.npz" if ckpt_dir else None
+        if bi in done and ckpt_file and ckpt_file.exists():
+            with np.load(ckpt_file) as f:
+                for k in VEC_KEYS:
+                    host_vecs[k][start:stop] = f[k]
+            if meter is not None:
+                meter.update(stop - start)
+            continue
+        todo.append((bi, start, stop, ckpt_file))
+
+    def chain(args1):
+        """The full fused device chain at the runners' CURRENT rungs;
+        returns the stacked small-vector array plus the rungs it
+        dispatched on (for stale-failure classification at fetch)."""
+        out1, rung1 = runner1.call_with_rung(*args1)
+        sll = out1["sample_log_likelihoods_dla"]
+        ev1, map1 = pack_lean(sll)
+        base_cols, ob, nb = derive_base(sll)
+        # args1 = 5 batch arrays + 4 model arrays + (off, nh) original;
+        # the pair evaluator takes the sorted fresh tables + base values
+        args2 = (*args1[:9], off_j, nh_j, ob, nb)
+        lls2, rung2 = runner2.call_with_rung(*args2)
+        ev2, map2, map_base = pack_lean_pair(lls2, base_cols)
+        small = [
+            out1["log_likelihood_no_dla"], out1["min_z_dla"],
+            out1["max_z_dla"], ev1, map1, ev2, map2, map_base,
+        ]
+        dtypes = tuple(a.dtype for a in small)
+        wide = jnp.result_type(*dtypes)
+        stacked = jnp.stack([a.astype(wide) for a in small])
+        return stacked, dtypes, rung1, rung2
+
+    def dispatch(item):
+        bi, start, stop, ckpt_file = item
+        batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
+        args1 = (
+            jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
+            jax.device_put(np.asarray(batch.mask), data_spec2),
+            jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
+            *model_args,
+            off_orig,
+            nh_orig,
+        )
+        return args1, chain(args1)
+
+    def recover_fused(exc, rung1, rung2):
+        """Two-ladder analogue of fetch_with_ladder's recovery: a fetch
+        failure cannot be attributed to a stage, so degrade the pair
+        kernel first (it holds ~2x the single kernel's VMEM), then the
+        single kernel; stale failures from rungs some other in-flight
+        batch already abandoned retry without advancing further."""
+        with runner1.lock, runner2.lock:
+            if runner1.idx > rung1 or runner2.idx > rung2:
+                from ..inference import ladder_recoverable
+
+                if not ladder_recoverable(exc):
+                    raise exc
+            elif not runner2.try_advance(exc):
+                runner1.recover(exc)  # re-raises when unrecoverable
+
+    def write_checkpoint(ckpt_file, bi, vecs):
+        atomic_savez(
+            ckpt_file, compress=False,
+            **{k: v for k, v in zip(VEC_KEYS, vecs)},
+        )
+        done.add(bi)
+        atomic_write_json(
+            manifest_path,
+            {
+                "num_spectra": n,
+                "super_batch": super_batch,
+                "num_samples": S,
+                "base_seed": base_seed,
+                "fingerprint": fingerprint,
+                "completed_batches": sorted(done),
+            },
+        )
+
+    with BackgroundWriter() as writer:
+
+        def finish_batch(bi, start, stop, ckpt_file, vecs):
+            keep = stop - start
+            vecs = [np.asarray(v[:keep], np.float64) for v in vecs]
+            # index translations (host side): -1 = no finite sample /
+            # no valid pair.  The single-stage MAP follows the lean
+            # single driver's catalog fallback (original index 0); the
+            # pair MAPs keep -1 as the documented no-valid-pair flag.
+            map1 = vecs[4].astype(np.int64)
+            map1[map1 < 0] = 0
+            vecs[4] = map1
+            map2 = vecs[6].astype(np.int64)
+            if use_pallas:
+                # pair columns ride the z-sorted fresh axis — translate
+                # the argmax back to original sample numbering
+                map2 = np.where(map2 >= 0, order[np.maximum(map2, 0)], -1)
+            vecs[6] = map2
+            vecs[7] = vecs[7].astype(np.int64)  # already original-order
+            for k, v in zip(VEC_KEYS, vecs):
+                host_vecs[k][start:stop] = v
+            if ckpt_file and is_coordinator():
+                write_checkpoint(ckpt_file, bi, vecs)
+
+        def complete(item, state):
+            bi, start, stop, ckpt_file = item
+            args1, (stacked, dtypes, rung1, rung2) = state
+            while True:
+                try:
+                    smalls = fetch_global(stacked)
+                    break
+                except Exception as exc:  # ladder recovery at fetch
+                    recover_fused(exc, rung1, rung2)
+                    stacked, dtypes, rung1, rung2 = chain(args1)
+            vecs = [
+                np.asarray(smalls[i], dtype=dt)
+                for i, dt in enumerate(dtypes)
+            ]
+            writer.submit(finish_batch, bi, start, stop, ckpt_file, vecs)
+            if meter is not None:
+                meter.update(stop - start)
+
+        run_pipelined(
+            todo, dispatch, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread and jax.process_count() == 1,
+        )
+
+    post = posteriors_from_evidence(
+        log_p_no_dla, log_p_dla,
+        host_vecs["log_likelihood_no_dla"], host_vecs["log_likelihood_dla"],
+    )
+    single = InferenceResults(
+        min_z_dlas=host_vecs["min_z_dla"],
+        max_z_dlas=host_vecs["max_z_dla"],
+        log_priors_no_dla=log_p_no_dla,
+        log_priors_dla=log_p_dla,
+        log_likelihoods_no_dla=host_vecs["log_likelihood_no_dla"],
+        log_likelihoods_dla=post["log_likelihoods_dla"],
+        sample_log_likelihoods_dla=None,
+        map_sample_inds=host_vecs["map_sample_ind"].astype(np.int64),
+        log_posteriors_no_dla=post["log_posteriors_no_dla"],
+        log_posteriors_dla=post["log_posteriors_dla"],
+        model_posteriors=post["model_posteriors"],
+        p_no_dlas=post["p_no_dlas"],
+        p_dlas=post["p_dlas"],
+    )
+    # all-NaN pair rows (no valid pair) keep NaN evidence: the host
+    # finalize_multi does the same via np.nanmax of an all-NaN row
+    return finalize_multi_from_evidence(
+        single, host_vecs["log_likelihood_dla2"], spectra.z_qso,
+        prior_z_qsos, prior_num, params,
+        map_sample_inds2=host_vecs["map_sample_ind2"].astype(np.int64),
+        map_base_sample_inds=host_vecs["map_base_sample_ind"].astype(np.int64),
     )

@@ -72,13 +72,13 @@ class PipelineConfig:
                 "backend='pallas' is float32-only; use dtype='float32' "
                 "or backend='xla' for float64 parity mode"
             )
-        if not self.store_sample_likelihoods and (
-            self.multi_dla or self.export_matlab
-        ):
+        if not self.store_sample_likelihoods and self.export_matlab:
             raise ValueError(
                 "store_sample_likelihoods=False (lean catalog-only "
-                "inference) cannot feed the multi-DLA stage or the "
-                ".mat export — both need the sample-likelihood matrix"
+                "inference) cannot feed the .mat export — it needs the "
+                "sample-likelihood matrix.  (The multi-DLA stage IS "
+                "lean-compatible: run_multi switches to the fused "
+                "two-stage driver.)"
             )
 
 
@@ -372,8 +372,17 @@ class Pipeline:
                 dtype=self.config.dtype,
                 backend=self.config.backend,
                 checkpoint_dir=str(self.workdir / "multi_ckpt"),
+                store_sample_likelihoods=(
+                    self.config.store_sample_likelihoods
+                ),
             ),
-            single=results,
+            # lean mode runs the FUSED two-stage driver, which
+            # recomputes the single stage on device per batch (the base
+            # resampler needs the sample matrix a lean `results` never
+            # stores); full mode reuses the stage artifact
+            single=(
+                results if self.config.store_sample_likelihoods else None
+            ),
         )
         multi.save(self.multi_results_path)
         if self.config.export_matlab:

@@ -173,20 +173,26 @@ def test_lean_no_finite_row_falls_back_to_original_index_zero(problem):
 
 
 def test_lean_guard_in_sharded_pair_driver(problem):
+    """A lean config no longer rejects the two-DLA driver (it runs the
+    FUSED lean two-stage path, tests/test_lean_multi.py) — but mixing
+    lean with a precomputed single stage is still rejected at config
+    time, in both directions."""
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     from gp_dla_detection_tpu.parallel.sharded_multi import (
         process_spectra_multi_sharded,
     )
 
-    # config-time rejection: BEFORE any single-stage compute
-    with pytest.raises(ValueError, match="lean"):
+    lean = _run(problem, store_sample_likelihoods=False)
+    # lean config + ANY precomputed single: the fused driver recomputes
+    # the single stage itself
+    with pytest.raises(ValueError, match="fused lean"):
         process_spectra_multi_sharded(
             model, offsets, nhis, spectra, prior_z,
-            prior_f.astype(int), params=params,
+            prior_f.astype(int), params=params, single=lean,
             config=ShardedRunConfig(store_sample_likelihoods=False),
         )
-    # a precomputed lean single is rejected just as clearly
-    lean = _run(problem, store_sample_likelihoods=False)
+    # classic config + a lean precomputed single: the host base
+    # resampler needs the matrix the lean run never stored
     with pytest.raises(ValueError, match="lean"):
         process_spectra_multi_sharded(
             model, offsets, nhis, spectra, prior_z,
@@ -251,7 +257,8 @@ def test_pipeline_config_rejects_lean_with_matrix_stages():
     from gp_dla_detection_tpu.pipeline import PipelineConfig
 
     with pytest.raises(ValueError, match="lean"):
-        PipelineConfig(store_sample_likelihoods=False, multi_dla=True)
-    with pytest.raises(ValueError, match="lean"):
         PipelineConfig(store_sample_likelihoods=False, export_matlab=True)
     PipelineConfig(store_sample_likelihoods=False)  # catalog-only: fine
+    # lean + multi is now legal: run_multi uses the fused two-stage
+    # driver (tests/test_lean_multi.py)
+    PipelineConfig(store_sample_likelihoods=False, multi_dla=True)

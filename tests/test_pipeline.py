@@ -117,6 +117,46 @@ def test_pipeline_run_all(synthetic_release, tmp_path):
         assert p.stat().st_mtime_ns == t, f"{p} recomputed on resume"
 
 
+def test_pipeline_lean_multi_run_all(synthetic_release, tmp_path):
+    """Lean (catalog-only) pipeline WITH the multi-DLA stage: run_multi
+    switches to the fused two-stage driver; the multiplicity catalog
+    must match the full-matrix pipeline's, with matrix-free artifacts."""
+    params = small_params(synthetic_release)
+    base = dict(per_device_batch=1, sample_chunk=50, dtype="float64",
+                multi_dla=True)
+    full = Pipeline(
+        params, PipelineConfig(workdir=str(tmp_path / "full"), **base)
+    )
+    s_full = full.run_all()
+    lean = Pipeline(
+        params,
+        PipelineConfig(
+            workdir=str(tmp_path / "lean"),
+            store_sample_likelihoods=False,
+            **base,
+        ),
+    )
+    s_lean = lean.run_all()
+
+    assert s_lean["num_processed"] == s_full["num_processed"]
+    assert s_lean["num_p_2dla_gt_0.9"] == s_full["num_p_2dla_gt_0.9"]
+    with np.load(lean.multi_results_path) as f:
+        assert "sample_log_likelihoods_dla2" not in f.files
+        mp_lean = f["multi_model_posteriors"]
+        assert "map_base_sample_inds" in f.files
+    with np.load(full.multi_results_path) as f:
+        mp_full = f["multi_model_posteriors"]
+    # same f64 values up to reduction association (the base draws are
+    # bit-matched at f64; see tests/test_lean_multi.py)
+    np.testing.assert_allclose(mp_lean, mp_full, rtol=1e-9, atol=1e-12)
+
+    # the ascii catalog writes from lean multi results too
+    results_dat = (
+        (lean.workdir / "dr12q_results.dat").read_text().strip().split("\n")
+    )
+    assert len(results_dat) == s_lean["num_processed"]
+
+
 def test_pipeline_stale_caches_invalidate(synthetic_release, tmp_path):
     """Regression (code review): cached inference results / SNRs were
     returned for ANY mask, and a forced retrain silently resumed the old
