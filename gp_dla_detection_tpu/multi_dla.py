@@ -52,7 +52,9 @@ from .params import Parameters, kms_to_z
 __all__ = [
     "MultiDLAResults",
     "base_sample_grid",
+    "base_sample_perm",
     "device_base_sample_inds",
+    "device_inverse_cdf_grid",
     "finalize_multi",
     "finalize_multi_from_evidence",
     "make_base_sample_inds",
@@ -100,6 +102,15 @@ def prior_dla_multiplicity(
     return num
 
 
+def base_sample_perm(num_samples: int, seed: int = 0) -> np.ndarray:
+    """The grid permutation underlying :func:`base_sample_grid`:
+    u_j = (perm_j + 0.5) / S.  Exposed separately for
+    :func:`device_inverse_cdf_grid`, whose search-free inverse CDF
+    consumes the integer grid positions rather than the float points."""
+    rng = np.random.default_rng(seed)
+    return rng.permutation(num_samples)
+
+
 def base_sample_grid(num_samples: int, seed: int = 0) -> np.ndarray:
     """The shuffled inverse-CDF grid points shared by the host
     (:func:`make_base_sample_inds`) and device
@@ -107,8 +118,23 @@ def base_sample_grid(num_samples: int, seed: int = 0) -> np.ndarray:
     0.5) / S.  Deterministic in (seed, S); the shuffle decorrelates the
     base draw from the fresh QMC axis (sample j would otherwise always
     pair with the j/S posterior quantile)."""
-    rng = np.random.default_rng(seed)
-    return (rng.permutation(num_samples) + 0.5) / num_samples
+    return (base_sample_perm(num_samples, seed) + 0.5) / num_samples
+
+
+def _posterior_cdf(sample_log_likelihoods):
+    """Per-row normalized posterior CDF of a (B, S) sample-likelihood
+    matrix, with the host resampler's degenerate-row handling: NaN
+    treated as -inf, rows with no finite mass (fully-masked spectrum)
+    fall back to uniform weights — a zero-total CDF would divide to NaN
+    and corrupt the downstream search."""
+    sll = sample_log_likelihoods
+    finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
+    rowmax = jnp.max(finite, axis=1, keepdims=True)
+    rowmax = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
+    w = jnp.exp(finite - rowmax)
+    w = jnp.where(jnp.sum(w, axis=1, keepdims=True) == 0.0, 1.0, w)
+    cdf = jnp.cumsum(w, axis=1)
+    return cdf / cdf[:, -1:]
 
 
 @jax.jit
@@ -126,23 +152,60 @@ def device_base_sample_inds(sample_log_likelihoods, u):
     numpy's serial scan, so a draw landing within rounding error of a
     CDF step can resolve to a neighbouring sample.  Both paths are
     individually deterministic; the draws are identically distributed.
+
+    The search co-sorts the CDF with the queries (searchsorted
+    method='sort': exact, same results as the default binary scan —
+    which costs 14 rounds of (B, S) dynamic gathers on TPU, measured
+    ~1.7 s/batch at B=1024, S=10k vs ~0.18 s for the co-sort).  The
+    fused lean driver uses :func:`device_inverse_cdf_grid`, which is
+    faster still by exploiting the grid structure of ``u``.
     """
-    sll = sample_log_likelihoods
-    s = sll.shape[1]
-    finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
-    rowmax = jnp.max(finite, axis=1, keepdims=True)
-    rowmax = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
-    w = jnp.exp(finite - rowmax)
-    # degenerate rows (fully-masked spectrum: all-NaN or all -inf) get
-    # uniform weights, mirroring the host fallback — a zero-total CDF
-    # would divide to NaN and corrupt the search
-    w = jnp.where(jnp.sum(w, axis=1, keepdims=True) == 0.0, 1.0, w)
-    cdf = jnp.cumsum(w, axis=1)
-    cdf = cdf / cdf[:, -1:]
+    s = sample_log_likelihoods.shape[1]
+    cdf = _posterior_cdf(sample_log_likelihoods)
     inds = jax.vmap(
-        lambda row: jnp.searchsorted(row, u.astype(row.dtype))
+        lambda row: jnp.searchsorted(row, u.astype(row.dtype), method="sort")
     )(cdf)
     return jnp.clip(inds, 0, s - 1).astype(jnp.int32)
+
+
+@jax.jit
+def device_inverse_cdf_grid(sample_log_likelihoods, kvec):
+    """Search-free :func:`device_base_sample_inds` for GRID quantiles:
+    per-row inverse-CDF of the 1-DLA posterior at u_j = (kvec_j + 0.5)/S
+    — the structure :func:`base_sample_grid` guarantees (kvec = the
+    grid permutation, possibly composed with further permutations).
+
+    Equivalent to ``searchsorted(cdf, (kvec+0.5)/S, side='left')`` but
+    with no search at all: each CDF step is bucketed into its uniform
+    grid cell (m_i = #{k : u_k <= cdf_i}, one rounding + a two-step
+    exact correction against the grid's own arithmetic), a scatter-add
+    histograms the buckets, and a cumsum yields the counts
+    g_k = #{i : cdf_i < u_k} — the searchsorted answer — read out at
+    ``kvec``.  Measured ~15x faster than the binary-scan search at
+    B=1024, S=10k (validation/lean_chain_profile.py).
+
+    Exactness: in f64 this is bit-identical to searchsorted on the
+    stored grid (the correction recomputes (m±0.5)/S with the same
+    single rounding numpy used to build it).  In f32 the stored grid is
+    DOUBLE-rounded (f64 build, f32 cast), so a CDF step within one ulp
+    of a cell boundary can resolve to the neighbouring sample —
+    the same knife-edge class the f32 CDF accumulation already has.
+    """
+    s = sample_log_likelihoods.shape[1]
+    cdf = _posterior_cdf(sample_log_likelihoods)
+    dt = cdf.dtype
+    s_f = jnp.asarray(s, dt)
+    m = jnp.clip(jnp.floor(cdf * s_f + 0.5).astype(jnp.int32), 0, s)
+    for _ in range(2):  # |rounded - true| <= 1; two steps each way
+        u_below = (m.astype(dt) - 0.5) / s_f
+        m = jnp.where((m > 0) & (u_below > cdf), m - 1, m)
+        u_at = (m.astype(dt) + 0.5) / s_f
+        m = jnp.where((m < s) & (u_at <= cdf), m + 1, m)
+    hist = jnp.zeros((cdf.shape[0], s + 1), jnp.int32)
+    hist = hist.at[jnp.arange(cdf.shape[0])[:, None], m].add(1)
+    g = jnp.cumsum(hist[:, :s], axis=1)
+    g = jnp.clip(g, 0, s - 1).astype(jnp.int32)
+    return g[:, kvec]
 
 
 @jax.jit

@@ -452,8 +452,8 @@ def _process_multi_lean_fused(
         posteriors_from_evidence,
     )
     from ..multi_dla import (
-        base_sample_grid,
-        device_base_sample_inds,
+        base_sample_perm,
+        device_inverse_cdf_grid,
         finalize_multi_from_evidence,
         pack_lean_pair,
     )
@@ -561,11 +561,20 @@ def _process_multi_lean_fused(
     if use_pallas:
         off_j = jax.device_put(np.asarray(offsets[order], dtype), repl)
         nh_j = jax.device_put(np.asarray(nhis[order], dtype), repl)
-        order_dev = jax.device_put(np.asarray(order, np.int32), repl)
     else:
-        off_j, nh_j, order_dev = off_orig, nh_orig, None
-    u_dev = jax.device_put(
-        np.asarray(base_sample_grid(S, base_seed), dtype), repl
+        off_j, nh_j = off_orig, nh_orig
+    # the base resample reads the search-free grid inverse-CDF at the
+    # COMPOSED static permutation (grid shuffle o pair-column order), so
+    # the sorted-fresh-axis reorder costs nothing extra; index VALUES
+    # stay in original sample numbering
+    perm = base_sample_perm(S, base_seed)
+    base_cols_perm = perm[order] if use_pallas else perm
+    cols_dev = jax.device_put(np.asarray(base_cols_perm, np.int32), repl)
+    # ONE (S, 2)-row gather for the base (z, N_HI) values: two separate
+    # (S,) table gathers at (B, S) indices measure 151 ms/batch on v5e
+    # vs 29 ms for the packed pair rows (validation/gather_probe.py)
+    base_tables = jax.device_put(
+        np.stack([offsets, nhis], axis=1).astype(dtype), repl
     )
 
     @jax.jit
@@ -573,18 +582,22 @@ def _process_multi_lean_fused(
         """Base resample + value gather, in the pair kernel's column
         order (sorted fresh axis when pallas).  base index VALUES stay
         in original sample numbering."""
-        base = device_base_sample_inds(sll, u_dev)
-        base_cols = base[:, order_dev] if use_pallas else base
-        return base_cols, off_orig[base_cols], nh_orig[base_cols]
+        base_cols = device_inverse_cdf_grid(sll, cols_dev)
+        vals = base_tables[base_cols]
+        return base_cols, vals[..., 0], vals[..., 1]
 
     # ---- checkpoint manifest (one stream for the fused pass) ----
     ckpt_dir = (
         Path(config.checkpoint_dir) / "fused" if config.checkpoint_dir else None
     )
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
+    # the trailing 2.0 is the base-resampler version: v2 (the grid
+    # inverse-CDF) computes grid boundaries with single rounding where
+    # v1's stored-u searchsorted saw double-rounded f32 values, flipping
+    # ~1e-4 of f32 knife-edge draws — old checkpoints must not mix in
     fingerprint = run_fingerprint(
         dtype, config, params, model, offsets, nhis,
-        extra=([min_sep_z, float(base_seed)], spectra.z_qso),
+        extra=([min_sep_z, float(base_seed), 2.0], spectra.z_qso),
     )
     done: set = set()
     if manifest_path and manifest_path.exists():

@@ -14,7 +14,9 @@ import pytest
 from gp_dla_detection_tpu.multi_dla import (
     MultiDLAResults,
     base_sample_grid,
+    base_sample_perm,
     device_base_sample_inds,
+    device_inverse_cdf_grid,
     make_base_sample_inds,
     pack_lean_pair,
 )
@@ -93,6 +95,40 @@ def test_device_base_sampler_matches_host(problem):
         np.asarray(device_base_sample_inds(peaked, u)),
         make_base_sample_inds(peaked, seed=5),
     )
+
+
+def test_grid_inverse_cdf_matches_searchsorted():
+    """The search-free grid inverse-CDF must reproduce the generic
+    device resampler: bit-exact in f64 (the correction recomputes the
+    grid with the same single rounding numpy built it with), knife-edge
+    flips only in f32, and exact composition with a further static
+    permutation (the fused driver folds the pair-column order in)."""
+    rng = np.random.default_rng(3)
+    S = 300
+    sll = rng.normal(-20.0, 4.0, (7, S))
+    sll[4] = np.nan  # degenerate row: uniform fallback
+    perm = base_sample_perm(S, 9)
+    u = base_sample_grid(S, 9)
+
+    ref64 = np.asarray(device_base_sample_inds(sll, u))
+    grid64 = np.asarray(device_inverse_cdf_grid(sll, perm))
+    np.testing.assert_array_equal(grid64, ref64)
+
+    sll32 = sll.astype(np.float32)
+    ref32 = np.asarray(device_base_sample_inds(sll32, u.astype(np.float32)))
+    grid32 = np.asarray(device_inverse_cdf_grid(sll32, perm))
+    agree = (ref32 == grid32).mean()
+    assert agree > 0.999, agree  # double- vs single-rounded boundaries
+
+    # composed permutation == composition of results
+    order = rng.permutation(S)
+    np.testing.assert_array_equal(
+        np.asarray(device_inverse_cdf_grid(sll, perm[order])),
+        grid64[:, order],
+    )
+
+    # uniform fallback row covers the sample space on the grid path too
+    assert len(np.unique(grid64[4])) > 250
 
 
 def test_pack_lean_pair_semantics():
