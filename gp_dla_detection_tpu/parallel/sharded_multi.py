@@ -19,6 +19,7 @@ import json
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..inference import compute_sample_window, resolve_dtype
@@ -231,12 +232,16 @@ def process_spectra_multi_sharded(
     off_host = offsets[order] if use_pallas else offsets
     nh_host = nhis[order] if use_pallas else nhis
 
-    def base_slice(arr, start, stop):
-        """Per-batch gather of the (B, S) pair-indexed base values; a
-        full offsets[base]/nhis[base] would stand ~13 GB each (f64) for
-        the whole pair pass when each batch needs only its rows."""
-        vals = arr[base[start:stop]]
-        return vals[:, order] if use_pallas else vals
+    # per-batch base indices, in pair-column order (the host draw is the
+    # bit-matched f64 resample; only the INDICES cross the wire — two
+    # (B, S) f32 value arrays are ~80 MB/1024-batch through the tunnel
+    # vs ~20 MB of uint16 indices, and the values come from one packed
+    # (S, 2)-row device gather, bit-identical to host-gathered values)
+    base_index_dtype = np.uint16 if S <= np.iinfo(np.uint16).max + 1 else np.int32
+
+    def base_slice(start, stop):
+        cols = base[start:stop]
+        return (cols[:, order] if use_pallas else cols).astype(base_index_dtype)
 
     model_args = (
         jax.device_put(np.asarray(model.rest_wavelengths, dtype), repl),
@@ -246,6 +251,16 @@ def process_spectra_multi_sharded(
     )
     off_j = jax.device_put(np.asarray(off_host, dtype), samp)
     nh_j = jax.device_put(np.asarray(nh_host, dtype), samp)
+    base_tables = jax.device_put(
+        np.stack([offsets, nhis], axis=1).astype(dtype), repl
+    )
+
+    @jax.jit
+    def base_values(cols):
+        """Base (z, N_HI) values from uploaded indices: one packed-row
+        gather (gather_probe.py: 29 ms vs 151 for two table gathers)."""
+        vals = base_tables[cols.astype(jnp.int32)]
+        return vals[..., 0], vals[..., 1]
 
     ckpt_dir = ckpt_root / "pair" if ckpt_root else None
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
@@ -313,11 +328,14 @@ def process_spectra_multi_sharded(
         bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
         pad_rows = super_batch - (stop - start)
-        ob = base_slice(offsets, start, stop)
-        nb = base_slice(nhis, start, stop)
+        cols = base_slice(start, stop)
         if pad_rows:
-            ob = np.concatenate([ob, np.repeat(ob[-1:], pad_rows, axis=0)])
-            nb = np.concatenate([nb, np.repeat(nb[-1:], pad_rows, axis=0)])
+            cols = np.concatenate(
+                [cols, np.repeat(cols[-1:], pad_rows, axis=0)]
+            )
+        ob, nb = base_values(
+            jax.device_put(np.ascontiguousarray(cols), data_spec2)
+        )
         args = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
@@ -326,8 +344,7 @@ def process_spectra_multi_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
             off_j, nh_j,
-            jax.device_put(np.asarray(ob, dtype), data_spec2),
-            jax.device_put(np.asarray(nb, dtype), data_spec2),
+            ob, nb,
         )
         # pack the f16 wire format at dispatch time (device queue order;
         # see sharded_inference.dispatch); record the dispatch rung
