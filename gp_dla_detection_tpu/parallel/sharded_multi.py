@@ -52,6 +52,75 @@ from .streaming import checkpoint_payload, rows_from_checkpoint
 __all__ = ["process_spectra_multi_sharded"]
 
 
+class _FusedChainRunner:
+    """Single-dispatch fused two-stage chain over a PAIR of degradation
+    ladders: both kernels plus every mid-chain reduction (lean packs,
+    base resample, value gather) compile into ONE jitted program per
+    (single rung, pair rung) combination.
+
+    One program per batch instead of five cuts the remote dispatch
+    overhead to a fifth and lets XLA CSE the posterior-CDF prologue
+    shared by the lean evidence pack and the base resampler.  Ladder
+    semantics match the split-dispatch flow: a recoverable failure
+    degrades the PAIR kernel first (it holds ~2x the single kernel's
+    VMEM), then the single kernel; the fused program is rebuilt from
+    the runners' current rungs.  Only the first call of each rung pair
+    forces completion (surfacing compile/VMEM failures at dispatch);
+    later calls enqueue asynchronously.
+    """
+
+    def __init__(self, runner1, runner2, glue):
+        self.r1, self.r2 = runner1, runner2
+        self.glue = glue  # (fn1, fn2) -> un-jitted fused callable
+        self._fns: dict = {}
+        self._verified: set = set()
+
+    def _current(self):
+        key = (self.r1.idx, self.r2.idx)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(self.glue(self.r1.fn, self.r2.fn))
+            self._fns[key] = fn
+        return fn, key
+
+    def call(self, *args):
+        """Dispatch the fused chain; returns (out, rung_pair)."""
+        from ..inference import force_completion
+
+        with self.r1.lock, self.r2.lock:
+            while True:
+                fn, key = self._current()
+                try:
+                    out = fn(*args)
+                    if key not in self._verified:
+                        force_completion(out)
+                        self._verified.add(key)
+                    return out, key
+                except Exception as exc:
+                    self.degrade(exc)  # re-raises when unrecoverable
+
+    def degrade(self, exc):
+        """Walk the pair ladder first, then the single ladder;
+        re-raises when ``exc`` is not ladder-recoverable or both
+        ladders are exhausted."""
+        if not self.r2.try_advance(exc):
+            self.r1.recover(exc)
+
+    def recover_at_fetch(self, exc, key):
+        """Fetch-failure recovery: a failure from a rung pair some
+        other in-flight batch already abandoned retries on the current
+        pair without advancing further (see fetch_with_ladder's
+        stale-failure handling); a fresh failure degrades."""
+        from ..inference import ladder_recoverable
+
+        with self.r1.lock, self.r2.lock:
+            if (self.r1.idx, self.r2.idx) != key:
+                if not ladder_recoverable(exc):
+                    raise exc
+            else:
+                self.degrade(exc)
+
+
 def process_spectra_multi_sharded(
     model: GPModel,
     offset_samples,
@@ -594,27 +663,48 @@ def _process_multi_lean_fused(
         np.stack([offsets, nhis], axis=1).astype(dtype), repl
     )
 
-    @jax.jit
-    def derive_base(sll):
-        """Base resample + value gather, in the pair kernel's column
-        order (sorted fresh axis when pallas).  base index VALUES stay
-        in original sample numbering."""
-        base_cols = device_inverse_cdf_grid(sll, cols_dev)
-        vals = base_tables[base_cols]
-        return base_cols, vals[..., 0], vals[..., 1]
+    def glue(fn1, fn2):
+        """Fused per-batch device chain (compiled as ONE program per
+        ladder rung pair; see :class:`_FusedChainRunner`): single-DLA
+        likelihoods -> lean reductions AND base resample + packed value
+        gather (in the pair kernel's column order; index VALUES stay in
+        original sample numbering) -> pair kernel -> pair reductions ->
+        one stacked (8, B) small-vector array.  Index rows ride at the
+        stacked dtype — exact for any S < 2**24 (guarded above)."""
+
+        def fused(*args1):
+            out1 = fn1(*args1)
+            sll = out1["sample_log_likelihoods_dla"]
+            ev1, map1 = pack_lean(sll)
+            base_cols = device_inverse_cdf_grid(sll, cols_dev)
+            vals = base_tables[base_cols]
+            lls2 = fn2(*args1[:9], off_j, nh_j, vals[..., 0], vals[..., 1])
+            ev2, map2, map_base = pack_lean_pair(lls2, base_cols)
+            small = [
+                out1["log_likelihood_no_dla"], out1["min_z_dla"],
+                out1["max_z_dla"], ev1, map1, ev2, map2, map_base,
+            ]
+            wide = jnp.result_type(*(a.dtype for a in small))
+            return jnp.stack([a.astype(wide) for a in small])
+
+        return fused
+
+    fused_chain = _FusedChainRunner(runner1, runner2, glue)
 
     # ---- checkpoint manifest (one stream for the fused pass) ----
     ckpt_dir = (
         Path(config.checkpoint_dir) / "fused" if config.checkpoint_dir else None
     )
     manifest_path = ckpt_dir / "manifest.json" if ckpt_dir else None
-    # the trailing 2.0 is the base-resampler version: v2 (the grid
-    # inverse-CDF) computes grid boundaries with single rounding where
-    # v1's stored-u searchsorted saw double-rounded f32 values, flipping
-    # ~1e-4 of f32 knife-edge draws — old checkpoints must not mix in
+    # the trailing token is the fused-chain numerics version: v2 was
+    # the grid inverse-CDF base resampler (single-rounded boundaries
+    # vs v1's double-rounded stored-u searchsorted); v3 compiles the
+    # whole chain into one XLA program, whose cross-stage fusion may
+    # reassociate f32 knife-edge draws — checkpoints from different
+    # versions must not mix within one run
     fingerprint = run_fingerprint(
         dtype, config, params, model, offsets, nhis,
-        extra=([min_sep_z, float(base_seed), 2.0], spectra.z_qso),
+        extra=([min_sep_z, float(base_seed), 3.0], spectra.z_qso),
     )
     done: set = set()
     if manifest_path and manifest_path.exists():
@@ -658,31 +748,12 @@ def _process_multi_lean_fused(
             continue
         todo.append((bi, start, stop, ckpt_file))
 
-    def chain(args1):
-        """The full fused device chain at the runners' CURRENT rungs;
-        returns the stacked small-vector array plus the rungs it
-        dispatched on (for stale-failure classification at fetch)."""
-        out1, rung1 = runner1.call_with_rung(*args1)
-        sll = out1["sample_log_likelihoods_dla"]
-        ev1, map1 = pack_lean(sll)
-        base_cols, ob, nb = derive_base(sll)
-        # args1 = 5 batch arrays + 4 model arrays + (off, nh) original;
-        # the pair evaluator takes the sorted fresh tables + base values
-        args2 = (*args1[:9], off_j, nh_j, ob, nb)
-        lls2, rung2 = runner2.call_with_rung(*args2)
-        ev2, map2, map_base = pack_lean_pair(lls2, base_cols)
-        small = [
-            out1["log_likelihood_no_dla"], out1["min_z_dla"],
-            out1["max_z_dla"], ev1, map1, ev2, map2, map_base,
-        ]
-        dtypes = tuple(a.dtype for a in small)
-        wide = jnp.result_type(*dtypes)
-        stacked = jnp.stack([a.astype(wide) for a in small])
-        return stacked, dtypes, rung1, rung2
-
     def dispatch(item):
         bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
+        # args1 = 5 batch arrays + 4 model arrays + (off, nh) original;
+        # the fused program derives the pair evaluator's inputs on
+        # device (see glue above) — ONE dispatch covers both stages
         args1 = (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
@@ -693,22 +764,7 @@ def _process_multi_lean_fused(
             off_orig,
             nh_orig,
         )
-        return args1, chain(args1)
-
-    def recover_fused(exc, rung1, rung2):
-        """Two-ladder analogue of fetch_with_ladder's recovery: a fetch
-        failure cannot be attributed to a stage, so degrade the pair
-        kernel first (it holds ~2x the single kernel's VMEM), then the
-        single kernel; stale failures from rungs some other in-flight
-        batch already abandoned retry without advancing further."""
-        with runner1.lock, runner2.lock:
-            if runner1.idx > rung1 or runner2.idx > rung2:
-                from ..inference import ladder_recoverable
-
-                if not ladder_recoverable(exc):
-                    raise exc
-            elif not runner2.try_advance(exc):
-                runner1.recover(exc)  # re-raises when unrecoverable
+        return args1, fused_chain.call(*args1)
 
     def write_checkpoint(ckpt_file, bi, vecs):
         atomic_savez(
@@ -754,18 +810,15 @@ def _process_multi_lean_fused(
 
         def complete(item, state):
             bi, start, stop, ckpt_file = item
-            args1, (stacked, dtypes, rung1, rung2) = state
+            args1, (stacked, key) = state
             while True:
                 try:
                     smalls = fetch_global(stacked)
                     break
                 except Exception as exc:  # ladder recovery at fetch
-                    recover_fused(exc, rung1, rung2)
-                    stacked, dtypes, rung1, rung2 = chain(args1)
-            vecs = [
-                np.asarray(smalls[i], dtype=dt)
-                for i, dt in enumerate(dtypes)
-            ]
+                    fused_chain.recover_at_fetch(exc, key)
+                    stacked, key = fused_chain.call(*args1)
+            vecs = [np.asarray(smalls[i]) for i in range(len(VEC_KEYS))]
             writer.submit(finish_batch, bi, start, stop, ckpt_file, vecs)
             if meter is not None:
                 meter.update(stop - start)
