@@ -748,9 +748,16 @@ def _process_multi_lean_fused(
             continue
         todo.append((bi, start, stop, ckpt_file))
 
+    import os
+    import time as _time
+
+    timing = bool(os.environ.get("GPDLA_DRIVER_TIMING"))
+
     def dispatch(item):
         bi, start, stop, ckpt_file = item
+        t0 = _time.perf_counter()
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
+        t1 = _time.perf_counter()
         # args1 = 5 batch arrays + 4 model arrays + (off, nh) original;
         # the fused program derives the pair evaluator's inputs on
         # device (see glue above) — ONE dispatch covers both stages
@@ -764,7 +771,16 @@ def _process_multi_lean_fused(
             off_orig,
             nh_orig,
         )
-        return args1, fused_chain.call(*args1)
+        t2 = _time.perf_counter()
+        out = args1, fused_chain.call(*args1)
+        if timing:
+            print(
+                f"[fused] batch {bi}: slice {t1 - t0:.3f}s "
+                f"device_put {t2 - t1:.3f}s dispatch "
+                f"{_time.perf_counter() - t2:.3f}s",
+                flush=True,
+            )
+        return out
 
     def write_checkpoint(ckpt_file, bi, vecs):
         atomic_savez(
@@ -811,6 +827,7 @@ def _process_multi_lean_fused(
         def complete(item, state):
             bi, start, stop, ckpt_file = item
             args1, (stacked, key) = state
+            t0 = _time.perf_counter()
             while True:
                 try:
                     smalls = fetch_global(stacked)
@@ -818,6 +835,11 @@ def _process_multi_lean_fused(
                 except Exception as exc:  # ladder recovery at fetch
                     fused_chain.recover_at_fetch(exc, key)
                     stacked, key = fused_chain.call(*args1)
+            if timing:
+                print(
+                    f"[fused] batch {bi}: fetch {_time.perf_counter() - t0:.3f}s",
+                    flush=True,
+                )
             vecs = [np.asarray(smalls[i]) for i in range(len(VEC_KEYS))]
             writer.submit(finish_batch, bi, start, stop, ckpt_file, vecs)
             if meter is not None:
