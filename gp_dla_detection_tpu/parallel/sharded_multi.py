@@ -61,12 +61,17 @@ class _FusedChainRunner:
     One program per batch instead of five cuts the remote dispatch
     overhead to a fifth and lets XLA CSE the posterior-CDF prologue
     shared by the lean evidence pack and the base resampler.  Ladder
-    semantics match the split-dispatch flow: a recoverable failure
-    degrades the PAIR kernel first (it holds ~2x the single kernel's
-    VMEM), then the single kernel; the fused program is rebuilt from
-    the runners' current rungs.  Only the first call of each rung pair
-    forces completion (surfacing compile/VMEM failures at dispatch);
-    later calls enqueue asynchronously.
+    semantics: a recoverable DISPATCH-time failure is attributed by
+    probing the single kernel alone (its own ladder advances if it is
+    the failing stage, exactly as in the split-dispatch flow;
+    otherwise the pair ladder advances — it holds ~2x the single
+    kernel's VMEM and is the likelier culprit); a FETCH-time failure
+    cannot be attributed without a re-run, so it degrades the pair
+    ladder first, then the single (matching the split flow's fetch
+    recovery).  The fused program is rebuilt from the runners' current
+    rungs.  Only the first call of each rung pair forces completion
+    (surfacing compile/VMEM failures at dispatch); later calls enqueue
+    asynchronously.
     """
 
     def __init__(self, runner1, runner2, glue):
@@ -85,7 +90,7 @@ class _FusedChainRunner:
 
     def call(self, *args):
         """Dispatch the fused chain; returns (out, rung_pair)."""
-        from ..inference import force_completion
+        from ..inference import force_completion, ladder_recoverable
 
         with self.r1.lock, self.r2.lock:
             while True:
@@ -97,12 +102,26 @@ class _FusedChainRunner:
                         self._verified.add(key)
                     return out, key
                 except Exception as exc:
-                    self.degrade(exc)  # re-raises when unrecoverable
+                    if not ladder_recoverable(exc):
+                        raise
+                    # attribute the failure: run the single kernel
+                    # alone (one probe execution, failure paths only).
+                    # LadderRunner.__call__ walks runner1's OWN ladder
+                    # if the probe fails — the pair ladder is not
+                    # burned for a single-kernel failure, unlike a
+                    # blind pair-first walk which would also pin the
+                    # pair stage on its slowest rung afterwards
+                    idx1 = self.r1.idx
+                    self.r1(*args)  # raises only if r1's ladder exhausts
+                    if self.r1.idx == idx1:
+                        # single stage healthy at this rung: the pair
+                        # stage (or the fused program itself) failed
+                        self.r2.recover(exc)
 
     def degrade(self, exc):
-        """Walk the pair ladder first, then the single ladder;
-        re-raises when ``exc`` is not ladder-recoverable or both
-        ladders are exhausted."""
+        """Un-attributed walk for FETCH-time failures: the pair ladder
+        first, then the single; re-raises when ``exc`` is not
+        ladder-recoverable or both ladders are exhausted."""
         if not self.r2.try_advance(exc):
             self.r1.recover(exc)
 
@@ -528,8 +547,6 @@ def _process_multi_lean_fused(
     Replaces process_qsos.m:88-220's per-quasar loop for the
     multiplicity-catalog use case; format per calc_cddf.py:102-116.
     """
-    import jax.numpy as jnp
-
     from ..inference import (
         InferenceResults,
         dla_rate_priors,

@@ -16,7 +16,8 @@ has built the universe in the shared workdir):
   2. leg 2 — resume from the fused per-batch checkpoints to completion
   3. report — sustained rate, multiplicity confusion vs the injection
      truth, and catalog agreement vs the classic two-pass results when
-     they exist.  Appends to validation/RESULTS_SURVEY_LEAN.md.
+     they exist.  Writes validation/RESULTS_SURVEY_LEAN.md (a fresh
+     record per run).
 
 Resume bit-identity for the fused driver + checkpoint format is pinned
 by tests/test_lean_multi.py::test_fused_lean_checkpoint_resume; this
