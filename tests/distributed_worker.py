@@ -8,7 +8,13 @@ This exercises the multi-host path the reference lacks entirely (it
 shards manually across MATLAB jobs, process_qsos.m:51-54).
 
 Usage: python distributed_worker.py <process_id> <num_processes>
-       <coordinator_addr> <out_dir>
+       <coordinator_addr> <out_dir> [mode]
+
+mode: "single" (default) — the sharded single-DLA driver;
+      "lean_multi" — the FUSED lean two-stage {0,1,2}-DLA driver
+      (store_sample_likelihoods=False: device-side reductions + base
+      resample, fetch_global on the stacked small vectors, coordinator-
+      only checkpoints — the full multi-controller code path).
 """
 
 import sys
@@ -25,6 +31,7 @@ jax.config.update("jax_enable_x64", True)
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     addr, out_dir = sys.argv[3], Path(sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "single"
     here = Path(__file__).resolve().parent
     sys.path.insert(0, str(here))  # synthetic_problem
     sys.path.insert(0, str(here.parent))  # repo root, if not pip-installed
@@ -48,6 +55,41 @@ def main() -> None:
     params, model, spectra, offsets, nhis, prior_z, prior_f = make_problem()
     mesh = make_mesh()  # global mesh spanning both processes
     ckpt = out_dir / "ckpt"
+
+    if mode == "lean_multi":
+        from gp_dla_detection_tpu.parallel.sharded_multi import (
+            process_spectra_multi_sharded,
+        )
+
+        prior_num = np.random.default_rng(7).choice(
+            [0, 0, 0, 0, 0, 1, 1, 2], 200
+        )
+        multi = process_spectra_multi_sharded(
+            model, offsets, nhis, spectra, prior_z, prior_num,
+            params=params, mesh=mesh,
+            config=ShardedRunConfig(
+                per_device_batch=1, sample_chunk=32, dtype="float64",
+                store_sample_likelihoods=False,
+                checkpoint_dir=str(ckpt),
+            ),
+        )
+        payload = dict(
+            log_likelihoods_no_dla=multi.single.log_likelihoods_no_dla,
+            log_likelihoods_dla=multi.single.log_likelihoods_dla,
+            log_likelihoods_dla2=multi.log_likelihoods_dla2,
+            model_posteriors=multi.model_posteriors,
+            map_sample_inds=multi.single.map_sample_inds,
+            map_sample_inds2=multi.map_sample_inds2,
+            map_base_sample_inds=multi.map_base_sample_inds,
+            p_dlas=multi.single.p_dlas,
+        )
+        # every process must hold the identical replicated catalog
+        np.savez(out_dir / f"result_p{pid}.npz", **payload)
+        if jax.process_index() == 0:
+            np.savez(out_dir / "result.npz", **payload)
+        jax.distributed.shutdown()
+        return
+
     results = process_spectra_sharded(
         model, offsets, nhis, spectra, prior_z, prior_f,
         params=params, mesh=mesh,

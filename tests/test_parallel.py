@@ -329,13 +329,10 @@ def test_fetch_rows_wire_format():
     )
 
 
-def test_two_process_distributed_matches_single(problem, tmp_path):
-    """Real jax.distributed bring-up: two OS processes, 4 virtual CPU
-    devices each, one global 8-device mesh with gloo collectives between
-    processes.  The sharded driver must produce the single-process
-    result on every process, with checkpoints written once (process 0).
-    Exercises parallel.mesh.initialize_distributed / fetch_global —
-    SURVEY §5's distributed-comms subsystem end-to-end."""
+def _launch_two_workers(tmp_path, mode="single"):
+    """Run tests/distributed_worker.py as two gloo-coupled OS processes
+    (4 virtual CPU devices each, one global 8-device mesh) and assert
+    both exit cleanly."""
     import os
     import socket
     import subprocess
@@ -361,7 +358,7 @@ def test_two_process_distributed_matches_single(problem, tmp_path):
             procs.append(
                 subprocess.Popen(
                     [sys.executable, str(worker), str(i), "2", addr,
-                     str(tmp_path)],
+                     str(tmp_path), mode],
                     env=env, stdout=fh, stderr=subprocess.STDOUT, text=True,
                 )
             )
@@ -377,6 +374,16 @@ def test_two_process_distributed_matches_single(problem, tmp_path):
         assert p.returncode == 0, (
             f"worker {p.args} failed:\n{log.read_text()[-3000:]}"
         )
+
+
+def test_two_process_distributed_matches_single(problem, tmp_path):
+    """Real jax.distributed bring-up: two OS processes, 4 virtual CPU
+    devices each, one global 8-device mesh with gloo collectives between
+    processes.  The sharded driver must produce the single-process
+    result on every process, with checkpoints written once (process 0).
+    Exercises parallel.mesh.initialize_distributed / fetch_global —
+    SURVEY §5's distributed-comms subsystem end-to-end."""
+    _launch_two_workers(tmp_path, "single")
 
     params, model, spectra, offsets, nhis, prior_z, prior_f = problem
     single = process_spectra(
@@ -408,6 +415,75 @@ def test_two_process_distributed_matches_single(problem, tmp_path):
 
     manifest = json.loads((tmp_path / "ckpt" / "manifest.json").read_text())
     assert len(manifest["completed_batches"]) == manifest["total_batches"]
+
+
+def test_two_process_distributed_lean_multi_matches_single(problem, tmp_path):
+    """The FUSED lean two-stage {0,1,2}-DLA driver under real
+    jax.distributed: two controllers, one global 8-device mesh.  This is
+    the production multi-controller path (serial dispatch forced so
+    collective issuance order matches across processes; fetch_global
+    all-gathers the stacked small vectors; process 0 owns the single
+    fused checkpoint stream).  Every process must hold the identical
+    full catalog, equal to the single-process fused run."""
+    import json
+
+    from gp_dla_detection_tpu.parallel.sharded_multi import (
+        process_spectra_multi_sharded,
+    )
+
+    _launch_two_workers(tmp_path, "lean_multi")
+
+    params, model, spectra, offsets, nhis, prior_z, prior_f = problem
+    prior_num = np.random.default_rng(7).choice([0, 0, 0, 0, 0, 1, 1, 2], 200)
+    single = process_spectra_multi_sharded(
+        model, offsets, nhis, spectra, prior_z, prior_num,
+        params=params, mesh=make_mesh(),
+        config=ShardedRunConfig(
+            per_device_batch=1, sample_chunk=32, dtype="float64",
+            store_sample_likelihoods=False,
+        ),
+    )
+
+    with np.load(tmp_path / "result.npz") as dist:
+        np.testing.assert_allclose(
+            dist["log_likelihoods_no_dla"],
+            single.single.log_likelihoods_no_dla, rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            dist["log_likelihoods_dla"],
+            single.single.log_likelihoods_dla, rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            dist["log_likelihoods_dla2"],
+            single.log_likelihoods_dla2, rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            dist["model_posteriors"], single.model_posteriors,
+            rtol=1e-9, atol=1e-12,
+        )
+        # device-reduced MAP indices: exact in f64 (knife-edge-free)
+        np.testing.assert_array_equal(
+            dist["map_sample_inds"], single.single.map_sample_inds
+        )
+        np.testing.assert_array_equal(
+            dist["map_sample_inds2"], single.map_sample_inds2
+        )
+        np.testing.assert_array_equal(
+            dist["map_base_sample_inds"], single.map_base_sample_inds
+        )
+        dist_keys = {k: dist[k] for k in dist.files}
+    # replicated-by-construction: both processes hold the same catalog
+    for pid in range(2):
+        with np.load(tmp_path / f"result_p{pid}.npz") as pp:
+            for k, v in dist_keys.items():
+                np.testing.assert_array_equal(pp[k], v)
+    # one fused checkpoint stream, complete, written by the coordinator
+    manifest = json.loads(
+        (tmp_path / "ckpt" / "fused" / "manifest.json").read_text()
+    )
+    n, sb = manifest["num_spectra"], manifest["super_batch"]
+    assert n == len(spectra.z_qso)
+    assert len(manifest["completed_batches"]) == -(-n // sb)
 
 
 def test_f16_streaming_preserves_posteriors(problem):
