@@ -61,6 +61,7 @@ __all__ = [
     "make_batch_dla2_fn",
     "multi_dla_rate_priors",
     "pack_lean_pair",
+    "packed_base_tables",
     "prior_dla_multiplicity",
     "process_spectra_multi",
 ]
@@ -119,6 +120,19 @@ def base_sample_grid(num_samples: int, seed: int = 0) -> np.ndarray:
     base draw from the fresh QMC axis (sample j would otherwise always
     pair with the j/S posterior quantile)."""
     return (base_sample_perm(num_samples, seed) + 0.5) / num_samples
+
+
+def packed_base_tables(offset_samples, nhi_samples, dtype) -> np.ndarray:
+    """(S, 2) packed (z_offset, N_HI) rows for the device base-value
+    gather shared by both pair drivers (classic and fused lean).
+
+    Packing matters on TPU: gathering one (S, 2) row table at (B, S)
+    indices measures 29 ms/batch on v5e vs 151 ms for two separate (S,)
+    table gathers (validation/gather_probe.py) — the row gather fetches
+    both values per index in a single pass."""
+    return np.stack(
+        [np.asarray(offset_samples), np.asarray(nhi_samples)], axis=1
+    ).astype(dtype)
 
 
 def _posterior_cdf(sample_log_likelihoods):
@@ -193,6 +207,16 @@ def device_inverse_cdf_grid(sample_log_likelihoods, kvec):
     """
     s = sample_log_likelihoods.shape[1]
     cdf = _posterior_cdf(sample_log_likelihoods)
+    return _grid_counts(cdf, s)[:, kvec]
+
+
+def _grid_counts(cdf, s: int):
+    """The search half of :func:`device_inverse_cdf_grid`: per-row
+    counts g_k = #{i : cdf_i < (k+0.5)/s} for every grid position k —
+    the searchsorted answer at all s grid quantiles, with no search
+    (bucket + scatter-add histogram + cumsum).  Exposed separately so
+    the profiling harness (validation/lean_chain_profile.py) times the
+    exact production op."""
     dt = cdf.dtype
     s_f = jnp.asarray(s, dt)
     m = jnp.clip(jnp.floor(cdf * s_f + 0.5).astype(jnp.int32), 0, s)
@@ -204,8 +228,7 @@ def device_inverse_cdf_grid(sample_log_likelihoods, kvec):
     hist = jnp.zeros((cdf.shape[0], s + 1), jnp.int32)
     hist = hist.at[jnp.arange(cdf.shape[0])[:, None], m].add(1)
     g = jnp.cumsum(hist[:, :s], axis=1)
-    g = jnp.clip(g, 0, s - 1).astype(jnp.int32)
-    return g[:, kvec]
+    return jnp.clip(g, 0, s - 1).astype(jnp.int32)
 
 
 @jax.jit

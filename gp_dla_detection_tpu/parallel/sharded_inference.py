@@ -461,10 +461,11 @@ def process_spectra_sharded(
         stacked = jnp.stack([a.astype(wide) for a in small])
         return tag, wire, stacked, dtypes
 
-    import os
     import time as _time
 
-    timing = bool(os.environ.get("GPDLA_DRIVER_TIMING"))
+    from ..utils import env_flag
+
+    timing = env_flag("GPDLA_DRIVER_TIMING")
 
     def dispatch(item):
         bi, start, stop, ckpt_file = item

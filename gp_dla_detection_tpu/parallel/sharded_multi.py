@@ -29,6 +29,7 @@ from ..multi_dla import (
     finalize_multi,
     make_base_sample_inds,
     make_batch_dla2_fn,
+    packed_base_tables,
 )
 from ..params import Parameters, kms_to_z
 from .mesh import (
@@ -115,8 +116,16 @@ class _FusedChainRunner:
                     self.r1(*args)  # raises only if r1's ladder exhausts
                     if self.r1.idx == idx1:
                         # single stage healthy at this rung: the pair
-                        # stage (or the fused program itself) failed
-                        self.r2.recover(exc)
+                        # stage (or the fused program itself) failed.
+                        # With the pair ladder exhausted, keep walking
+                        # the SINGLE ladder — the fused program
+                        # co-resides both kernels' buffers, so a
+                        # cheaper single rung can still make the pair's
+                        # last rung fit (the probe above only proved r1
+                        # healthy in isolation); every accepted config
+                        # must complete before we abort
+                        if not self.r2.try_advance(exc):
+                            self.r1.recover(exc)
 
     def degrade(self, exc):
         """Un-attributed walk for FETCH-time failures: the pair ladder
@@ -339,14 +348,12 @@ def process_spectra_multi_sharded(
     )
     off_j = jax.device_put(np.asarray(off_host, dtype), samp)
     nh_j = jax.device_put(np.asarray(nh_host, dtype), samp)
-    base_tables = jax.device_put(
-        np.stack([offsets, nhis], axis=1).astype(dtype), repl
-    )
+    base_tables = jax.device_put(packed_base_tables(offsets, nhis, dtype), repl)
 
     @jax.jit
     def base_values(cols):
-        """Base (z, N_HI) values from uploaded indices: one packed-row
-        gather (gather_probe.py: 29 ms vs 151 for two table gathers)."""
+        """Base (z, N_HI) values from uploaded indices via the shared
+        packed-row gather (multi_dla.packed_base_tables)."""
         vals = base_tables[cols.astype(jnp.int32)]
         return vals[..., 0], vals[..., 1]
 
@@ -673,12 +680,9 @@ def _process_multi_lean_fused(
     perm = base_sample_perm(S, base_seed)
     base_cols_perm = perm[order] if use_pallas else perm
     cols_dev = jax.device_put(np.asarray(base_cols_perm, np.int32), repl)
-    # ONE (S, 2)-row gather for the base (z, N_HI) values: two separate
-    # (S,) table gathers at (B, S) indices measure 151 ms/batch on v5e
-    # vs 29 ms for the packed pair rows (validation/gather_probe.py)
-    base_tables = jax.device_put(
-        np.stack([offsets, nhis], axis=1).astype(dtype), repl
-    )
+    # base (z, N_HI) values come from the shared packed-row gather
+    # (multi_dla.packed_base_tables: one (S, 2) gather, not two)
+    base_tables = jax.device_put(packed_base_tables(offsets, nhis, dtype), repl)
 
     def glue(fn1, fn2):
         """Fused per-batch device chain (compiled as ONE program per
@@ -765,10 +769,11 @@ def _process_multi_lean_fused(
             continue
         todo.append((bi, start, stop, ckpt_file))
 
-    import os
     import time as _time
 
-    timing = bool(os.environ.get("GPDLA_DRIVER_TIMING"))
+    from ..utils import env_flag
+
+    timing = env_flag("GPDLA_DRIVER_TIMING")
 
     def dispatch(item):
         bi, start, stop, ckpt_file = item

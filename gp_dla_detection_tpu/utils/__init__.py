@@ -6,6 +6,7 @@ from .observability import (
     ProgressMeter,
     Timer,
     debug_print,
+    env_flag,
     set_debug,
     stage_timer,
     trace,
@@ -15,6 +16,7 @@ __all__ = [
     "ProgressMeter",
     "Timer",
     "debug_print",
+    "env_flag",
     "enable_compilation_cache",
     "set_debug",
     "stage_timer",

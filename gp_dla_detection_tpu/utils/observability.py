@@ -22,13 +22,22 @@ import time
 __all__ = [
     "set_debug",
     "debug_print",
+    "env_flag",
     "Timer",
     "stage_timer",
     "ProgressMeter",
     "trace",
 ]
 
-_debug_enabled = os.environ.get("GPDLA_DEBUG", "") not in ("", "0")
+
+def env_flag(name: str) -> bool:
+    """The repo-wide boolean env-var convention: unset, empty, and "0"
+    are False; anything else is True (so NAME=0 disables, matching
+    GPDLA_DEBUG)."""
+    return os.environ.get(name, "") not in ("", "0")
+
+
+_debug_enabled = env_flag("GPDLA_DEBUG")
 
 
 def set_debug(enabled: bool) -> None:

@@ -105,6 +105,35 @@ def test_both_stages_failing_walk_both_ladders():
     np.testing.assert_allclose(np.asarray(out), np.asarray(X) * 2 + 11.0)
 
 
+def test_pair_ladder_exhausted_at_dispatch_walks_single_ladder():
+    """Co-residency failure with the pair ladder exhausted: the fused
+    program holds BOTH kernels' buffers, so when the pair stage has no
+    rungs left a cheaper single rung can still make it fit.  The single
+    kernel probe passes in isolation, so attribution blames the pair —
+    the runner must then fall through to the single ladder instead of
+    aborting (every accepted config must complete)."""
+    s1, s2 = _Stage(1.0), _Stage(10.0, n_rungs=1)
+    r1 = LadderRunner(s1.configs, s1.build, what="single")
+    r2 = LadderRunner(s2.configs, s2.build, what="pair")
+
+    def glue(fn1, fn2):
+        def fused_fn(x):
+            out = fn1(x) + fn2(x)
+            # both stages pass alone; co-resident they exceed VMEM
+            # until the single stage degrades off its fastest rung
+            if r1.idx == 0:
+                raise _vmem_error()
+            return out
+
+        return fused_fn
+
+    fused = _FusedChainRunner(r1, r2, glue)
+    with pytest.warns(UserWarning, match="single backend"):
+        out, key = fused.call(X)
+    assert key == (1, 0) and (r1.idx, r2.idx) == (1, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(X) * 2 + 11.0)
+
+
 def test_non_recoverable_dispatch_error_reraises_without_walking():
     s1 = _Stage(1.0)
     s2 = _Stage(10.0)

@@ -63,16 +63,15 @@ def main(B: int = 1024, S: int = 10000) -> None:
     combined_h = perm_h[order_h]
     combined = jax.device_put(combined_h)
 
-    # ---- production pieces ----
-    @jax.jit
-    def cdf_of(sll):
-        finite = jnp.where(jnp.isnan(sll), -jnp.inf, sll)
-        rowmax = jnp.max(finite, axis=1, keepdims=True)
-        rowmax = jnp.where(jnp.isfinite(rowmax), rowmax, 0.0)
-        w = jnp.exp(finite - rowmax)
-        w = jnp.where(jnp.sum(w, axis=1, keepdims=True) == 0.0, 1.0, w)
-        cdf = jnp.cumsum(w, axis=1)
-        return cdf / cdf[:, -1:]
+    # ---- production pieces (IMPORTED, not copied: the probe must time
+    # exactly what production runs) ----
+    from gp_dla_detection_tpu.multi_dla import (
+        _grid_counts,
+        _posterior_cdf,
+        device_inverse_cdf_grid,
+    )
+
+    cdf_of = jax.jit(_posterior_cdf)
 
     @jax.jit
     def search_scan(cdf):
@@ -86,21 +85,13 @@ def main(B: int = 1024, S: int = 10000) -> None:
         )(cdf)
         return jnp.clip(inds, 0, S - 1).astype(jnp.int32)
 
+    perm_dev = jax.device_put(perm_h)
+
     @jax.jit
     def search_hist(cdf):
-        # m_i = #{k: fl((k+0.5)/S) <= cdf_i}; inds[j] = #{i: m_i <= perm_j}
-        dt = cdf.dtype
-        s_f = jnp.asarray(S, dt)
-        m = jnp.clip(jnp.floor(cdf * s_f + 0.5).astype(jnp.int32), 0, S)
-        for _ in range(2):  # exact vs the grid's own rounding
-            um1 = (m.astype(dt) - 0.5) / s_f
-            m = jnp.where((m > 0) & (um1 > cdf), m - 1, m)
-            um = (m.astype(dt) + 0.5) / s_f
-            m = jnp.where((m < S) & (um <= cdf), m + 1, m)
-        hist = jnp.zeros((cdf.shape[0], S + 1), jnp.int32)
-        hist = hist.at[jnp.arange(cdf.shape[0])[:, None], m].add(1)
-        g = jnp.cumsum(hist[:, :S], axis=1)
-        return jnp.clip(g, 0, S - 1)[:, jax.device_put(perm_h)]
+        # the production search half (multi_dla._grid_counts), read out
+        # at the grid permutation
+        return _grid_counts(cdf, S)[:, perm_dev]
 
     @jax.jit
     def derive_prod(sll):
@@ -119,20 +110,9 @@ def main(B: int = 1024, S: int = 10000) -> None:
 
     @jax.jit
     def derive_hist(sll):
-        # fused candidate: cdf + histogram search with the order fold
-        cdf = cdf_of(sll)
-        dt = cdf.dtype
-        s_f = jnp.asarray(S, dt)
-        m = jnp.clip(jnp.floor(cdf * s_f + 0.5).astype(jnp.int32), 0, S)
-        for _ in range(2):
-            um1 = (m.astype(dt) - 0.5) / s_f
-            m = jnp.where((m > 0) & (um1 > cdf), m - 1, m)
-            um = (m.astype(dt) + 0.5) / s_f
-            m = jnp.where((m < S) & (um <= cdf), m + 1, m)
-        hist = jnp.zeros((sll.shape[0], S + 1), jnp.int32)
-        hist = hist.at[jnp.arange(sll.shape[0])[:, None], m].add(1)
-        g = jnp.clip(jnp.cumsum(hist[:, :S], axis=1), 0, S - 1)
-        base_cols = g[:, combined]
+        # the PRODUCTION fused path: grid inverse-CDF with the order
+        # fold composed into the readout permutation, then value gathers
+        base_cols = device_inverse_cdf_grid(sll, combined)
         return base_cols, off_orig[base_cols], nh_orig[base_cols]
 
     def scal(x):
