@@ -36,6 +36,7 @@ Model posteriors become [no DLA, exactly 1 DLA, 2 DLAs].
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from pathlib import Path
 
@@ -64,6 +65,7 @@ __all__ = [
     "packed_base_tables",
     "prior_dla_multiplicity",
     "process_spectra_multi",
+    "replicate_draw_pattern",
 ]
 
 
@@ -182,8 +184,39 @@ def device_base_sample_inds(sample_log_likelihoods, u):
     return jnp.clip(inds, 0, s - 1).astype(jnp.int32)
 
 
-@jax.jit
-def device_inverse_cdf_grid(sample_log_likelihoods, kvec):
+def replicate_draw_pattern(
+    num_samples: int, tile: int, replicates: int
+) -> tuple[np.ndarray, int]:
+    """Draw-slot assignment for base-replicated pair sampling.
+
+    With ``replicates`` R > 1, each kernel tile of ``tile`` pair columns
+    shares tile/R unique base draws, laid out so lane l and lane
+    l + tile/R carry the SAME draw: the fused pair kernel then computes
+    the expensive base-axis Voigt math on tile/R lanes and broadcasts
+    (ops/evidence_pallas, base_replicates), halving the base-axis
+    transcendental cost at R=2.  Statistically the pair estimator stays
+    an unbiased posterior-resampled Monte Carlo sum — the draw
+    assignment is a FIXED pattern, independent of the sample values —
+    with R-fold-coarser stratification of the base axis (n_draws grid
+    quantiles instead of num_samples).
+
+    Returns ``(draw_idx, n_draws)``: ``draw_idx[p]`` is the draw slot
+    for pair column p (kernel tiling order), ``n_draws`` the number of
+    distinct slots.
+    """
+    if replicates < 1 or tile % replicates:
+        raise ValueError(
+            f"replicates must divide the sample tile (got {replicates} "
+            f"vs tile {tile})"
+        )
+    pos = np.arange(num_samples)
+    width = tile // replicates
+    draw_idx = (pos // tile) * width + (pos % tile) % width
+    return draw_idx.astype(np.int64), int(draw_idx.max()) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size",))
+def device_inverse_cdf_grid(sample_log_likelihoods, kvec, grid_size=None):
     """Search-free :func:`device_base_sample_inds` for GRID quantiles:
     per-row inverse-CDF of the 1-DLA posterior at u_j = (kvec_j + 0.5)/S
     — the structure :func:`base_sample_grid` guarantees (kvec = the
@@ -204,18 +237,29 @@ def device_inverse_cdf_grid(sample_log_likelihoods, kvec):
     DOUBLE-rounded (f64 build, f32 cast), so a CDF step within one ulp
     of a cell boundary can resolve to the neighbouring sample —
     the same knife-edge class the f32 CDF accumulation already has.
+
+    ``grid_size`` (static) sets the quantile grid size S separately
+    from the sample count: base-replicated pair sampling draws at
+    n_draws < num_samples grid quantiles (:func:`replicate_draw_
+    pattern`), so ``kvec`` holds positions < grid_size while the
+    returned indices still run over the full sample axis.  Default
+    (None): grid size = sample count, the classic one-draw-per-column
+    resample.
     """
-    s = sample_log_likelihoods.shape[1]
+    if grid_size is None:
+        grid_size = sample_log_likelihoods.shape[1]
     cdf = _posterior_cdf(sample_log_likelihoods)
-    return _grid_counts(cdf, s)[:, kvec]
+    return _grid_counts(cdf, grid_size)[:, kvec]
 
 
 def _grid_counts(cdf, s: int):
     """The search half of :func:`device_inverse_cdf_grid`: per-row
     counts g_k = #{i : cdf_i < (k+0.5)/s} for every grid position k —
     the searchsorted answer at all s grid quantiles, with no search
-    (bucket + scatter-add histogram + cumsum).  Exposed separately so
-    the profiling harness (validation/lean_chain_profile.py) times the
+    (bucket + scatter-add histogram + cumsum).  ``s`` is the GRID size
+    (== the CDF's sample count except under base replication); counts
+    are clipped to valid sample indices.  Exposed separately so the
+    profiling harness (validation/lean_chain_profile.py) times the
     exact production op."""
     dt = cdf.dtype
     s_f = jnp.asarray(s, dt)
@@ -228,7 +272,9 @@ def _grid_counts(cdf, s: int):
     hist = jnp.zeros((cdf.shape[0], s + 1), jnp.int32)
     hist = hist.at[jnp.arange(cdf.shape[0])[:, None], m].add(1)
     g = jnp.cumsum(hist[:, :s], axis=1)
-    return jnp.clip(g, 0, s - 1).astype(jnp.int32)
+    # counts index SAMPLES (CDF steps), so clip to the sample axis —
+    # distinct from the grid size when base replication coarsens the grid
+    return jnp.clip(g, 0, cdf.shape[1] - 1).astype(jnp.int32)
 
 
 @jax.jit
@@ -503,6 +549,7 @@ def make_batch_dla2_fn(
     backend: str = "xla",
     window: int | None = None,
     tile: int | None = None,
+    base_replicates: int = 1,
 ):
     """Build the jitted two-DLA batch evaluator shared by the
     single-host and sharded drivers.
@@ -515,6 +562,11 @@ def make_batch_dla2_fn(
     For backend="pallas"/"pallas_interpret" the offsets MUST be
     z-ascending (the caller sorts and unsorts, permuting the base
     columns identically); ``window`` is the fresh-axis Faddeeva window.
+
+    ``base_replicates`` (Pallas only): the caller promises base_offsets/
+    base_nhis columns follow :func:`replicate_draw_pattern`'s tile
+    layout; the kernel computes the base-axis Voigt math once per
+    unique draw (see ops/evidence_pallas).
     """
     S = num_samples
     use_pallas = backend in ("pallas", "pallas_interpret")
@@ -552,6 +604,7 @@ def make_batch_dla2_fn(
                 window=window,
                 z_dlas2=z2_b, nhi2=nh_b,
                 interpret=(backend == "pallas_interpret"),
+                base_replicates=base_replicates,
                 **({"tile": tile} if tile is not None else {}),
             )
             too_close = jnp.abs(

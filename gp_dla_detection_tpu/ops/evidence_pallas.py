@@ -115,17 +115,26 @@ def _evidence_kernel(
     pixel_spacing: float,
     two_dla: bool = False,
     line_loop: bool = False,
+    base_replicates: int = 1,
 ):
     if line_loop:
         tbl_ref, *rest = rest
     if two_dla:
         z_ref, nhi_ref, z2_ref, nhi2_ref, out_ref, total_ref = rest
         # the second (posterior-resampled) absorber's redshifts are not
-        # z-sorted, so it always takes the full-grid Faddeeva branch
-        absorbers = [(z_ref, nhi_ref, window), (z2_ref, nhi2_ref, None)]
+        # z-sorted, so it always takes the full-grid Faddeeva branch.
+        # With base_replicates R > 1 the caller guarantees lanes l and
+        # l + T/R of every z2/nhi2 tile are identical (multi_dla.
+        # replicate_draw_pattern + the wrapper's padded-tail fix), so
+        # the base line math runs on T/R lanes and broadcasts —
+        # bit-identical output, ~1/R the base-axis transcendental cost
+        absorbers = [
+            (z_ref, nhi_ref, window, 1),
+            (z2_ref, nhi2_ref, None, base_replicates),
+        ]
     else:
         z_ref, nhi_ref, out_ref, total_ref = rest
-        absorbers = [(z_ref, nhi_ref, window)]
+        absorbers = [(z_ref, nhi_ref, window, 1)]
 
     dtype = flux_ref.dtype
     P6 = lam_ref.shape[-1]
@@ -149,23 +158,28 @@ def _evidence_kernel(
 
     total_ref[...] = jnp.zeros((P6, T), dtype)
 
-    def line_pass(c_over_lt18, y, lead_norm, lt18, zr, z, nhi, win):
+    def line_pass(c_over_lt18, y, lead_norm, lt18, zr, z, nhi, win, reps):
         """One Lyman-series line's optical-depth contribution.
 
         ``c_over_lt18``/``y``/``lead_norm``/``lt18`` are the per-line
         constants — Python/trace-time values on the unrolled path, SMEM
         scalar loads on the fori_loop path (same f32 values either way,
-        see _line_tables).
+        see _line_tables).  ``reps`` > 1: the tile's lanes repeat with
+        period T/reps (base-replicated axis), so the Faddeeva math runs
+        on the unique lanes and broadcasts.
         """
-        mult = c_over_lt18 / (1.0 + z)                      # (1, T)
-        x = (lam * mult - c_cgs) * inv_sqrt2_sigma          # (P6, T)
         # single-absorber mode scales by N_HI once at the exp (saves
         # a (P6, T) broadcast multiply per line); with two absorbers
         # the N_HI factor must be folded per line so the shared
         # total accumulates the combined optical depth
         scale = lead_norm * nhi if two_dla else lead_norm
         if win is None:
+            z_u = z[:, : T // reps] if reps > 1 else z
+            mult = c_over_lt18 / (1.0 + z_u)                # (1, T/reps)
+            x = (lam * mult - c_cgs) * inv_sqrt2_sigma      # (P6, T/reps)
             h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
+            if reps > 1:
+                h = jnp.concatenate([h] * reps, axis=1)     # (P6, T)
             total_ref[...] = total_ref[...] - scale * h
         else:
             # z-sorted tile: the Lorentzian term (global rational G)
@@ -182,6 +196,8 @@ def _evidence_kernel(
             # 128-aligned or the pl.multiple_of promise is violated for
             # near-red-edge windows
             W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
+            mult = c_over_lt18 / (1.0 + z)                  # (1, T)
+            x = (lam * mult - c_cgs) * inv_sqrt2_sigma      # (P6, T)
             h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
             total_ref[...] = total_ref[...] - scale * h_wing
             center = jnp.log10(lt18 * (1.0 + zr[0, 0, 0]))
@@ -208,14 +224,14 @@ def _evidence_kernel(
                 total_ref[pl.ds(start, W), :] - scale * corr
             )
 
-    for zr, nr, win in absorbers:
+    for zr, nr, win, reps in absorbers:
         z = zr[0, 0].reshape(1, T)
         nhi = nr[0, 0].reshape(1, T)
         if line_loop:
-            def body(j, _, zr=zr, z=z, nhi=nhi, win=win):
+            def body(j, _, zr=zr, z=z, nhi=nhi, win=win, reps=reps):
                 line_pass(
                     tbl_ref[0, j], tbl_ref[1, j], tbl_ref[2, j],
-                    tbl_ref[3, j], zr, z, nhi, win,
+                    tbl_ref[3, j], zr, z, nhi, win, reps,
                 )
                 return _
 
@@ -230,7 +246,7 @@ def _evidence_kernel(
                     jnp.asarray(gamma_j, dtype) * inv_sqrt2_sigma,
                     lead_j * voigt_norm,
                     lambda_t * 1e8,
-                    zr, z, nhi, win,
+                    zr, z, nhi, win, reps,
                 )
 
     if two_dla:
@@ -307,6 +323,7 @@ def _evidence_kernel(
     jax.jit,
     static_argnames=(
         "num_lines", "instrument", "tile", "interpret", "window", "line_loop",
+        "base_replicates",
     ),
 )
 def pallas_sample_log_likelihoods(
@@ -327,6 +344,7 @@ def pallas_sample_log_likelihoods(
     z_dlas2=None,      # (B, S) second absorber redshifts (optional)
     nhi2=None,         # (B, S)
     line_loop: bool | None = None,
+    base_replicates: int = 1,
 ):
     """Fused per-sample DLA log likelihoods, (B, S).  float32 only.
 
@@ -346,6 +364,15 @@ def pallas_sample_log_likelihoods(
     the shared broadening/evidence chain.  The second absorber is
     evaluated full-grid (its redshifts need not be sorted), so
     ``window`` still applies to the first axis only.
+
+    ``base_replicates`` R > 1 (two-DLA only) promises that lanes l and
+    l + tile/R of every z_dlas2/nhi2 TILE carry identical values
+    (multi_dla.replicate_draw_pattern lays draws out this way; padding
+    is re-patterned here).  The kernel then computes the base-axis
+    Faddeeva math on tile/R lanes and broadcasts — bit-identical
+    results at ~1/R the base-axis transcendental cost.  A violated
+    pattern silently evaluates the FIRST tile/R draws for the whole
+    tile; callers own the contract.
     """
     if instrument is None:
         instrument = InstrumentParams()
@@ -390,7 +417,7 @@ def pallas_sample_log_likelihoods(
                 z_dlas2=None if z_dlas2 is None else z_dlas2[sl],
                 nhi2=None if nhi2 is None else nhi2[sl],
                 interpret=interpret, window=window, tile=tile,
-                line_loop=line_loop,
+                line_loop=line_loop, base_replicates=base_replicates,
             )
             for sl in (slice(0, half), slice(half, B))
         ]
@@ -435,6 +462,14 @@ def pallas_sample_log_likelihoods(
         P6 += ppad
 
     two_dla = z_dlas2 is not None
+    if base_replicates != 1:
+        if not two_dla:
+            raise ValueError("base_replicates applies to two-DLA mode only")
+        if base_replicates != 2 or tile % base_replicates:
+            raise ValueError(
+                f"base_replicates=2 is the supported replication (got "
+                f"{base_replicates} at tile {tile})"
+            )
     pad = (-S) % tile
     if pad:
         # replicate the LAST sample: with window mode's z-ascending
@@ -448,6 +483,20 @@ def pallas_sample_log_likelihoods(
         z_dlas, nhi = rep(z_dlas), rep(nhi)
         if two_dla:
             z_dlas2, nhi2 = rep(z_dlas2), rep(nhi2)
+            if base_replicates > 1:
+                # last-sample padding breaks the half-tile replication
+                # pattern in the final tile; re-impose it by mirroring
+                # the first half onto the second.  Real lanes in the
+                # second half already equal their first-half twins by
+                # the caller contract (a no-op for them); pad lanes are
+                # discarded by the [:, :S] slice below, so any finite
+                # value serves
+                t0 = S + pad - tile
+                half = tile // base_replicates
+                fix = lambda a: a.at[:, t0 + half :].set(
+                    a[:, t0 : t0 + half]
+                )
+                z_dlas2, nhi2 = fix(z_dlas2), fix(nhi2)
     S_pad = S + pad
 
     maskf = mask.astype(dtype)
@@ -513,6 +562,7 @@ def pallas_sample_log_likelihoods(
                 _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
                 window=window, pixel_spacing=instrument.pixel_spacing,
                 two_dla=two_dla, line_loop=use_loop,
+                base_replicates=base_replicates,
             ),
             grid=grid,
             in_specs=[

@@ -125,6 +125,18 @@ class ShardedRunConfig:
     # CDDF analysis need the matrix and raise a clear error on lean
     # results.
     store_sample_likelihoods: bool = True
+    # base-axis draw replication for the FUSED LEAN two-stage driver
+    # (store_sample_likelihoods=False): 2 = each posterior base draw is
+    # shared by two pair columns, laid out per kernel tile so the fused
+    # pair kernel computes the base-axis Voigt math once per unique
+    # draw (multi_dla.replicate_draw_pattern; ops/evidence_pallas
+    # base_replicates).  Halves the draw-grid stratification (still
+    # unbiased inverse-CDF posterior resampling) for a measured pair-
+    # kernel speedup; 1 (default) = the classic one-draw-per-column
+    # resample, bit-compatible with existing checkpoints.  Ignored by
+    # the single-DLA driver; the classic (matrix-storing) two-stage
+    # driver rejects values != 1.
+    base_replicates: int = 1
 
 
 def build_single_ladder(

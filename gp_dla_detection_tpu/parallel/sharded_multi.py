@@ -201,6 +201,13 @@ def process_spectra_multi_sharded(
             prior_z_qsos, prior_num_dlas, params, mesh, config,
             progress, min_separation_kms, base_seed,
         )
+    if config.base_replicates != 1:
+        raise ValueError(
+            "base_replicates > 1 is a fused-lean-driver feature "
+            "(store_sample_likelihoods=False): the classic pair stage "
+            "resamples on the host and stores the full (N, S) base "
+            "index matrix, where draw replication has no kernel payoff"
+        )
     # fail at config time, not after an hours-long single stage: the
     # CLASSIC pair stage resamples base absorbers from the single-stage
     # sample matrix on the host, which a lean precomputed result never
@@ -566,6 +573,7 @@ def _process_multi_lean_fused(
         device_inverse_cdf_grid,
         finalize_multi_from_evidence,
         pack_lean_pair,
+        replicate_draw_pattern,
     )
     from ..utils import ProgressMeter
     from .overlap import (
@@ -617,11 +625,11 @@ def _process_multi_lean_fused(
         pallas_sample_sharded=False,
     )
 
+    from ..ops.evidence_pallas import SAMPLE_TILE as PATTERN_TILE
+
     window = None
     order = None
     if use_pallas:
-        from ..ops.evidence_pallas import SAMPLE_TILE
-
         # the fused pair kernel needs a z-ascending fresh axis; the
         # single-stage output stays in ORIGINAL sample order (its kernel
         # sorts/unsorts in-graph), so only the pair-stage inputs are
@@ -629,15 +637,34 @@ def _process_multi_lean_fused(
         # happens on the host (for the fetched MAP pair index)
         order = np.argsort(offsets)
         window = compute_sample_window(
-            offsets, SAMPLE_TILE, num_pixels_ext,
+            offsets, PATTERN_TILE, num_pixels_ext,
             num_lines=params.num_lines,
             pixel_spacing=params.instrument.pixel_spacing,
         )
 
+    R = config.base_replicates
+    if R not in (1, 2):
+        raise ValueError(
+            f"base_replicates must be 1 or 2 (got {R}); 2 shares each "
+            "base draw between a tile's two half-lanes (multi_dla."
+            "replicate_draw_pattern)"
+        )
+
     def make_fn2(run_backend, tile, windowed=True):
+        # the replicate pattern is laid out for SAMPLE_TILE; a degraded
+        # rung at another tile size must not exploit it (the values are
+        # still plain values — only the kernel shortcut needs the
+        # layout), and the XLA rung never does
+        pattern_ok = (
+            R > 1
+            and run_backend in ("pallas", "pallas_interpret")
+            and use_pallas
+            and tile == PATTERN_TILE
+        )
         fn = make_batch_dla2_fn(
             model, params, S, config.sample_chunk, min_sep_z,
             run_backend, window if windowed else None, tile=tile,
+            base_replicates=R if pattern_ok else 1,
         )
         if run_backend in ("pallas", "pallas_interpret") and mesh.size > 1:
             from jax.sharding import PartitionSpec as P
@@ -677,8 +704,20 @@ def _process_multi_lean_fused(
     # COMPOSED static permutation (grid shuffle o pair-column order), so
     # the sorted-fresh-axis reorder costs nothing extra; index VALUES
     # stay in original sample numbering
-    perm = base_sample_perm(S, base_seed)
-    base_cols_perm = perm[order] if use_pallas else perm
+    if R == 1:
+        perm = base_sample_perm(S, base_seed)
+        base_cols_perm = perm[order] if use_pallas else perm
+        grid_size = S
+    else:
+        # base-replicated draws: pair column p (in the kernel's tiling
+        # order — the SORTED axis under pallas) takes draw slot
+        # draw_idx[p], each slot a distinct grid quantile of the
+        # n_draws-point shuffled grid.  NOTE the pattern binds draws to
+        # TILE LANES, so unlike R=1 the pairing is not invariant to the
+        # backend's column order (a pallas and an xla run pair fresh
+        # samples with different — equally valid — posterior draws)
+        draw_idx, grid_size = replicate_draw_pattern(S, PATTERN_TILE, R)
+        base_cols_perm = base_sample_perm(grid_size, base_seed)[draw_idx]
     cols_dev = jax.device_put(np.asarray(base_cols_perm, np.int32), repl)
     # base (z, N_HI) values come from the shared packed-row gather
     # (multi_dla.packed_base_tables: one (S, 2) gather, not two)
@@ -697,7 +736,9 @@ def _process_multi_lean_fused(
             out1 = fn1(*args1)
             sll = out1["sample_log_likelihoods_dla"]
             ev1, map1 = pack_lean(sll)
-            base_cols = device_inverse_cdf_grid(sll, cols_dev)
+            base_cols = device_inverse_cdf_grid(
+                sll, cols_dev, grid_size=grid_size
+            )
             vals = base_tables[base_cols]
             lls2 = fn2(*args1[:9], off_j, nh_j, vals[..., 0], vals[..., 1])
             ev2, map2, map_base = pack_lean_pair(lls2, base_cols)
@@ -725,7 +766,14 @@ def _process_multi_lean_fused(
     # versions must not mix within one run
     fingerprint = run_fingerprint(
         dtype, config, params, model, offsets, nhis,
-        extra=([min_sep_z, float(base_seed), 3.0], spectra.z_qso),
+        # base-replicated runs (R > 1) draw on a different grid — a
+        # distinct numerics config that must not mix with R=1
+        # checkpoints; R=1 keeps the historical fingerprint
+        extra=(
+            [min_sep_z, float(base_seed), 3.0]
+            + ([float(R)] if R != 1 else []),
+            spectra.z_qso,
+        ),
     )
     done: set = set()
     if manifest_path and manifest_path.exists():

@@ -1,0 +1,203 @@
+"""Same-process A/B: base_replicates=2 vs the classic one-draw-per-
+column fused lean driver.
+
+Two phases:
+  1. RAW PAIR KERNEL: pallas two-DLA likelihoods at B x 10k with the
+     base axis pattern-replicated — R=2 computes the base-axis Voigt
+     math on half the lanes (ops/evidence_pallas), so the rate gain
+     isolates the kernel-level win.
+  2. FUSED LEAN DRIVER: end-to-end two-stage {0,1,2} catalogs, R=1 vs
+     R=2 interleaved (tunnel epochs vary ~2.5x; only same-process
+     comparisons are meaningful), plus catalog agreement — R=2 is a
+     DIFFERENT (equally valid) Monte Carlo base draw, so evidences
+     move by O(1/sqrt(S)) sampling noise while multiplicity decisions
+     should almost never flip.
+
+Usage: python validation/base_replicates_ab.py [n_spectra] [kernel_B]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def kernel_ab(B: int = 1024, S: int = 10000) -> dict:
+    """Time the production pair evaluator (make_batch_dla2_fn: prepare
+    + fused pair kernel in one jit) with pattern-replicated base values,
+    R=1 vs R=2 on identical inputs — the outputs must be bit-identical,
+    the R=2 rate isolates the kernel-level win."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_dla_detection_tpu.inference import compute_sample_window
+    from gp_dla_detection_tpu.models.qso_model import GPModel
+    from gp_dla_detection_tpu.multi_dla import (
+        make_batch_dla2_fn,
+        replicate_draw_pattern,
+    )
+    from gp_dla_detection_tpu.ops.evidence_pallas import SAMPLE_TILE
+    from gp_dla_detection_tpu.params import Parameters, kms_to_z
+    from gp_dla_detection_tpu.utils.synthetic import synthetic_workload
+
+    params = Parameters()
+    prob = synthetic_workload(B, S, 1274, 20, seed=0)
+    model = GPModel(
+        rest_wavelengths=prob["grid"], mu=prob["mu"], M=prob["M"],
+        log_omega=prob["log_omega"], log_c_0=prob["log_c_0"],
+        log_tau_0=prob["log_tau_0"], log_beta=prob["log_beta"],
+    )
+    rng = np.random.default_rng(3)
+    order = np.argsort(prob["offsets"])
+    off_sorted = prob["offsets"][order].astype(np.float32)
+    nh_sorted = prob["nhis"][order].astype(np.float32)
+
+    di, nd = replicate_draw_pattern(S, SAMPLE_TILE, 2)
+    off_b = rng.uniform(size=(B, nd)).astype(np.float32)[:, di]
+    nh_b = (10 ** rng.uniform(20, 22, (B, nd))).astype(np.float32)[:, di]
+
+    num_pixels_ext = prob["wavelengths"].shape[1] + 2 * params.instrument.width
+    window = compute_sample_window(
+        off_sorted, SAMPLE_TILE, num_pixels_ext,
+        num_lines=params.num_lines,
+        pixel_spacing=params.instrument.pixel_spacing,
+    )
+
+    f32 = lambda a: jax.device_put(np.asarray(a, np.float32))
+    call_args = (
+        f32(prob["wavelengths"]), f32(prob["flux"]),
+        f32(prob["noise_variance"]), jax.device_put(prob["mask"]),
+        f32(prob["z_qso"]), f32(model.rest_wavelengths), f32(model.mu),
+        f32(model.M), f32(model.log_omega), f32(off_sorted), f32(nh_sorted),
+        f32(off_b), f32(nh_b),
+    )
+
+    out = {}
+    vals = {}
+    for reps in (1, 2):
+        fn = make_batch_dla2_fn(
+            model, params, S, 2500, kms_to_z(3000.0), "pallas", window,
+            base_replicates=reps,
+        )
+        r = fn(*call_args)
+        vals[reps] = np.asarray(r[:4, :512])  # tiny fetch forces completion
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*call_args)
+        np.asarray(jnp.nansum(r[:, ::997]))  # host fetch = real barrier
+        dt = (time.perf_counter() - t0) / iters
+        out[f"pair_eval_R{reps}"] = round(B / dt, 1)
+        print(f"pair evaluator R={reps}: {B / dt:.1f} spectra/s", flush=True)
+    # interpret mode proves bit-identity (tests/test_base_replicates);
+    # on hardware the R=1 and R=2 PROGRAMS may contract FMAs differently,
+    # so allow compiled-rounding-level noise but nothing larger.  The
+    # NaN (too-close-pair) pattern must match exactly.
+    v1, v2 = vals[1], vals[2]
+    assert np.array_equal(np.isnan(v1), np.isnan(v2))
+    fin = np.isfinite(v1)
+    rel = np.max(
+        np.abs(v1[fin] - v2[fin]) / np.maximum(np.abs(v1[fin]), 1.0)
+    )
+    out["kernel_R2_vs_R1_max_rel"] = float(rel)
+    print(f"R2-vs-R1 likelihoods max rel {rel:.2e}", flush=True)
+    assert rel < 1e-4, rel
+    out["kernel_speedup"] = round(
+        out["pair_eval_R2"] / out["pair_eval_R1"], 3
+    )
+    return out
+
+
+def driver_ab(n_spectra: int) -> dict:
+    from gp_dla_detection_tpu.inference import PaddedSpectra
+    from gp_dla_detection_tpu.models.qso_model import GPModel
+    from gp_dla_detection_tpu.parallel import ShardedRunConfig
+    from gp_dla_detection_tpu.parallel.sharded_multi import (
+        process_spectra_multi_sharded,
+    )
+    from gp_dla_detection_tpu.utils.synthetic import synthetic_workload
+
+    prob = synthetic_workload(n_spectra, 10000, 1274, 20, seed=0)
+    model = GPModel(
+        rest_wavelengths=prob["grid"], mu=prob["mu"], M=prob["M"],
+        log_omega=prob["log_omega"], log_c_0=prob["log_c_0"],
+        log_tau_0=prob["log_tau_0"], log_beta=prob["log_beta"],
+    )
+    spectra = PaddedSpectra(
+        prob["wavelengths"], prob["flux"], prob["noise_variance"],
+        prob["mask"], prob["z_qso"],
+    )
+    rng = np.random.default_rng(1)
+    prior_z = rng.uniform(2.0, 4.0, 4096)
+    prior_num = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 1, 2], 4096)
+
+    def run(reps: int, n: int, ckpt_dir):
+        cfg = ShardedRunConfig(
+            per_device_batch=1024, backend="pallas", dtype="float32",
+            checkpoint_dir=ckpt_dir, pipeline_depth=4,
+            store_sample_likelihoods=False, base_replicates=reps,
+        )
+        return process_spectra_multi_sharded(
+            model, prob["offsets"], prob["nhis"],
+            spectra.slice(slice(0, n)), prior_z, prior_num, config=cfg,
+        )
+
+    warm1 = run(1, 1024, None)
+    warm2 = run(2, 1024, None)
+    m1 = np.argmax(warm1.model_posteriors, 1)
+    m2 = np.argmax(warm2.model_posteriors, 1)
+    finite = np.isfinite(warm1.log_likelihoods_dla2) & np.isfinite(
+        warm2.log_likelihoods_dla2
+    )
+    d2 = np.abs(
+        warm1.log_likelihoods_dla2[finite] - warm2.log_likelihoods_dla2[finite]
+    )
+    agreement = float(np.mean(m1 == m2))
+    print(
+        f"catalog R2-vs-R1 @1024: multiplicity agreement {agreement:.4f}, "
+        f"pair evidence |delta| median {np.median(d2):.3f} "
+        f"max {np.max(d2):.3f} (MC redraw noise)",
+        flush=True,
+    )
+
+    rates: dict[str, list[float]] = {"R1": [], "R2": []}
+    for rep in range(2):
+        for mode, reps in (("R1", 1), ("R2", 2)):
+            with tempfile.TemporaryDirectory() as tmp:
+                t0 = time.perf_counter()
+                run(reps, n_spectra, f"{tmp}/ckpt")
+                dt = time.perf_counter() - t0
+            rates[mode].append(n_spectra / dt)
+            print(
+                f"rep{rep} fused lean {mode}: {dt:.1f}s = "
+                f"{n_spectra / dt:.1f}/s",
+                flush=True,
+            )
+    return {
+        "n_spectra": n_spectra,
+        "lean_R1_rates": [round(r, 1) for r in rates["R1"]],
+        "lean_R2_rates": [round(r, 1) for r in rates["R2"]],
+        "driver_speedup": round(
+            float(np.mean(rates["R2"]) / np.mean(rates["R1"])), 3
+        ),
+        "multiplicity_agreement_1024": agreement,
+        "pair_evidence_delta_median": round(float(np.median(d2)), 4),
+        "pair_evidence_delta_max": round(float(np.max(d2)), 4),
+    }
+
+
+def main(n_spectra: int = 4096, kernel_B: int = 1024) -> None:
+    from gp_dla_detection_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    summary = kernel_ab(kernel_B)
+    summary.update(driver_ab(n_spectra))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:3]))
