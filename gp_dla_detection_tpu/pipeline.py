@@ -62,6 +62,10 @@ class PipelineConfig:
     # see ShardedRunConfig.store_sample_likelihoods); the results npz
     # shrinks from ~6.5 GB to ~10 MB at DR12Q scale
     store_sample_likelihoods: bool = True
+    # base-axis draw replication for the lean multi-DLA stage (see
+    # ShardedRunConfig.base_replicates: 2 = +20% pair evaluator, draws
+    # on a 2x-coarser shuffled grid, fused lean driver only)
+    base_replicates: int = 1
 
     def __post_init__(self):
         # fail at config time, not hours into the run
@@ -71,6 +75,12 @@ class PipelineConfig:
             raise ValueError(
                 "backend='pallas' is float32-only; use dtype='float32' "
                 "or backend='xla' for float64 parity mode"
+            )
+        if self.base_replicates != 1 and self.store_sample_likelihoods:
+            raise ValueError(
+                "base_replicates > 1 requires the lean fused multi-DLA "
+                "driver (store_sample_likelihoods=False) — the classic "
+                "pair stage resamples on the host"
             )
         if not self.store_sample_likelihoods and self.export_matlab:
             raise ValueError(
@@ -375,6 +385,7 @@ class Pipeline:
                 store_sample_likelihoods=(
                     self.config.store_sample_likelihoods
                 ),
+                base_replicates=self.config.base_replicates,
             ),
             # lean mode runs the FUSED two-stage driver, which
             # recomputes the single stage on device per batch (the base

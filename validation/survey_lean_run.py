@@ -47,9 +47,14 @@ from scale_rehearsal import (  # noqa: E402
 from survey_run import DR12Q_N, TARGET_PER_CHIP  # noqa: E402
 
 
-def worker(workdir: Path, batch: int) -> None:
+def _lean_dir(workdir: Path, base_replicates: int) -> Path:
+    # R=2 runs live beside the canonical R=1 record, never replacing it
+    return workdir / ("lean" if base_replicates == 1 else "lean_r2")
+
+
+def worker(workdir: Path, batch: int, base_replicates: int = 1) -> None:
     """One worker pass: the lean pipeline's fused two-stage run under
-    workdir/lean, resuming from whatever fused checkpoints exist."""
+    workdir/lean[_r2], resuming from whatever fused checkpoints exist."""
     _maybe_force_cpu()
     from gp_dla_detection_tpu import Parameters
     from gp_dla_detection_tpu.catalog import Catalog
@@ -69,12 +74,13 @@ def worker(workdir: Path, batch: int) -> None:
     pipe = Pipeline(
         params,
         PipelineConfig(
-            workdir=str(workdir / "lean"),
+            workdir=str(_lean_dir(workdir, base_replicates)),
             per_device_batch=batch,
             backend="pallas",
             dtype="float32",
             store_sample_likelihoods=False,
             export_matlab=False,
+            base_replicates=base_replicates,
         ),
     )
     test_mask = Pipeline.default_test_mask(catalog, spectra)
@@ -87,13 +93,15 @@ def worker(workdir: Path, batch: int) -> None:
 _LAUNCH = [0]
 
 
-def _launch(workdir: Path, batch: int) -> subprocess.Popen:
+def _launch(workdir: Path, batch: int, base_replicates: int) -> subprocess.Popen:
     _LAUNCH[0] += 1
-    log = workdir / f"lean_worker_{_LAUNCH[0]:02d}.log"
+    tag = "" if base_replicates == 1 else f"_r{base_replicates}"
+    log = workdir / f"lean{tag}_worker_{_LAUNCH[0]:02d}.log"
     with open(log, "w") as fh:
         proc = subprocess.Popen(
             [sys.executable, str(HERE / "survey_lean_run.py"), "--worker",
-             "--workdir", str(workdir), "--batch", str(batch)],
+             "--workdir", str(workdir), "--batch", str(batch),
+             "--base-replicates", str(base_replicates)],
             stdout=fh, stderr=subprocess.STDOUT, text=True,
         )
     proc._log_path = log  # type: ignore[attr-defined]
@@ -108,7 +116,7 @@ def _wait(proc: subprocess.Popen, what: str) -> None:
         raise RuntimeError(f"{what} failed rc={rc}\n{tail}")
 
 
-def orchestrate(workdir: Path, batch: int) -> None:
+def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
     art = _artifacts(workdir)
     if not (art / "samples.npz").exists():
         raise SystemExit(
@@ -117,17 +125,19 @@ def orchestrate(workdir: Path, batch: int) -> None:
         )
     from gp_dla_detection_tpu.catalog import Catalog
 
-    manifest = workdir / "lean" / "multi_ckpt" / "fused" / "manifest.json"
+    lean_dir = _lean_dir(workdir, base_replicates)
+    manifest = lean_dir / "multi_ckpt" / "fused" / "manifest.json"
     catalog = Catalog.load(art / "catalog.npz")
     n = int(catalog.z_qsos.size)
     n_batches = -(-n // batch)
 
     t0 = time.time()
-    killed_at = _kill_when(_launch(workdir, batch), manifest,
-                           max(2, n_batches // 3), timeout=7200.0)
+    killed_at = _kill_when(_launch(workdir, batch, base_replicates),
+                           manifest, max(2, n_batches // 3), timeout=7200.0)
     leg1 = time.time() - t0
     t0 = time.time()
-    _wait(_launch(workdir, batch), "resumed lean survey run")
+    _wait(_launch(workdir, batch, base_replicates),
+          "resumed lean survey run")
     leg2 = time.time() - t0
     total = leg1 + leg2
 
@@ -136,7 +146,7 @@ def orchestrate(workdir: Path, batch: int) -> None:
     assert (truth_mult == 2).any(), (
         "universe must host 2-DLA sightlines for a two-sided validation"
     )
-    with np.load(workdir / "lean" / "processed_qsos_multi_dr12q.npz") as f:
+    with np.load(lean_dir / "processed_qsos_multi_dr12q.npz") as f:
         mult = np.argmax(f["multi_model_posteriors"], axis=1)
     assert mult.size == n, (mult.size, n)
     confusion = {
@@ -156,10 +166,15 @@ def orchestrate(workdir: Path, batch: int) -> None:
     rate = n / total
     ckpt_bytes = sum(
         f.stat().st_size
-        for f in (workdir / "lean").rglob("batch_*.npz")
+        for f in lean_dir.rglob("batch_*.npz")
+    )
+    mode = (
+        "" if base_replicates == 1
+        else f" (base_replicates={base_replicates})"
     )
     lines = [
-        f"# Full DR12Q-scale FUSED LEAN two-stage catalog: {n:,} sightlines",
+        f"# Full DR12Q-scale FUSED LEAN two-stage catalog{mode}: "
+        f"{n:,} sightlines",
         "",
         f"- workload: {n:,} sightlines x 10,000 QMC samples, {{0,1,2}}-DLA "
         "model selection in ONE fused device pass per super-batch "
@@ -194,7 +209,10 @@ def orchestrate(workdir: Path, batch: int) -> None:
             f"- multiplicity agreement vs the classic two-pass catalog "
             f"(f32 device base draw vs host f64 draw): {agree:.4f}"
         )
-    out = HERE / "RESULTS_SURVEY_LEAN.md"
+    out = HERE / (
+        "RESULTS_SURVEY_LEAN.md" if base_replicates == 1
+        else f"RESULTS_SURVEY_LEAN_R{base_replicates}.md"
+    )
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     assert exact > 0.95, exact
@@ -206,8 +224,9 @@ if __name__ == "__main__":
     p.add_argument("--workdir", default="/tmp/gpdla_survey")
     p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
     p.add_argument("--worker", action="store_true")
+    p.add_argument("--base-replicates", type=int, default=1)
     a = p.parse_args()
     if a.worker:
-        worker(Path(a.workdir), a.batch)
+        worker(Path(a.workdir), a.batch, a.base_replicates)
     else:
-        orchestrate(Path(a.workdir), a.batch)
+        orchestrate(Path(a.workdir), a.batch, a.base_replicates)
