@@ -685,6 +685,23 @@ def _process_multi_lean_fused(
         make_fn2,
         what="two-DLA",
     )
+    first_backend, first_tile, _ = runner2.configs[0]
+    if R > 1 and not (
+        first_backend in ("pallas", "pallas_interpret")
+        and first_tile == PATTERN_TILE
+    ):
+        import warnings
+
+        warnings.warn(
+            f"base_replicates={R} cannot engage the pair kernel's "
+            f"replicated-lane fast path on this configuration (first "
+            f"ladder rung: backend={first_backend!r}, tile={first_tile} "
+            f"!= {PATTERN_TILE}) — the run still pays the {R}x-coarser "
+            "base-draw stratification and the R-specific checkpoint "
+            "fingerprint for no kernel speedup; use base_replicates=1 "
+            "here",
+            stacklevel=3,
+        )
 
     # ---- device-resident sample tables ----
     model_args = (

@@ -212,9 +212,13 @@ def test_fused_lean_driver_base_replicates(problem, prior_num, tmp_path):
     checkpoints with R=1 runs."""
     S = 600  # wider than the 256 kernel tile: n_draws = 344 < 600
     r1 = _run_lean(problem, prior_num, n_samples=S)
-    r2a = _run_lean(problem, prior_num, base_replicates=2, n_samples=S,
-                    tmp=tmp_path / "a")
-    r2b = _run_lean(problem, prior_num, base_replicates=2, n_samples=S)
+    # the f64 XLA parity path cannot engage the pallas fast path, and
+    # must SAY so — R=2 there is coarsening for no speedup
+    with pytest.warns(UserWarning, match="fast path"):
+        r2a = _run_lean(problem, prior_num, base_replicates=2, n_samples=S,
+                        tmp=tmp_path / "a")
+    with pytest.warns(UserWarning, match="fast path"):
+        r2b = _run_lean(problem, prior_num, base_replicates=2, n_samples=S)
 
     # stage 1 is untouched by the base-draw change
     np.testing.assert_array_equal(
