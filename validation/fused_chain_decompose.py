@@ -17,7 +17,7 @@ If (1) matches the driver's sustained rate, the driver is compute-bound
 and upload overlap is working; if the driver sits near (2), dispatch
 threading is failing to hide the uploads.
 
-Usage: python validation/fused_chain_decompose.py [B] [iters]
+Usage: python validation/fused_chain_decompose.py [B] [iters] [base_replicates]
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def main(B: int = 1024, iters: int = 4) -> None:
+def main(B: int = 1024, iters: int = 4, base_replicates: int = 1) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +40,7 @@ def main(B: int = 1024, iters: int = 4) -> None:
         device_inverse_cdf_grid,
         make_batch_dla2_fn,
         pack_lean_pair,
+        replicate_draw_pattern,
     )
     from gp_dla_detection_tpu.parallel import ShardedRunConfig
     from gp_dla_detection_tpu.parallel.mesh import make_mesh, replicated
@@ -97,6 +98,9 @@ def main(B: int = 1024, iters: int = 4) -> None:
         return make_batch_dla2_fn(
             model, params, S, config.sample_chunk, min_sep_z,
             run_backend, window if windowed else None, tile=tile,
+            base_replicates=(
+                base_replicates if tile == SAMPLE_TILE else 1
+            ),
         )
 
     runner2 = LadderRunner(
@@ -107,8 +111,14 @@ def main(B: int = 1024, iters: int = 4) -> None:
     repl = replicated(mesh)
     off_j = jax.device_put(np.asarray(offsets[order], dtype), repl)
     nh_j = jax.device_put(np.asarray(nhis[order], dtype), repl)
-    perm = base_sample_perm(S, 0)
-    cols_dev = jax.device_put(np.asarray(perm[order], np.int32), repl)
+    if base_replicates == 1:
+        kvec, grid_size = base_sample_perm(S, 0)[order], S
+    else:  # mirror the driver's replicated-draw layout
+        draw_idx, grid_size = replicate_draw_pattern(
+            S, SAMPLE_TILE, base_replicates
+        )
+        kvec = base_sample_perm(grid_size, 0)[draw_idx]
+    cols_dev = jax.device_put(np.asarray(kvec, np.int32), repl)
     base_tables = jax.device_put(
         np.stack([offsets, nhis], axis=1).astype(dtype), repl
     )
@@ -128,7 +138,7 @@ def main(B: int = 1024, iters: int = 4) -> None:
         out1 = fn1(*args1)
         sll = out1["sample_log_likelihoods_dla"]
         ev1, map1 = pack_lean(sll)
-        base_cols = device_inverse_cdf_grid(sll, cols_dev)
+        base_cols = device_inverse_cdf_grid(sll, cols_dev, grid_size=grid_size)
         vals = base_tables[base_cols]
         lls2 = fn2(*args1[:9], off_j, nh_j, vals[..., 0], vals[..., 1])
         ev2, map2, map_base = pack_lean_pair(lls2, base_cols)
