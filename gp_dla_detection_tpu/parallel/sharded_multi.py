@@ -587,11 +587,25 @@ def _process_multi_lean_fused(
 
     dtype = np.dtype(resolve_dtype(config.dtype, "process_spectra_multi_sharded"))
     use_pallas = config.backend in ("pallas", "pallas_interpret")
-    if SAMPLE_AXIS in mesh.axis_names and mesh.shape[SAMPLE_AXIS] > 1:
+    if (
+        use_pallas
+        and SAMPLE_AXIS in mesh.axis_names
+        and mesh.shape[SAMPLE_AXIS] > 1
+    ):
+        # XLA's partitioner handles the whole chain on (data x sample)
+        # meshes (verified bit-identical to the data-only mesh,
+        # tests/test_lean_multi.py) — but the pallas kernels run via
+        # shard_map over the DATA axis only here, so a sample axis
+        # would silently replicate both kernels' work across its shards
+        # and waste those chips.  Refuse rather than quietly burn half
+        # the mesh; the classic (store_sample_likelihoods=True) pair
+        # driver supports pallas sample sharding.
         raise ValueError(
-            "the fused lean two-stage driver requires a data-only mesh "
-            "(sample axis unsharded): the base resampler's per-row CDF "
-            f"needs the full sample axis on one shard (got mesh {mesh.shape})"
+            "the fused lean two-stage driver runs its pallas kernels "
+            "data-parallel only (a sample axis would silently replicate "
+            f"the kernel work across {mesh.shape[SAMPLE_AXIS]} shards); "
+            "use a data-only mesh with backend='pallas', or backend="
+            "'xla' which shards the full chain on any mesh"
         )
 
     offsets = np.asarray(offset_samples)

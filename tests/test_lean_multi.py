@@ -283,10 +283,32 @@ def test_fused_lean_mesh_parity(problem, prior_num):
         )
 
 
-def test_fused_lean_rejects_sample_mesh(problem, prior_num):
-    with pytest.raises(ValueError, match="data-only mesh"):
+def test_fused_lean_sample_mesh_xla_matches_data_only(problem, prior_num):
+    """XLA backend on a (data x sample) mesh: the partitioner shards
+    the WHOLE fused chain (kernels, lean packs, inverse-CDF resampler's
+    cumsum/scatter, value gathers) and must reproduce the data-only
+    mesh catalog bit-for-bit."""
+    ref = _run(problem, prior_num, lean=True, per_device_batch=2)
+    out = _run(
+        problem, prior_num, lean=True, per_device_batch=4,
+        mesh=make_mesh(sample_parallelism=2),  # (data 4, sample 2)
+    )
+    for attr in (
+        "log_likelihoods_dla2", "model_posteriors",
+        "map_sample_inds2", "map_base_sample_inds",
+    ):
+        np.testing.assert_array_equal(
+            getattr(out, attr), getattr(ref, attr), err_msg=attr
+        )
+
+
+def test_fused_lean_pallas_rejects_sample_mesh(problem, prior_num):
+    # pallas kernels run data-parallel-only here: a sample axis would
+    # silently replicate the kernel work, so the driver must refuse
+    with pytest.raises(ValueError, match="data-only mesh|replicate"):
         _run(
-            problem, prior_num, lean=True,
+            problem, prior_num, lean=True, dtype="float32",
+            backend="pallas_interpret",
             mesh=make_mesh(sample_parallelism=2),
         )
 
