@@ -195,7 +195,8 @@ def main(batch_size: int = 1024, num_samples: int = 10000, pixels: int = 1274,
 def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
                 num_samples: int = 10000, pixels: int = 1274, k: int = 20,
                 backend: str = "pallas", checkpoint: bool = True,
-                pipeline_depth: int = 4, lean: bool = False) -> None:
+                pipeline_depth: int = 4, lean: bool = False,
+                two_stage: bool = False, base_replicates: int = 1) -> None:
     """Sustained END-TO-END throughput through the production sharded
     driver: device_put + execute + f16 result streaming + background
     checkpointing per super-batch — everything a survey run pays, not
@@ -219,6 +220,9 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
         ShardedRunConfig,
         process_spectra_sharded,
     )
+    from gp_dla_detection_tpu.parallel.sharded_multi import (
+        process_spectra_multi_sharded,
+    )
     from gp_dla_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -235,6 +239,7 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
     rng = np.random.default_rng(1)
     prior_z = rng.uniform(2.0, 4.0, 4096)
     prior_flags = rng.uniform(size=4096) < 0.1
+    prior_num = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 1, 2], 4096)
 
     def run(sl, ckpt_dir):
         cfg = ShardedRunConfig(
@@ -242,7 +247,14 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
             dtype="float32", stream_dtype="float16",
             checkpoint_dir=ckpt_dir, pipeline_depth=pipeline_depth,
             store_sample_likelihoods=not lean,
+            base_replicates=base_replicates,
         )
+        if two_stage:
+            # FUSED lean two-stage {0,1,2}-DLA selection (requires lean)
+            return process_spectra_multi_sharded(
+                model, prob["offsets"], prob["nhis"], spectra.slice(sl),
+                prior_z, prior_num, config=cfg,
+            ).single
         return process_spectra_sharded(
             model, prob["offsets"], prob["nhis"], spectra.slice(sl),
             prior_z, prior_flags, config=cfg,
@@ -271,8 +283,12 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
             {
                 "metric": "spectra/sec/chip (sustained end-to-end driver, "
                 f"{num_samples} QMC samples, "
+                + ("fused two-stage {0,1,2} catalog, "
+                   if two_stage else "")
                 + ("lean device-reduced results"
                    if lean else "f16 streaming")
+                + (f", base_replicates={base_replicates}"
+                   if base_replicates != 1 else "")
                 + ", checkpointing)",
                 "value": round(value, 3),
                 "unit": "spectra/s",
@@ -307,12 +323,23 @@ if __name__ == "__main__":
     p.add_argument("--lean", action="store_true",
                    help="--driver: catalog-only mode — evidence + MAP "
                         "reduced on device, no (B, S) matrix fetch")
+    p.add_argument("--two-stage", action="store_true",
+                   help="--driver --lean: the FUSED two-stage {0,1,2}-DLA "
+                        "catalog chain (both kernels + device base "
+                        "resample per batch)")
+    p.add_argument("--base-replicates", type=int, default=1,
+                   help="--two-stage: share each base draw between a "
+                        "kernel tile's half-lanes (2 = +20%% pair kernel)")
     a = p.parse_args()
+    if a.two_stage and not a.lean:
+        p.error("--two-stage requires --lean (the fused chain is the "
+                "lean catalog driver)")
     wait_for_backend()
     if a.driver:
         main_driver(a.n_spectra, a.batch_size, a.num_samples, a.pixels, a.k,
                     a.backend or "pallas", not a.no_checkpoint,
-                    a.pipeline_depth, lean=a.lean)
+                    a.pipeline_depth, lean=a.lean, two_stage=a.two_stage,
+                    base_replicates=a.base_replicates)
     else:
         main(a.batch_size, a.num_samples, a.pixels, a.k, a.sample_chunk,
              a.iters, a.backend or "auto")
