@@ -233,9 +233,17 @@ def device_inverse_cdf_grid(sample_log_likelihoods, kvec, grid_size=None):
 
     Exactness: in f64 this is bit-identical to searchsorted on the
     stored grid (the correction recomputes (m±0.5)/S with the same
-    single rounding numpy used to build it).  In f32 the stored grid is
-    DOUBLE-rounded (f64 build, f32 cast), so a CDF step within one ulp
-    of a cell boundary can resolve to the neighbouring sample —
+    single rounding numpy used to build it) — EXCEPT at an exact
+    cdf == u tie, where XLA's simplifier may lower the correction's
+    division as multiply-by-reciprocal in the comparison path and
+    resolve the tie to the other side (a zero-posterior-mass flip; both
+    sides are valid inverse-CDF draws).  Exact ties cannot occur on
+    rows with finite mass (cdf values are sums of exp() terms, the grid
+    is half-integer rationals); they need the degenerate-row uniform
+    fallback (cdf = (i+1)/S) AND a grid_size whose half-grid meets it,
+    impossible at grid_size == S and rare otherwise.  In f32 the stored
+    grid is DOUBLE-rounded (f64 build, f32 cast), so a CDF step within
+    one ulp of a cell boundary can resolve to the neighbouring sample —
     the same knife-edge class the f32 CDF accumulation already has.
 
     ``grid_size`` (static) sets the quantile grid size S separately

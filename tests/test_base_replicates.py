@@ -86,6 +86,51 @@ def test_coarse_grid_draw_matches_searchsorted():
     assert gbig.max() <= S - 1
 
 
+def test_coarse_grid_draw_randomized_sweep():
+    """Randomized oracle sweep: any (S, grid_size) combination must
+    reproduce searchsorted at the coarse quantiles bit-exactly in f64 —
+    including grids coarser/finer than the sample count, single-sample
+    grids, and rows with -inf/NaN mass.  The ONE permitted exception:
+    an exact cdf == u tie (reachable only through the degenerate-row
+    uniform fallback when the coarse half-grid meets (i+1)/S exactly),
+    where XLA's reciprocal lowering of the correction's division may
+    resolve the tie to the other side — a zero-mass flip (see the
+    device_inverse_cdf_grid docstring; trial 12 here hits one at
+    S=292, G=442, cdf=0.75)."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        S = int(rng.integers(2, 400))
+        G = int(rng.integers(1, 2 * S))
+        B = int(rng.integers(1, 5))
+        sll = rng.normal(-20.0, 6.0, (B, S))
+        if trial % 3 == 0:
+            sll[rng.integers(B), :] = np.nan
+        if trial % 4 == 0:
+            sll[:, rng.integers(S)] = -np.inf
+        kvec = rng.integers(0, G, size=int(rng.integers(1, 3 * G)))
+        u = (kvec + 0.5) / G
+        cdf = np.asarray(_posterior_cdf(sll))
+        want = np.stack(
+            [np.searchsorted(row, u, side="left") for row in cdf]
+        ).clip(0, S - 1)
+        got = np.asarray(device_inverse_cdf_grid(sll, kvec, grid_size=G))
+        bad = got != want
+        if bad.any():
+            rows, cols = np.nonzero(bad)
+            for b, j in zip(rows, cols):
+                lo = min(got[b, j], want[b, j])
+                hi = max(got[b, j], want[b, j])
+                # every CDF entry the flip crosses must sit EXACTLY on
+                # the tying grid point: zero posterior mass between the
+                # two resolutions
+                span = cdf[b, lo:hi]
+                assert (span == u[j]).all(), (
+                    f"trial {trial}: non-tie mismatch at row {b} draw "
+                    f"{j}: {got[b, j]} vs {want[b, j]}, cdf span {span}, "
+                    f"u {u[j]!r}"
+                )
+
+
 def _kernel_problem(S, seed=0):
     from gp_dla_detection_tpu.params import InstrumentParams
 
