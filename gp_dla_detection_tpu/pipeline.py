@@ -499,6 +499,30 @@ def main() -> None:
         "--backend", default="xla", choices=["xla", "pallas"],
         help="evidence backend (pallas = fused TPU kernel, float32)",
     )
+    p.add_argument(
+        "--per-device-batch", type=int, default=8,
+        help="spectra per device per super-batch (1024 on a v5e chip)",
+    )
+    p.add_argument(
+        "--dtype", default="float32", choices=["float32", "float64"],
+        help="compute dtype (float64 = XLA parity mode)",
+    )
+    p.add_argument(
+        "--lean", action="store_true",
+        help="catalog-only inference: device-reduced evidence + MAP, no "
+        "(N, num_samples) matrices stored (no .mat export / CDDF); the "
+        "multi stage runs the fused one-pass two-stage driver",
+    )
+    p.add_argument(
+        "--base-replicates", type=int, default=1,
+        help="--lean multi stage: share each posterior base draw between "
+        "a kernel tile's half-lanes (2 = +20%% pair kernel)",
+    )
+    p.add_argument(
+        "--export-matlab", action="store_true",
+        help="also write .mat v7.3 stage artifacts for the reference's "
+        "CDDF_analysis code",
+    )
     args = p.parse_args()
 
     params = Parameters(base_directory=args.base_directory)
@@ -507,6 +531,11 @@ def main() -> None:
         PipelineConfig(
             workdir=args.workdir, multi_dla=args.multi_dla,
             backend=args.backend,
+            per_device_batch=args.per_device_batch,
+            dtype=args.dtype,
+            store_sample_likelihoods=not args.lean,
+            base_replicates=args.base_replicates,
+            export_matlab=args.export_matlab,
         ),
     )
     if args.stage == "all":
