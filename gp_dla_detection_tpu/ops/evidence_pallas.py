@@ -174,10 +174,52 @@ def _evidence_kernel(
         # total accumulates the combined optical depth
         scale = lead_norm * nhi if two_dla else lead_norm
         if win is None:
-            z_u = z[:, : T // reps] if reps > 1 else z
-            mult = c_over_lt18 / (1.0 + z_u)                # (1, T/reps)
-            x = (lam * mult - c_cgs) * inv_sqrt2_sigma      # (P6, T/reps)
+            width = T // reps
+            z_u = z[:, :width] if reps > 1 else z
+            mult = c_over_lt18 / (1.0 + z_u)                # (1, width)
+            # fold the PIXEL axis into the spare lanes when the unique
+            # draws no longer fill a 128-lane vreg (R >= 4 at tile 256):
+            # f pixel blocks ride lanes [i*width, (i+1)*width), so the
+            # transcendental math below runs on fully packed vregs —
+            # (P6/f, 128) costs f x less than a width-lane (P6, width)
+            # array, whose lane dim Mosaic pads to 128 anyway
+            fold = 1
+            if reps > 1 and width < 128:
+                fold = 128 // width
+                while fold > 1 and P6 % fold:
+                    fold //= 2
+            if fold > 1:
+                blk = P6 // fold
+                lam_f = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            lam[i * blk : (i + 1) * blk], (blk, width)
+                        )
+                        for i in range(fold)
+                    ],
+                    axis=1,
+                )                                           # (P6/f, f*width)
+                mult_f = jnp.concatenate([mult] * fold, axis=1)
+                x = (lam_f * mult_f - c_cgs) * inv_sqrt2_sigma
+            else:
+                x = (lam * mult - c_cgs) * inv_sqrt2_sigma  # (P6, width)
             h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
+            if fold > 1:
+                # un-fold: lane block i holds pixel rows [i*blk, (i+1)*blk).
+                # Mosaic cannot sublane-concat slices at nonzero LANE
+                # offsets ("offset mismatch on non-concat dimension"),
+                # so rotate each block down to lane 0 first (a cheap
+                # register shuffle) before slicing
+                lanes = fold * width
+                parts = []
+                for i in range(fold):
+                    # roll is a RIGHT rotation with a non-negative
+                    # shift: bring lane block i down to lane 0
+                    blk_h = (
+                        pltpu.roll(h, lanes - i * width, 1) if i else h
+                    )
+                    parts.append(blk_h[:, :width])
+                h = jnp.concatenate(parts, axis=0)          # (P6, width)
             if reps > 1:
                 h = jnp.concatenate([h] * reps, axis=1)     # (P6, T)
             total_ref[...] = total_ref[...] - scale * h
@@ -465,10 +507,10 @@ def pallas_sample_log_likelihoods(
     if base_replicates != 1:
         if not two_dla:
             raise ValueError("base_replicates applies to two-DLA mode only")
-        if base_replicates != 2 or tile % base_replicates:
+        if base_replicates not in (2, 4, 8) or tile % base_replicates:
             raise ValueError(
-                f"base_replicates=2 is the supported replication (got "
-                f"{base_replicates} at tile {tile})"
+                f"base_replicates must be 2, 4, or 8 and divide the tile "
+                f"(got {base_replicates} at tile {tile})"
             )
     pad = (-S) % tile
     if pad:
@@ -484,18 +526,24 @@ def pallas_sample_log_likelihoods(
         if two_dla:
             z_dlas2, nhi2 = rep(z_dlas2), rep(nhi2)
             if base_replicates > 1:
-                # last-sample padding breaks the half-tile replication
-                # pattern in the final tile; re-impose it by mirroring
-                # the first half onto the second.  Real lanes in the
-                # second half already equal their first-half twins by
-                # the caller contract (a no-op for them); pad lanes are
+                # last-sample padding breaks the replication pattern in
+                # the final tile; re-impose it by mirroring the first
+                # width-block onto the others.  Real lanes in later
+                # blocks already equal their first-block twins by the
+                # caller contract (a no-op for them); pad lanes are
                 # discarded by the [:, :S] slice below, so any finite
                 # value serves
                 t0 = S + pad - tile
-                half = tile // base_replicates
-                fix = lambda a: a.at[:, t0 + half :].set(
-                    a[:, t0 : t0 + half]
-                )
+                width = tile // base_replicates
+
+                def fix(a):
+                    first = a[:, t0 : t0 + width]
+                    return a.at[:, t0 + width :].set(
+                        jnp.concatenate(
+                            [first] * (base_replicates - 1), axis=1
+                        )
+                    )
+
                 z_dlas2, nhi2 = fix(z_dlas2), fix(nhi2)
     S_pad = S + pad
 

@@ -657,11 +657,13 @@ def _process_multi_lean_fused(
         )
 
     R = config.base_replicates
-    if R not in (1, 2):
+    if R not in (1, 2, 4, 8):
         raise ValueError(
-            f"base_replicates must be 1 or 2 (got {R}); 2 shares each "
-            "base draw between a tile's two half-lanes (multi_dla."
-            "replicate_draw_pattern)"
+            f"base_replicates must be 1, 2, 4, or 8 (got {R}): each base "
+            "draw is shared by R of a kernel tile's lane blocks "
+            "(multi_dla.replicate_draw_pattern); survey-scale catalog "
+            "validation exists for R <= 4 (validation/RESULTS_SURVEY_"
+            "LEAN_R*.md) — prefer 2 unless the pair stage dominates"
         )
 
     def make_fn2(run_backend, tile, windowed=True):

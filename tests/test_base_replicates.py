@@ -155,11 +155,13 @@ def _kernel_problem(S, seed=0):
     return args, inst, rng
 
 
+@pytest.mark.parametrize("R", [2, 4, 8])  # R>=4 exercises the pixel fold
 @pytest.mark.parametrize("S", [256, 300])  # exact tiles and a padded tail
-def test_kernel_base_replicates_bit_identical(S):
-    """On pattern-satisfying inputs the R=2 kernel must be BIT-identical
-    to R=1 (it evaluates the same math on the unique lanes and
-    broadcasts); a violated pattern must diverge (proving the fast path
+def test_kernel_base_replicates_bit_identical(S, R):
+    """On pattern-satisfying inputs the replicated kernel must be
+    BIT-identical to R=1: it evaluates the same elementwise math on the
+    unique lanes (folding pixel blocks into spare lanes at R>=4) and
+    broadcasts.  A violated pattern must diverge (proving the fast path
     is actually taken, not silently disabled)."""
     from gp_dla_detection_tpu.ops.evidence_pallas import (
         SAMPLE_TILE,
@@ -167,7 +169,7 @@ def test_kernel_base_replicates_bit_identical(S):
     )
 
     args, inst, rng = _kernel_problem(S)
-    di, nd = replicate_draw_pattern(S, SAMPLE_TILE, 2)
+    di, nd = replicate_draw_pattern(S, SAMPLE_TILE, R)
     z2 = rng.uniform(2.2, 2.6, (3, nd)).astype(np.float32)[:, di]
     n2 = (10 ** rng.uniform(20, 22, (3, nd))).astype(np.float32)[:, di]
     kw = dict(
@@ -175,7 +177,7 @@ def test_kernel_base_replicates_bit_identical(S):
     )
     base = np.asarray(pallas_sample_log_likelihoods(**args, **kw))
     fast = np.asarray(
-        pallas_sample_log_likelihoods(**args, base_replicates=2, **kw)
+        pallas_sample_log_likelihoods(**args, base_replicates=R, **kw)
     )
     assert np.isfinite(base).all()
     np.testing.assert_array_equal(fast, base)
@@ -188,12 +190,12 @@ def test_kernel_base_replicates_bit_identical(S):
     )
     honest = np.asarray(pallas_sample_log_likelihoods(**args, **kwv))
     shortcut = np.asarray(
-        pallas_sample_log_likelihoods(**args, base_replicates=2, **kwv)
+        pallas_sample_log_likelihoods(**args, base_replicates=R, **kwv)
     )
     assert not np.array_equal(honest, shortcut)
 
     with pytest.raises(ValueError, match="base_replicates"):
-        pallas_sample_log_likelihoods(**args, base_replicates=4, **kw)
+        pallas_sample_log_likelihoods(**args, base_replicates=3, **kw)
     with pytest.raises(ValueError, match="two-DLA"):
         pallas_sample_log_likelihoods(
             **args, base_replicates=2, num_lines=3, instrument=inst,

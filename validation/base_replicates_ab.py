@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def kernel_ab(B: int = 1024, S: int = 10000) -> dict:
+def kernel_ab(B: int = 1024, S: int = 10000, reps_list=(1, 2)) -> dict:
     """Time the production pair evaluator (make_batch_dla2_fn: prepare
     + fused pair kernel in one jit) with pattern-replicated base values,
     R=1 vs R=2 on identical inputs — the outputs must be bit-identical,
@@ -56,7 +56,11 @@ def kernel_ab(B: int = 1024, S: int = 10000) -> dict:
     off_sorted = prob["offsets"][order].astype(np.float32)
     nh_sorted = prob["nhis"][order].astype(np.float32)
 
-    di, nd = replicate_draw_pattern(S, SAMPLE_TILE, 2)
+    # build the base arrays with the FINEST replication pattern among
+    # reps_list: pattern-R equality at lane offset tile/R implies every
+    # coarser pattern too, so one input set serves all R (and timing is
+    # value-independent)
+    di, nd = replicate_draw_pattern(S, SAMPLE_TILE, max(reps_list))
     off_b = rng.uniform(size=(B, nd)).astype(np.float32)[:, di]
     nh_b = (10 ** rng.uniform(20, 22, (B, nd))).astype(np.float32)[:, di]
 
@@ -78,7 +82,7 @@ def kernel_ab(B: int = 1024, S: int = 10000) -> dict:
 
     out = {}
     vals = {}
-    for reps in (1, 2):
+    for reps in reps_list:
         fn = make_batch_dla2_fn(
             model, params, S, 2500, kms_to_z(3000.0), "pallas", window,
             base_replicates=reps,
@@ -94,21 +98,23 @@ def kernel_ab(B: int = 1024, S: int = 10000) -> dict:
         out[f"pair_eval_R{reps}"] = round(B / dt, 1)
         print(f"pair evaluator R={reps}: {B / dt:.1f} spectra/s", flush=True)
     # interpret mode proves bit-identity (tests/test_base_replicates);
-    # on hardware the R=1 and R=2 PROGRAMS may contract FMAs differently,
-    # so allow compiled-rounding-level noise but nothing larger.  The
-    # NaN (too-close-pair) pattern must match exactly.
-    v1, v2 = vals[1], vals[2]
-    assert np.array_equal(np.isnan(v1), np.isnan(v2))
+    # on hardware the per-R PROGRAMS may contract FMAs differently, so
+    # allow compiled-rounding-level noise but nothing larger.  The NaN
+    # (too-close-pair) pattern must match exactly.
+    v1 = vals[reps_list[0]]
     fin = np.isfinite(v1)
-    rel = np.max(
-        np.abs(v1[fin] - v2[fin]) / np.maximum(np.abs(v1[fin]), 1.0)
-    )
-    out["kernel_R2_vs_R1_max_rel"] = float(rel)
-    print(f"R2-vs-R1 likelihoods max rel {rel:.2e}", flush=True)
-    assert rel < 1e-4, rel
-    out["kernel_speedup"] = round(
-        out["pair_eval_R2"] / out["pair_eval_R1"], 3
-    )
+    for reps in reps_list[1:]:
+        vr = vals[reps]
+        assert np.array_equal(np.isnan(v1), np.isnan(vr)), reps
+        rel = np.max(
+            np.abs(v1[fin] - vr[fin]) / np.maximum(np.abs(v1[fin]), 1.0)
+        )
+        out[f"kernel_R{reps}_vs_R1_max_rel"] = float(rel)
+        print(f"R{reps}-vs-R1 likelihoods max rel {rel:.2e}", flush=True)
+        assert rel < 1e-4, (reps, rel)
+        out[f"kernel_speedup_R{reps}"] = round(
+            out[f"pair_eval_R{reps}"] / out[f"pair_eval_R{reps_list[0]}"], 3
+        )
     return out
 
 
