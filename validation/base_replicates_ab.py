@@ -1,11 +1,14 @@
-"""Same-process A/B: base_replicates=2 vs the classic one-draw-per-
-column fused lean driver.
+"""Same-process A/B: base-replicated draws (base_replicates R > 1) vs
+the classic one-draw-per-column fused lean driver.
 
 Two phases:
   1. RAW PAIR KERNEL: pallas two-DLA likelihoods at B x 10k with the
-     base axis pattern-replicated — R=2 computes the base-axis Voigt
-     math on half the lanes (ops/evidence_pallas), so the rate gain
-     isolates the kernel-level win.
+     base axis pattern-replicated — the kernel computes the base-axis
+     Voigt math once per unique draw (half lanes at R=2; pixel-folded
+     fully packed vregs at R>=4, ops/evidence_pallas), so the rate
+     gain isolates the kernel-level win.  Measured (v5e, B=1024):
+     R=1 817.5/s, R=2 981.8, R=4 1080.6 (the knee), R=8 1036.6 —
+     all bit-exact vs R=1 on pattern inputs.
   2. FUSED LEAN DRIVER: end-to-end two-stage {0,1,2} catalogs, R=1 vs
      R=2 interleaved (tunnel epochs vary ~2.5x; only same-process
      comparisons are meaningful), plus catalog agreement — R=2 is a
@@ -29,8 +32,8 @@ import numpy as np
 def kernel_ab(B: int = 1024, S: int = 10000, reps_list=(1, 2)) -> dict:
     """Time the production pair evaluator (make_batch_dla2_fn: prepare
     + fused pair kernel in one jit) with pattern-replicated base values,
-    R=1 vs R=2 on identical inputs — the outputs must be bit-identical,
-    the R=2 rate isolates the kernel-level win."""
+    every R in reps_list on identical inputs — the outputs must be
+    bit-identical; each R's rate isolates its kernel-level win."""
     import jax
     import jax.numpy as jnp
 
