@@ -9,12 +9,12 @@ Two phases:
      gain isolates the kernel-level win.  Measured (v5e, B=1024):
      R=1 817.5/s, R=2 981.8, R=4 1080.6 (the knee), R=8 1036.6 —
      all bit-exact vs R=1 on pattern inputs.
-  2. FUSED LEAN DRIVER: end-to-end two-stage {0,1,2} catalogs, R=1 vs
-     R=2 interleaved (tunnel epochs vary ~2.5x; only same-process
-     comparisons are meaningful), plus catalog agreement — R=2 is a
-     DIFFERENT (equally valid) Monte Carlo base draw, so evidences
-     move by O(1/sqrt(S)) sampling noise while multiplicity decisions
-     should almost never flip.
+  2. FUSED LEAN DRIVER: end-to-end two-stage {0,1,2} catalogs, every
+     R in the list interleaved (tunnel epochs vary ~2.5x; only
+     same-process comparisons are meaningful), plus catalog agreement
+     vs R=1 — each R is a DIFFERENT (equally valid) Monte Carlo base
+     draw, so evidences move by O(1/sqrt(S/R)) sampling noise while
+     multiplicity decisions should almost never flip.
 
 Usage: python validation/base_replicates_ab.py [n_spectra] [kernel_B]
 """
@@ -121,7 +121,7 @@ def kernel_ab(B: int = 1024, S: int = 10000, reps_list=(1, 2)) -> dict:
     return out
 
 
-def driver_ab(n_spectra: int) -> dict:
+def driver_ab(n_spectra: int, reps_list=(1, 2, 4)) -> dict:
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
     from gp_dla_detection_tpu.parallel import ShardedRunConfig
@@ -155,56 +155,62 @@ def driver_ab(n_spectra: int) -> dict:
             spectra.slice(slice(0, n)), prior_z, prior_num, config=cfg,
         )
 
-    warm1 = run(1, 1024, None)
-    warm2 = run(2, 1024, None)
-    m1 = np.argmax(warm1.model_posteriors, 1)
-    m2 = np.argmax(warm2.model_posteriors, 1)
-    finite = np.isfinite(warm1.log_likelihoods_dla2) & np.isfinite(
-        warm2.log_likelihoods_dla2
-    )
-    d2 = np.abs(
-        warm1.log_likelihoods_dla2[finite] - warm2.log_likelihoods_dla2[finite]
-    )
-    agreement = float(np.mean(m1 == m2))
-    print(
-        f"catalog R2-vs-R1 @1024: multiplicity agreement {agreement:.4f}, "
-        f"pair evidence |delta| median {np.median(d2):.3f} "
-        f"max {np.max(d2):.3f} (MC redraw noise)",
-        flush=True,
-    )
+    # warm every program once and check catalog agreement vs R=1:
+    # each R is a DIFFERENT (equally valid) Monte Carlo base redraw
+    warm = {reps: run(reps, 1024, None) for reps in reps_list}
+    out: dict = {"n_spectra": n_spectra}
+    base = warm[reps_list[0]]
+    m_base = np.argmax(base.model_posteriors, 1)
+    for reps in reps_list[1:]:
+        m_r = np.argmax(warm[reps].model_posteriors, 1)
+        finite = np.isfinite(base.log_likelihoods_dla2) & np.isfinite(
+            warm[reps].log_likelihoods_dla2
+        )
+        d2 = np.abs(
+            base.log_likelihoods_dla2[finite]
+            - warm[reps].log_likelihoods_dla2[finite]
+        )
+        agreement = float(np.mean(m_base == m_r))
+        out[f"multiplicity_agreement_R{reps}_1024"] = agreement
+        out[f"pair_evidence_delta_median_R{reps}"] = round(
+            float(np.median(d2)), 4
+        )
+        out[f"pair_evidence_delta_max_R{reps}"] = round(float(np.max(d2)), 4)
+        print(
+            f"catalog R{reps}-vs-R1 @1024: multiplicity agreement "
+            f"{agreement:.4f}, pair evidence |delta| median "
+            f"{np.median(d2):.3f} max {np.max(d2):.3f} (MC redraw noise)",
+            flush=True,
+        )
 
-    rates: dict[str, list[float]] = {"R1": [], "R2": []}
+    rates: dict[int, list[float]] = {reps: [] for reps in reps_list}
     for rep in range(2):
-        for mode, reps in (("R1", 1), ("R2", 2)):
+        for reps in reps_list:
             with tempfile.TemporaryDirectory() as tmp:
                 t0 = time.perf_counter()
                 run(reps, n_spectra, f"{tmp}/ckpt")
                 dt = time.perf_counter() - t0
-            rates[mode].append(n_spectra / dt)
+            rates[reps].append(n_spectra / dt)
             print(
-                f"rep{rep} fused lean {mode}: {dt:.1f}s = "
+                f"rep{rep} fused lean R{reps}: {dt:.1f}s = "
                 f"{n_spectra / dt:.1f}/s",
                 flush=True,
             )
-    return {
-        "n_spectra": n_spectra,
-        "lean_R1_rates": [round(r, 1) for r in rates["R1"]],
-        "lean_R2_rates": [round(r, 1) for r in rates["R2"]],
-        "driver_speedup": round(
-            float(np.mean(rates["R2"]) / np.mean(rates["R1"])), 3
-        ),
-        "multiplicity_agreement_1024": agreement,
-        "pair_evidence_delta_median": round(float(np.median(d2)), 4),
-        "pair_evidence_delta_max": round(float(np.max(d2)), 4),
-    }
+    for reps in reps_list:
+        out[f"lean_R{reps}_rates"] = [round(r, 1) for r in rates[reps]]
+    for reps in reps_list[1:]:
+        out[f"driver_speedup_R{reps}"] = round(
+            float(np.mean(rates[reps]) / np.mean(rates[reps_list[0]])), 3
+        )
+    return out
 
 
 def main(n_spectra: int = 4096, kernel_B: int = 1024) -> None:
     from gp_dla_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    summary = kernel_ab(kernel_B)
-    summary.update(driver_ab(n_spectra))
+    summary = kernel_ab(kernel_B, reps_list=(1, 2, 4))
+    summary.update(driver_ab(n_spectra, reps_list=(1, 2, 4)))
     print(json.dumps(summary))
 
 

@@ -48,8 +48,11 @@ from survey_run import DR12Q_N, TARGET_PER_CHIP  # noqa: E402
 
 
 def _lean_dir(workdir: Path, base_replicates: int) -> Path:
-    # R=2 runs live beside the canonical R=1 record, never replacing it
-    return workdir / ("lean" if base_replicates == 1 else "lean_r2")
+    # R>1 runs live beside the canonical R=1 record, never replacing it
+    # (and never each other: R=2 and R=4 fingerprint separately)
+    return workdir / (
+        "lean" if base_replicates == 1 else f"lean_r{base_replicates}"
+    )
 
 
 def worker(workdir: Path, batch: int, base_replicates: int = 1) -> None:
@@ -162,6 +165,14 @@ def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
         with np.load(classic_path) as f:
             classic_mult = np.argmax(f["multi_model_posteriors"], axis=1)
         agree = float((classic_mult == mult).mean())
+    # and, for R>1 runs, vs the canonical R=1 lean catalog (a different
+    # but equally valid MC base redraw on a finer inverse-CDF grid)
+    agree_r1 = None
+    r1_path = _lean_dir(workdir, 1) / "processed_qsos_multi_dr12q.npz"
+    if base_replicates != 1 and r1_path.exists():
+        with np.load(r1_path) as f:
+            r1_mult = np.argmax(f["multi_model_posteriors"], axis=1)
+        agree_r1 = float((r1_mult == mult).mean())
 
     rate = n / total
     ckpt_bytes = sum(
@@ -208,6 +219,12 @@ def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
         lines.append(
             f"- multiplicity agreement vs the classic two-pass catalog "
             f"(f32 device base draw vs host f64 draw): {agree:.4f}"
+        )
+    if agree_r1 is not None:
+        lines.append(
+            f"- multiplicity agreement vs the R=1 lean catalog "
+            f"(independent MC base redraw, {base_replicates}x-coarser "
+            f"resample grid): {agree_r1:.4f}"
         )
     out = HERE / (
         "RESULTS_SURVEY_LEAN.md" if base_replicates == 1
