@@ -63,8 +63,9 @@ class PipelineConfig:
     # shrinks from ~6.5 GB to ~10 MB at DR12Q scale
     store_sample_likelihoods: bool = True
     # base-axis draw replication for the lean multi-DLA stage (see
-    # ShardedRunConfig.base_replicates: 2 = +20% pair evaluator, draws
-    # on a 2x-coarser shuffled grid, fused lean driver only)
+    # ShardedRunConfig.base_replicates: 2 = +20% pair evaluator,
+    # 4 = +32% (the knee; pixel-folded lanes), draws on an Rx-coarser
+    # shuffled grid, fused lean driver only)
     base_replicates: int = 1
 
     def __post_init__(self):
