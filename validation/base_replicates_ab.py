@@ -47,6 +47,9 @@ def kernel_ab(B: int = 1024, S: int = 10000, reps_list=(1, 2)) -> dict:
     from gp_dla_detection_tpu.params import Parameters, kms_to_z
     from gp_dla_detection_tpu.utils.synthetic import synthetic_workload
 
+    # labels and output keys compare against R1 — a list not starting
+    # at 1 would silently mislabel every comparison (ADVICE r3)
+    assert reps_list[0] == 1, reps_list
     params = Parameters()
     prob = synthetic_workload(B, S, 1274, 20, seed=0)
     model = GPModel(
@@ -122,6 +125,7 @@ def kernel_ab(B: int = 1024, S: int = 10000, reps_list=(1, 2)) -> dict:
 
 
 def driver_ab(n_spectra: int, reps_list=(1, 2, 4)) -> dict:
+    assert reps_list[0] == 1, reps_list  # R1-vs labels/keys (ADVICE r3)
     from gp_dla_detection_tpu.inference import PaddedSpectra
     from gp_dla_detection_tpu.models.qso_model import GPModel
     from gp_dla_detection_tpu.parallel import ShardedRunConfig
@@ -172,14 +176,18 @@ def driver_ab(n_spectra: int, reps_list=(1, 2, 4)) -> dict:
         )
         agreement = float(np.mean(m_base == m_r))
         out[f"multiplicity_agreement_R{reps}_1024"] = agreement
-        out[f"pair_evidence_delta_median_R{reps}"] = round(
-            float(np.median(d2)), 4
-        )
-        out[f"pair_evidence_delta_max_R{reps}"] = round(float(np.max(d2)), 4)
+        # d2 can be empty when no sightline has finite pair evidence
+        # under both R values (all-clean warm batch) — don't crash the
+        # A/B after the expensive warm-up (ADVICE r3)
+        med2 = float(np.median(d2)) if d2.size else float("nan")
+        max2 = float(np.max(d2)) if d2.size else float("nan")
+        out[f"pair_evidence_delta_median_R{reps}"] = round(med2, 4)
+        out[f"pair_evidence_delta_max_R{reps}"] = round(max2, 4)
         print(
             f"catalog R{reps}-vs-R1 @1024: multiplicity agreement "
             f"{agreement:.4f}, pair evidence |delta| median "
-            f"{np.median(d2):.3f} max {np.max(d2):.3f} (MC redraw noise)",
+            f"{med2:.3f} max {max2:.3f} (MC redraw noise; "
+            f"{d2.size} finite pairs)",
             flush=True,
         )
 

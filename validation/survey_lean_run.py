@@ -38,6 +38,7 @@ import numpy as np
 HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE))
 
+from epoch_probe import epoch_line, run_epoch_probe  # noqa: E402
 from scale_rehearsal import (  # noqa: E402
     PER_DEVICE_BATCH,
     _artifacts,
@@ -119,13 +120,63 @@ def _wait(proc: subprocess.Popen, what: str) -> None:
         raise RuntimeError(f"{what} failed rc={rc}\n{tail}")
 
 
-def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
+def _agreement_stats(
+    workdir: Path, base_replicates: int, mult: np.ndarray
+) -> list[str]:
+    """Catalog-agreement lines for the record.  A missing comparison
+    catalog is reported LOUDLY in the record itself (VERDICT r3: a
+    silent skip let an R>1 record ship without its key comparison)."""
+    lines = []
+    classic_path = workdir / "survey" / "processed_qsos_multi_dr12q.npz"
+    if classic_path.exists():
+        with np.load(classic_path) as f:
+            classic_mult = np.argmax(f["multi_model_posteriors"], axis=1)
+        agree = float((classic_mult == mult).mean())
+        lines.append(
+            f"- multiplicity agreement vs the classic two-pass catalog "
+            f"(f32 device base draw vs host f64 draw): {agree:.4f}"
+        )
+    else:
+        lines.append(
+            "- **classic two-pass catalog NOT present in this workdir — "
+            "agreement stat not computed** (run survey_run.py + --pair, "
+            "then re-append with --agreement-only)"
+        )
+    if base_replicates != 1:
+        r1_path = _lean_dir(workdir, 1) / "processed_qsos_multi_dr12q.npz"
+        if r1_path.exists():
+            with np.load(r1_path) as f:
+                r1_mult = np.argmax(f["multi_model_posteriors"], axis=1)
+            agree_r1 = float((r1_mult == mult).mean())
+            lines.append(
+                f"- multiplicity agreement vs the R=1 lean catalog "
+                f"(independent MC base redraw, {base_replicates}x-coarser "
+                f"resample grid): {agree_r1:.4f}"
+            )
+        else:
+            lines.append(
+                "- **R=1 lean catalog NOT present — R-vs-R1 agreement "
+                "not computed** (run the R=1 pass first)"
+            )
+    return lines
+
+
+def orchestrate(workdir: Path, batch: int, base_replicates: int = 1,
+                allow_no_r1: bool = False) -> None:
     art = _artifacts(workdir)
     if not (art / "samples.npz").exists():
         raise SystemExit(
             f"no universe artifacts under {art} — run survey_run.py first "
             "(this harness reuses its build)"
         )
+    if base_replicates != 1 and not allow_no_r1:
+        r1 = _lean_dir(workdir, 1) / "processed_qsos_multi_dr12q.npz"
+        if not r1.exists():
+            raise SystemExit(
+                f"R={base_replicates} run requires the R=1 lean catalog "
+                f"({r1}) for the agreement stat — run the R=1 pass first, "
+                "or pass --allow-no-r1 to proceed without it"
+            )
     from gp_dla_detection_tpu.catalog import Catalog
 
     lean_dir = _lean_dir(workdir, base_replicates)
@@ -158,21 +209,8 @@ def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
     }
     exact = float((mult == truth_mult).mean())
 
-    # catalog agreement vs the classic two-pass results, when present
-    classic_path = workdir / "survey" / "processed_qsos_multi_dr12q.npz"
-    agree = None
-    if classic_path.exists():
-        with np.load(classic_path) as f:
-            classic_mult = np.argmax(f["multi_model_posteriors"], axis=1)
-        agree = float((classic_mult == mult).mean())
-    # and, for R>1 runs, vs the canonical R=1 lean catalog (a different
-    # but equally valid MC base redraw on a finer inverse-CDF grid)
-    agree_r1 = None
-    r1_path = _lean_dir(workdir, 1) / "processed_qsos_multi_dr12q.npz"
-    if base_replicates != 1 and r1_path.exists():
-        with np.load(r1_path) as f:
-            r1_mult = np.argmax(f["multi_model_posteriors"], axis=1)
-        agree_r1 = float((r1_mult == mult).mean())
+    agreement_lines = _agreement_stats(workdir, base_replicates, mult)
+    probe = run_epoch_probe()
 
     rate = n / total
     ckpt_bytes = sum(
@@ -215,25 +253,36 @@ def orchestrate(workdir: Path, batch: int, base_replicates: int = 1) -> None:
         f"2-DLA->0 {confusion[(2, 0)]:,}, 2-DLA->1 {confusion[(2, 1)]:,}, "
         f"2-DLA->2 {confusion[(2, 2)]:,}",
     ]
-    if agree is not None:
-        lines.append(
-            f"- multiplicity agreement vs the classic two-pass catalog "
-            f"(f32 device base draw vs host f64 draw): {agree:.4f}"
-        )
-    if agree_r1 is not None:
-        lines.append(
-            f"- multiplicity agreement vs the R=1 lean catalog "
-            f"(independent MC base redraw, {base_replicates}x-coarser "
-            f"resample grid): {agree_r1:.4f}"
-        )
-    out = HERE / (
-        "RESULTS_SURVEY_LEAN.md" if base_replicates == 1
-        else f"RESULTS_SURVEY_LEAN_R{base_replicates}.md"
-    )
+    lines.extend(agreement_lines)
+    lines.append(epoch_line(probe))
+    out = _record_path(base_replicates)
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     assert exact > 0.95, exact
     print("LEAN SURVEY OK")
+
+
+def _record_path(base_replicates: int) -> Path:
+    return HERE / (
+        "RESULTS_SURVEY_LEAN.md" if base_replicates == 1
+        else f"RESULTS_SURVEY_LEAN_R{base_replicates}.md"
+    )
+
+
+def agreement_only(workdir: Path, base_replicates: int) -> None:
+    """Recompute the catalog-agreement stats from completed outputs and
+    append them to the existing record (e.g. after the classic two-pass
+    catalog lands in a workdir where the lean run finished first)."""
+    lean_dir = _lean_dir(workdir, base_replicates)
+    with np.load(lean_dir / "processed_qsos_multi_dr12q.npz") as f:
+        mult = np.argmax(f["multi_model_posteriors"], axis=1)
+    lines = _agreement_stats(workdir, base_replicates, mult)
+    out = _record_path(base_replicates)
+    out.write_text(
+        out.read_text() + "\n## Agreement refresh\n\n"
+        + "\n".join(lines) + "\n"
+    )
+    print("\n".join(lines))
 
 
 if __name__ == "__main__":
@@ -242,8 +291,17 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
     p.add_argument("--worker", action="store_true")
     p.add_argument("--base-replicates", type=int, default=1)
+    p.add_argument("--allow-no-r1", action="store_true",
+                   help="let an R>1 run proceed without the R=1 lean "
+                   "catalog (the agreement stat will be loudly absent)")
+    p.add_argument("--agreement-only", action="store_true",
+                   help="recompute agreement stats from completed "
+                   "outputs and append to the record")
     a = p.parse_args()
     if a.worker:
         worker(Path(a.workdir), a.batch, a.base_replicates)
+    elif a.agreement_only:
+        agreement_only(Path(a.workdir), a.base_replicates)
     else:
-        orchestrate(Path(a.workdir), a.batch, a.base_replicates)
+        orchestrate(Path(a.workdir), a.batch, a.base_replicates,
+                    a.allow_no_r1)

@@ -39,6 +39,7 @@ import numpy as np
 HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE))
 
+from epoch_probe import epoch_line, run_epoch_probe  # noqa: E402
 from scale_rehearsal import (  # noqa: E402
     PER_DEVICE_BATCH,
     _artifacts,
@@ -202,6 +203,7 @@ def orchestrate(workdir: Path, n_spectra: int = DR12Q_N,
         f"{false_pos:.2e} over {int((~truth).sum()):,} clean sightlines",
         f"- checkpoint volume: {ckpt_bytes / 1e9:.2f} GB across "
         f"{n_batches} per-batch f16-wire files (background writer)",
+        epoch_line(run_epoch_probe()),
         "",
         "Kill/resume bit-identity for this driver + checkpoint format is "
         "pinned at 16k by scale_rehearsal.py (RESULTS_SCALE.md); this run "
