@@ -40,6 +40,7 @@ __all__ = [
     "atomic_savez",
     "atomic_write_json",
     "run_pipelined",
+    "run_pipelined_split",
 ]
 
 
@@ -131,6 +132,111 @@ def run_pipelined(items, dispatch, complete, depth: int = 2,
 
             warnings.warn(
                 "dispatcher thread still blocked in a device transfer "
+                "after 15 s; abandoning it (daemon) so the original "
+                "error can propagate",
+                stacklevel=2,
+            )
+
+
+def run_pipelined_split(items, upload, issue, complete, depth: int = 2,
+                        threaded: bool = False):
+    """:func:`run_pipelined` with the dispatch stage split into
+    ``upload`` (host slice/pad + ``jax.device_put`` — blocking host
+    transfers, NO collectives) and ``issue`` (the jit computation
+    dispatch + on-device packing — enqueue-and-return, but its program
+    may carry collectives).
+
+    The split exists for MULTI-CONTROLLER overlap: every controller
+    must enqueue collective-bearing operations (the batch computation,
+    ``fetch_global``'s allgather) in one identical order, or the
+    cross-process collectives pair up wrong and the backend (gloo on
+    CPU, ICI collectives on TPU pods) deadlocks.  ``run_pipelined``'s
+    dispatcher thread violates that — the thread interleaves batch-
+    compute issuance with the main thread's fetch collectives at OS
+    scheduling whim — so r3 forced ``threaded=False`` whenever
+    ``jax.process_count() > 1``, serializing uploads against fetches on
+    exactly the deployments the <1h target names (v5e-64 multi-host).
+
+    Here ``threaded=True`` moves only the uploads to a side thread.
+    ``jax.device_put`` of host data to addressable shards issues no
+    collective, so upload timing cannot perturb collective order; the
+    main thread consumes uploaded batches strictly in item order and
+    runs ``issue``/``complete`` on the EXACT schedule of the serial
+    path (issue_0 .. issue_{d-1}, then complete_{i-d+1}, issue_i, ...,
+    a deterministic program order on every controller) — while batch
+    i+1's upload proceeds concurrently with batch i's fetch, which is
+    the overlap the pipeline exists for.  Guarantees: at most
+    ``depth + 1`` items uploaded-but-not-completed (an item's slot
+    frees as it BEGINS completing, so the next upload overlaps the
+    blocking fetch even at depth 2), ``issue``/``complete`` run on the
+    calling thread in item order, and worker exceptions propagate.
+
+    ``threaded=False`` degenerates to ``run_pipelined`` with
+    ``dispatch = issue(item, upload(item))``.
+    """
+    if not threaded or depth == 1:
+        run_pipelined(
+            items, lambda item: issue(item, upload(item)), complete,
+            depth=depth, threaded=False,
+        )
+        return
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    import queue
+    import threading
+
+    slots = threading.Semaphore(depth)  # uploaded-but-not-completed
+    results: queue.SimpleQueue = queue.SimpleQueue()
+    stop = threading.Event()
+
+    def uploader():
+        try:
+            for item in items:
+                while not slots.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
+                if stop.is_set():
+                    return
+                results.put(("item", item, upload(item)))
+            results.put(("done", None, None))
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            results.put(("raise", exc, None))
+
+    worker = threading.Thread(
+        target=uploader, name="gpdla-upload", daemon=True
+    )
+    worker.start()
+    inflight: deque = deque()
+    try:
+        while True:
+            kind, item, state = results.get()
+            if kind == "done":
+                break
+            if kind == "raise":
+                raise item
+            inflight.append((item, issue(item, state)))
+            while len(inflight) >= depth:
+                done_item, st = inflight.popleft()
+                # free the slot BEFORE the blocking fetch so the side
+                # thread can upload the next batch during it
+                slots.release()
+                complete(done_item, st)
+        while inflight:
+            done_item, st = inflight.popleft()
+            slots.release()
+            complete(done_item, st)
+    finally:
+        stop.set()
+        # bounded join, same rationale as run_pipelined: an upload
+        # frozen inside a dead-tunnel transfer must not swallow the
+        # caller's exception behind an unbounded shutdown
+        worker.join(timeout=15.0)
+        if worker.is_alive():
+            import warnings
+
+            warnings.warn(
+                "upload thread still blocked in a device transfer "
                 "after 15 s; abandoning it (daemon) so the original "
                 "error can propagate",
                 stacklevel=2,

@@ -431,7 +431,7 @@ def process_spectra_sharded(
         BackgroundWriter,
         atomic_savez,
         atomic_write_json,
-        run_pipelined,
+        run_pipelined_split,
     )
     import jax.numpy as jnp
 
@@ -479,7 +479,9 @@ def process_spectra_sharded(
 
     timing = env_flag("GPDLA_DRIVER_TIMING")
 
-    def dispatch(item):
+    def upload(item):
+        # host slice/pad + device_put ONLY — no collectives, safe on the
+        # upload thread in multi-controller runs (overlap.py)
         bi, start, stop, ckpt_file = item
         t0 = _time.perf_counter()
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
@@ -492,19 +494,27 @@ def process_spectra_sharded(
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
             *model_args,
         )
-        t2 = _time.perf_counter()
+        if timing:
+            print(
+                f"[driver] batch {bi}: slice {t1 - t0:.3f}s "
+                f"device_put {_time.perf_counter() - t1:.3f}s",
+                flush=True,
+            )
+        return args
+
+    def issue(item, args):
+        bi = item[0]
+        t0 = _time.perf_counter()
         # capture the rung this batch dispatched on (atomically with the
-        # call — dispatch may run on a worker thread): with depth >= 2 a
-        # failing rung surfaces the same stale error at several fetches,
-        # and fetch_with_ladder must not advance the ladder once per
-        # in-flight batch
+        # call): with depth >= 2 a failing rung surfaces the same stale
+        # error at several fetches, and fetch_with_ladder must not
+        # advance the ladder once per in-flight batch
         raw, rung = runner.call_with_rung(*args)
         out = args, pack(raw), rung
         if timing:
             print(
-                f"[driver] batch {bi}: slice {t1 - t0:.3f}s "
-                f"device_put {t2 - t1:.3f}s dispatch "
-                f"{_time.perf_counter() - t2:.3f}s",
+                f"[driver] batch {bi}: dispatch "
+                f"{_time.perf_counter() - t0:.3f}s",
                 flush=True,
             )
         return out
@@ -644,14 +654,15 @@ def process_spectra_sharded(
             if meter is not None:
                 meter.update(stop - start)
 
-        # multi-controller runs must issue computations in one
-        # deterministic order per process (fetch_global's allgather is a
-        # collective; a dispatcher thread would interleave it with batch
-        # computes differently on different processes) — thread only
-        # when this process owns its issuance order alone
-        run_pipelined(
-            todo, dispatch, complete, depth=config.pipeline_depth,
-            threaded=config.dispatch_thread and jax.process_count() == 1,
+        # uploads ride a side thread; compute issuance and the
+        # collective-bearing fetches stay on the main thread in the
+        # serial path's exact program order, so multi-controller runs
+        # keep identical collective issuance order on every process
+        # (run_pipelined_split) — threading is no longer forced off at
+        # process_count > 1
+        run_pipelined_split(
+            todo, upload, issue, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread,
         )
 
     if lean:

@@ -422,11 +422,12 @@ def process_spectra_multi_sharded(
         BackgroundWriter,
         atomic_savez,
         atomic_write_json,
-        run_pipelined,
+        run_pipelined_split,
     )
     from .streaming import fetch_packed_host, pack_rows, reconstruct_rows
 
-    def dispatch(item):
+    def upload(item):
+        # host slice/pad + device_put only (no collectives; overlap.py)
         bi, start, stop, ckpt_file = item
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
         pad_rows = super_batch - (stop - start)
@@ -435,22 +436,22 @@ def process_spectra_multi_sharded(
             cols = np.concatenate(
                 [cols, np.repeat(cols[-1:], pad_rows, axis=0)]
             )
-        ob, nb = base_values(
-            jax.device_put(np.ascontiguousarray(cols), data_spec2)
-        )
-        args = (
+        cols_dev = jax.device_put(np.ascontiguousarray(cols), data_spec2)
+        return cols_dev, (
             jax.device_put(np.asarray(batch.wavelengths, dtype), data_spec2),
             jax.device_put(np.asarray(batch.flux, dtype), data_spec2),
             jax.device_put(np.asarray(batch.noise_variance, dtype), data_spec2),
             jax.device_put(np.asarray(batch.mask), data_spec2),
             jax.device_put(np.asarray(batch.z_qso, dtype), data_spec),
-            *model_args,
-            off_j, nh_j,
-            ob, nb,
         )
+
+    def issue(item, uploaded):
+        # base_values is a jit call over the mesh — main thread only
+        cols_dev, batch_args = uploaded
+        ob, nb = base_values(cols_dev)
+        args = (*batch_args, *model_args, off_j, nh_j, ob, nb)
         # pack the f16 wire format at dispatch time (device queue order;
-        # see sharded_inference.dispatch); record the dispatch rung
-        # (atomically — dispatch may run on a worker thread) for
+        # see sharded_inference.dispatch); record the dispatch rung for
         # stale-failure recovery under pipelined dispatch
         raw, rung = runner.call_with_rung(*args)
         return args, pack_rows(raw, config.stream_dtype), rung
@@ -511,11 +512,12 @@ def process_spectra_multi_sharded(
             if meter is not None:
                 meter.update(stop - start)
 
-        # no dispatcher thread across processes (collective issuance
-        # order must match on every controller; see sharded_inference)
-        run_pipelined(
-            todo, dispatch, complete, depth=config.pipeline_depth,
-            threaded=config.dispatch_thread and jax.process_count() == 1,
+        # uploads on a side thread; collective issuance (base_values,
+        # runner call, fetch_global) stays in serial program order on
+        # the main thread — multi-controller-safe (overlap.py)
+        run_pipelined_split(
+            todo, upload, issue, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread,
         )
 
     return finalize_multi(
@@ -580,7 +582,7 @@ def _process_multi_lean_fused(
         BackgroundWriter,
         atomic_savez,
         atomic_write_json,
-        run_pipelined,
+        run_pipelined_split,
     )
     from .sharded_inference import build_single_ladder
     from .streaming import pack_lean
@@ -856,7 +858,8 @@ def _process_multi_lean_fused(
 
     timing = env_flag("GPDLA_DRIVER_TIMING")
 
-    def dispatch(item):
+    def upload(item):
+        # host slice/pad + device_put only (no collectives; overlap.py)
         bi, start, stop, ckpt_file = item
         t0 = _time.perf_counter()
         batch = spectra.slice(slice(start, stop)).pad_to(super_batch)
@@ -874,13 +877,22 @@ def _process_multi_lean_fused(
             off_orig,
             nh_orig,
         )
-        t2 = _time.perf_counter()
-        out = args1, fused_chain.call(*args1)
         if timing:
             print(
                 f"[fused] batch {bi}: slice {t1 - t0:.3f}s "
-                f"device_put {t2 - t1:.3f}s dispatch "
-                f"{_time.perf_counter() - t2:.3f}s",
+                f"device_put {_time.perf_counter() - t1:.3f}s",
+                flush=True,
+            )
+        return args1
+
+    def issue(item, args1):
+        bi = item[0]
+        t0 = _time.perf_counter()
+        out = args1, fused_chain.call(*args1)
+        if timing:
+            print(
+                f"[fused] batch {bi}: dispatch "
+                f"{_time.perf_counter() - t0:.3f}s",
                 flush=True,
             )
         return out
@@ -948,9 +960,12 @@ def _process_multi_lean_fused(
             if meter is not None:
                 meter.update(stop - start)
 
-        run_pipelined(
-            todo, dispatch, complete, depth=config.pipeline_depth,
-            threaded=config.dispatch_thread and jax.process_count() == 1,
+        # uploads on a side thread; the fused-chain issuance and the
+        # fetch collectives keep serial program order on the main
+        # thread — multi-controller-safe (overlap.py)
+        run_pipelined_split(
+            todo, upload, issue, complete, depth=config.pipeline_depth,
+            threaded=config.dispatch_thread,
         )
 
     post = posteriors_from_evidence(

@@ -18,6 +18,7 @@ from gp_dla_detection_tpu.parallel.overlap import (
     atomic_savez,
     atomic_write_json,
     run_pipelined,
+    run_pipelined_split,
 )
 
 
@@ -120,6 +121,115 @@ def test_run_pipelined_depth_one_is_serial():
     ]
     with pytest.raises(ValueError, match="depth"):
         run_pipelined([], lambda i: i, lambda i, s: None, depth=0)
+
+
+def test_run_pipelined_split_serial_schedule():
+    """threaded=False degenerates to the serial pipeline: upload+issue
+    fused as dispatch, same bounded lookahead."""
+    events = []
+    run_pipelined_split(
+        range(5),
+        upload=lambda i: (events.append(("u", i)), i)[1],
+        issue=lambda i, u: (events.append(("i", i)), u * 10)[1],
+        complete=lambda i, s: events.append(("c", i, s)),
+        depth=2,
+        threaded=False,
+    )
+    assert [e for e in events if e[0] == "c"] == [
+        ("c", i, i * 10) for i in range(5)
+    ]
+    assert events.index(("i", 1)) < events.index(("c", 0, 0))
+    assert events.index(("c", 0, 0)) < events.index(("u", 3))
+
+
+def test_run_pipelined_split_threaded_deterministic_issue_order():
+    """Threaded mode's load-bearing contract for multi-controller runs:
+    issue/complete land on the CALLING thread in the serial schedule's
+    exact program order (issue_0, issue_1, complete_0, issue_2, ... at
+    depth 2) no matter how upload timing jitters — collective issuance
+    order must be identical on every controller.  Uploads still
+    genuinely overlap a blocking complete."""
+    main = threading.get_ident()
+    schedule = []
+    inflight_hwm = [0]
+    n_up = [0]
+    lock = threading.Lock()
+    u2_done = threading.Event()
+
+    def upload(i):
+        # jitter: odd uploads are slow — must not perturb the schedule
+        time.sleep(0.02 if i % 2 else 0.0)
+        with lock:
+            n_up[0] += 1
+            inflight_hwm[0] = max(inflight_hwm[0], n_up[0])
+        if i == 2:
+            u2_done.set()
+        return i
+
+    def issue(i, u):
+        assert threading.get_ident() == main
+        schedule.append(("i", i))
+        return u * 10
+
+    def complete(i, s):
+        assert threading.get_ident() == main
+        if i == 0:
+            # depth=2: while the caller blocks in complete(0), the side
+            # thread must push upload(2) — the overlap this exists for
+            assert u2_done.wait(timeout=5.0), (
+                "upload did not overlap a blocking complete"
+            )
+        schedule.append(("c", i, s))
+        with lock:
+            n_up[0] -= 1
+
+    for _ in range(3):  # schedule must be stable across repeats
+        schedule.clear()
+        run_pipelined_split(
+            range(5), upload, issue, complete, depth=2, threaded=True,
+        )
+        assert schedule == [
+            ("i", 0), ("i", 1), ("c", 0, 0), ("i", 2), ("c", 1, 10),
+            ("i", 3), ("c", 2, 20), ("i", 4), ("c", 3, 30), ("c", 4, 40),
+        ]
+    # uploaded-not-completed bound is depth + 1: the completing item's
+    # slot frees as its fetch begins so the next upload overlaps it
+    assert inflight_hwm[0] <= 3
+
+
+def test_run_pipelined_split_threaded_errors_propagate():
+    # upload() exceptions propagate from the side thread
+    def bad_upload(i):
+        if i == 2:
+            raise OSError("upload died")
+        return i
+
+    done = []
+    with pytest.raises(OSError, match="upload died"):
+        run_pipelined_split(
+            range(10), bad_upload, lambda i, u: u,
+            lambda i, s: done.append(i), depth=2, threaded=True,
+        )
+    assert done == [0]  # issue_0, issue_1, complete_0, then the raise
+
+    # issue() and complete() exceptions propagate from the main thread
+    with pytest.raises(RuntimeError, match="issue died"):
+        run_pipelined_split(
+            range(10), lambda i: i,
+            lambda i, u: (_ for _ in ()).throw(RuntimeError("issue died")),
+            lambda i, s: None, depth=2, threaded=True,
+        )
+    with pytest.raises(RuntimeError, match="fetch died"):
+        run_pipelined_split(
+            range(100), lambda i: i, lambda i, u: u,
+            lambda i, s: (_ for _ in ()).throw(RuntimeError("fetch died")),
+            depth=2, threaded=True,
+        )
+    # no leaked upload threads
+    time.sleep(0.2)
+    assert not [
+        t for t in threading.enumerate() if t.name.startswith("gpdla-upload")
+    ]
 
 
 def test_background_writer_ordered_and_raises():
