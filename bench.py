@@ -228,9 +228,9 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
     from gp_dla_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    if base_replicates is None:
-        # track the production default, whatever it currently is
-        base_replicates = ShardedRunConfig().base_replicates
+    # base_replicates=None rides through to the driver's auto default
+    # (R=4 when the pallas pair-kernel fast path engages, else 1); an
+    # explicit value pins R.  The label below reports what was asked.
     prob = _synthetic_problem(n_spectra, num_samples, pixels, k)
     model = GPModel(
         rest_wavelengths=prob["grid"], mu=prob["mu"], M=prob["M"],
@@ -292,7 +292,9 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
                    if two_stage else "")
                 + ("lean device-reduced results"
                    if lean else "f16 streaming")
-                + (f", base_replicates={base_replicates}"
+                + (", base_replicates=auto"
+                   if base_replicates is None
+                   else f", base_replicates={base_replicates}"
                    if base_replicates != 1 else "")
                 + ", checkpointing)",
                 "value": round(value, 3),

@@ -50,7 +50,15 @@ from .sharded_inference import (
 )
 from .streaming import checkpoint_payload, rows_from_checkpoint
 
-__all__ = ["process_spectra_multi_sharded"]
+__all__ = ["process_spectra_multi_sharded", "FUSED_LEAN_BASE_REPLICATES"]
+
+# Resolved value of ShardedRunConfig.base_replicates=None (auto) when
+# the fused pair kernel's replicated-lane fast path engages: R=4 is the
+# measured knee of the pixel-fold (pair evaluator 817->1081/s, driver
+# 1.34x; validation/base_replicates_ab.py) and is survey-validated
+# (162k sightlines: zero clean/double catalog changes, 0.9999 R=1
+# agreement; validation/RESULTS_SURVEY_LEAN_R4.md).
+FUSED_LEAN_BASE_REPLICATES = 4
 
 
 class _FusedChainRunner:
@@ -201,7 +209,7 @@ def process_spectra_multi_sharded(
             prior_z_qsos, prior_num_dlas, params, mesh, config,
             progress, min_separation_kms, base_seed,
         )
-    if config.base_replicates != 1:
+    if config.base_replicates not in (None, 1):
         raise ValueError(
             "base_replicates > 1 is a fused-lean-driver feature "
             "(store_sample_likelihoods=False): the classic pair stage "
@@ -659,13 +667,32 @@ def _process_multi_lean_fused(
         )
 
     R = config.base_replicates
-    if R not in (1, 2, 4, 8):
+    if R is None:
+        # AUTO (the production default): R=4 — the measured knee of the
+        # pair-kernel fold, survey-validated (RESULTS_SURVEY_LEAN_R4.md)
+        # — but only when the first ladder rung can actually engage the
+        # replicated-lane fast path; otherwise (XLA backend, degraded
+        # tile, f64 parity runs) R=1, preserving the classic
+        # one-draw-per-column resample and its bit-parity with the
+        # two-pass flow at no lost speedup.
+        fb, ft, _ = ladder_configs(
+            config.backend, num_pixels_ext, dtype,
+            two_dla=True, windowed=window is not None,
+        )[0]
+        R = (
+            FUSED_LEAN_BASE_REPLICATES
+            if use_pallas
+            and fb in ("pallas", "pallas_interpret")
+            and ft == PATTERN_TILE
+            else 1
+        )
+    elif R not in (1, 2, 4, 8):
         raise ValueError(
             f"base_replicates must be 1, 2, 4, or 8 (got {R}): each base "
             "draw is shared by R of a kernel tile's lane blocks "
             "(multi_dla.replicate_draw_pattern); survey-scale catalog "
             "validation exists for R <= 4 (validation/RESULTS_SURVEY_"
-            "LEAN_R*.md) — prefer 2 unless the pair stage dominates"
+            "LEAN_R*.md)"
         )
 
     def make_fn2(run_backend, tile, windowed=True):

@@ -65,8 +65,12 @@ class PipelineConfig:
     # base-axis draw replication for the lean multi-DLA stage (see
     # ShardedRunConfig.base_replicates: 2 = +20% pair evaluator,
     # 4 = +32% (the knee; pixel-folded lanes), draws on an Rx-coarser
-    # shuffled grid, fused lean driver only)
-    base_replicates: int = 1
+    # shuffled grid, fused lean driver only).  None (default) = auto:
+    # R=4 when the pallas pair kernel's fast path engages, else 1
+    # (survey-validated; RESULTS_SURVEY_LEAN_R4.md).  Resumes of
+    # pre-r4 default runs must pin base_replicates=1 (R is part of
+    # the checkpoint numerics fingerprint).
+    base_replicates: int | None = None
 
     def __post_init__(self):
         # fail at config time, not hours into the run
@@ -77,7 +81,10 @@ class PipelineConfig:
                 "backend='pallas' is float32-only; use dtype='float32' "
                 "or backend='xla' for float64 parity mode"
             )
-        if self.base_replicates != 1 and self.store_sample_likelihoods:
+        if (
+            self.base_replicates not in (None, 1)
+            and self.store_sample_likelihoods
+        ):
             raise ValueError(
                 "base_replicates > 1 requires the lean fused multi-DLA "
                 "driver (store_sample_likelihoods=False) — the classic "
@@ -515,9 +522,11 @@ def main() -> None:
         "multi stage runs the fused one-pass two-stage driver",
     )
     p.add_argument(
-        "--base-replicates", type=int, default=1,
+        "--base-replicates", type=int, default=None,
         help="--lean multi stage: share each posterior base draw between "
-        "a kernel tile's half-lanes (2 = +20%% pair kernel)",
+        "R of a kernel tile's lane blocks (default: auto — R=4 when the "
+        "pallas pair kernel's fast path engages, else 1; pin 1 to "
+        "resume pre-r4 checkpoints)",
     )
     p.add_argument(
         "--export-matlab", action="store_true",
