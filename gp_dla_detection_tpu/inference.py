@@ -192,11 +192,15 @@ def compute_sample_window(
     pixels of slack on each side (consumers offset the window start by
     exactly WINDOW_MARGIN).  Returns None when windowing would not help:
     window >= grid, or ``num_lines`` above the PALLAS kernel's unroll
-    limit — the windowed pass must then run as a fori_loop (the
-    31-line unroll crashes the TPU compiler), measured ~2x slower than
-    the unrolled full grid it would replace (v5e, B=256: 107 vs
-    181-195 spectra/s).  The gate is a Pallas-compiler constraint:
-    callers sizing a window for the XLA path should keep the default
+    limit — windowing LOSES at high line counts (r4 measurement,
+    validation/lines31_ab.py at 31 lines, v5e B=256: windowed
+    grouped-loop 138 spectra/s vs 194 full-grid unrolled; the 31 window
+    passes' dynamic slices cost more than the skipped Gaussian cores
+    save once the per-line windows tile the grid several times over).
+    The grouped-unroll loop form itself is speed-neutral (full-grid
+    loop 194 = unrolled 194; the r3b pure per-line loop's 2x penalty is
+    gone), so the gate is purely the measured window economics.
+    Callers sizing a window for the XLA path should keep the default
     ``num_lines`` (the XLA evaluator handles any line count).
     """
     from .ops.evidence_pallas import UNROLL_LINES
@@ -270,9 +274,10 @@ def pallas_config_ladder(
     the fused kernel instead of falling all the way back to XLA.  (The
     historical case, 31 unrolled dynamic-slice window passes crashing
     the TPU compiler, no longer reaches here: compute_sample_window
-    returns None above the kernel's unroll limit because the loop-form
-    windowed kernel, though it now compiles, is ~2x slower than the
-    unrolled full grid — those runs start full-grid directly.)
+    returns None above the kernel's unroll limit because windowing
+    measurably LOSES at 31 lines — grouped-loop windowed 138 vs 194
+    spectra/s full-grid, validation/lines31_ab.py — so those runs
+    start full-grid directly.)
     """
     if backend not in ("pallas", "pallas_interpret"):
         return [(backend, None, False)]

@@ -63,16 +63,22 @@ _SQRT_2 = float(np.sqrt(2.0))
 _SQRT_2PI = float(np.sqrt(2.0 * np.pi))
 
 
-def _line_tables(num_lines: int) -> np.ndarray:
-    """(4, num_lines) f32 per-line constants for the fori_loop line
-    pass, rounded EXACTLY as the unrolled kernel's weak-typed literals
-    round (f64 host products cast to f32 at the point of use), so the
-    two forms are bit-identical:
+def _line_tables(num_lines: int, pad_to: int | None = None) -> np.ndarray:
+    """(4, pad_to or num_lines) f32 per-line constants for the looped
+    line pass, rounded EXACTLY as the unrolled kernel's weak-typed
+    literals round (f64 host products cast to f32 at the point of use),
+    so the two forms are bit-identical:
 
       row 0: c / (lambda_t * 1e8)     [f32(c) / f32(lambda_t*1e8)]
       row 1: gamma_t / (sqrt(2) sigma) [f32(gamma) * f32(1/(sqrt2 sigma))]
       row 2: leading_const / (sigma sqrt(2 pi)) [f64 product -> f32]
       row 3: lambda_t * 1e8            [f64 product -> f32]
+
+    Columns past ``num_lines`` (the grouped-unroll remainder of the
+    last block) replicate the last real line's constants with row 2
+    zeroed: the pass's every contribution is scaled by that leading
+    constant, so a pad line adds exactly 0.0 while its intermediate
+    Faddeeva values stay finite (they are the last real line's).
     """
     lt18 = (
         np.asarray(lines.TRANSITION_WAVELENGTHS[:num_lines], np.float64)
@@ -81,7 +87,7 @@ def _line_tables(num_lines: int) -> np.ndarray:
     gamma = np.asarray(lines.LORENTZIAN_WIDTHS[:num_lines], np.float64)
     lead = np.asarray(lines.LEADING_CONSTANTS[:num_lines], np.float64)
     voigt_norm = 1.0 / (lines.DOPPLER_SIGMA * _SQRT_2PI)
-    return np.stack(
+    tbl = np.stack(
         [
             np.float32(lines.C_CGS) / lt18.astype(np.float32),
             gamma.astype(np.float32)
@@ -90,6 +96,11 @@ def _line_tables(num_lines: int) -> np.ndarray:
             lt18.astype(np.float32),
         ]
     )
+    if pad_to is not None and pad_to > num_lines:
+        pad = np.repeat(tbl[:, -1:], pad_to - num_lines, axis=1)
+        pad[2] = 0.0
+        tbl = np.concatenate([tbl, pad], axis=1)
+    return tbl
 
 
 def _evidence_kernel(
@@ -270,14 +281,29 @@ def _evidence_kernel(
         z = zr[0, 0].reshape(1, T)
         nhi = nr[0, 0].reshape(1, T)
         if line_loop:
-            def body(j, _, zr=zr, z=z, nhi=nhi, win=win, reps=reps):
-                line_pass(
-                    tbl_ref[0, j], tbl_ref[1, j], tbl_ref[2, j],
-                    tbl_ref[3, j], zr, z, nhi, win, reps,
-                )
+            # GROUPED unroll: fori over blocks of UNROLL_LINES lines,
+            # straight-line inside each block.  The pure per-line loop
+            # measured ~2x slower than straight-line code (Mosaic does
+            # not software-pipeline across fori iterations); a fully
+            # unrolled windowed pass above UNROLL_LINES crashes the TPU
+            # compiler.  Blocks keep each body at the size known to
+            # compile while recovering most of the scheduling win.
+            # Remainder lines in the last block are table-padded with
+            # zero leading constants (exact no-ops; _line_tables).
+            block = min(UNROLL_LINES, num_lines)
+            n_blocks = -(-num_lines // block)
+
+            def body(jb, _, zr=zr, z=z, nhi=nhi, win=win, reps=reps):
+                base = jb * block
+                for i in range(block):
+                    j = base + i
+                    line_pass(
+                        tbl_ref[0, j], tbl_ref[1, j], tbl_ref[2, j],
+                        tbl_ref[3, j], zr, z, nhi, win, reps,
+                    )
                 return _
 
-            jax.lax.fori_loop(0, num_lines, body, 0, unroll=False)
+            jax.lax.fori_loop(0, n_blocks, body, 0, unroll=False)
         else:
             for j in range(num_lines):
                 lambda_t = float(lines.TRANSITION_WAVELENGTHS[j])
@@ -584,10 +610,19 @@ def pallas_sample_log_likelihoods(
     )
     loop_inputs, loop_specs = [], []
     if use_loop:
-        loop_inputs.append(jnp.asarray(_line_tables(num_lines)))
+        # pad the table to a whole number of unroll blocks: the grouped
+        # loop body indexes every column of its last block, and the pad
+        # columns must be real (zero-leading-constant) entries — an
+        # out-of-bounds SMEM read returns garbage constants on hardware
+        # (misplaced windows, nonzero scales -> inf/NaN)
+        block = min(UNROLL_LINES, num_lines)
+        padded_lines = -(-num_lines // block) * block
+        loop_inputs.append(
+            jnp.asarray(_line_tables(num_lines, pad_to=padded_lines))
+        )
         loop_specs.append(
             pl.BlockSpec(
-                (4, num_lines), lambda i, t: (0, 0),
+                (4, padded_lines), lambda i, t: (0, 0),
                 memory_space=pltpu.SMEM,
             )
         )

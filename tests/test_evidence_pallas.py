@@ -432,16 +432,26 @@ def test_line_loop_matches_unrolled():
     om = rng.uniform(0.01, 0.05, (B, P)).astype(f32)
     nv = rng.uniform(0.05, 0.2, (B, P)).astype(f32)
     mask = rng.uniform(size=(B, P)) > 0.05
-    zc = lam[:, w + P // 2] / 1215.6701 - 1
-    z = np.sort(
-        rng.uniform(zc[:, None] - 0.02, zc[:, None] + 0.02, (B, S)), axis=1
-    ).astype(f32)
+    def sample_z(anchor_lambda):
+        zc = lam[:, w + P // 2] / anchor_lambda - 1
+        return np.sort(
+            rng.uniform(zc[:, None] - 0.02, zc[:, None] + 0.02, (B, S)),
+            axis=1,
+        ).astype(f32)
+
     nhi = (10 ** rng.uniform(20, 22, (B, S))).astype(f32)
-    z2 = rng.permutation(z, axis=1)
     nhi2 = (10 ** rng.uniform(20, 21.5, (B, S))).astype(f32)
 
     assert 3 <= UNROLL_LINES < 31  # default pipeline unrolls, 31 loops
-    for nl in (3, 31):
+    # nl=9 = one line past a full unroll block, so the grouped loop's
+    # LAST block is 7 table-pad columns; anchoring z at line 9's core
+    # (920.96 Å mid-grid) makes that line's contribution dominant, so
+    # any pad-wiring error — e.g. the r4 OOB table read, which clamps
+    # to the last real line and double-counts it — breaks bit-equality
+    # loudly instead of vanishing below f32 epsilon like a wing would
+    for nl, anchor in ((3, 1215.6701), (9, 920.9631), (31, 1215.6701)):
+        z = sample_z(anchor)
+        z2 = rng.permutation(z, axis=1)
         for kwargs in (
             {"window": None},
             {"window": 256},
