@@ -315,3 +315,42 @@ def test_fused_lean_driver_base_replicates(problem, prior_num, tmp_path):
 
     with pytest.raises(ValueError, match="base_replicates"):
         _run_lean(problem, prior_num, base_replicates=3)
+
+
+def test_base_replicates_auto_default(problem, prior_num):
+    """base_replicates=None (the r4 production default) resolves to
+    FUSED_LEAN_BASE_REPLICATES exactly when the pallas pair fast path
+    engages (draw-level identity with the explicit setting), and to
+    R=1 on the XLA parity path — without emitting the coarsening-for-
+    nothing warning in either case."""
+    from gp_dla_detection_tpu.parallel.sharded_multi import (
+        FUSED_LEAN_BASE_REPLICATES,
+    )
+
+    kw = dict(
+        dtype="float32", backend="pallas_interpret", n_samples=64,
+        sorted_offsets=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto must never warn
+        auto_p = _run_lean(problem, prior_num, **kw)  # default: None
+    r4 = _run_lean(
+        problem, prior_num, base_replicates=FUSED_LEAN_BASE_REPLICATES,
+        **kw,
+    )
+    np.testing.assert_array_equal(
+        auto_p.log_likelihoods_dla2, r4.log_likelihoods_dla2
+    )
+    np.testing.assert_array_equal(
+        auto_p.map_base_sample_inds, r4.map_base_sample_inds
+    )
+    np.testing.assert_array_equal(auto_p.model_posteriors, r4.model_posteriors)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto_x = _run_lean(problem, prior_num, n_samples=64)  # xla f64
+    r1 = _run_lean(problem, prior_num, base_replicates=1, n_samples=64)
+    np.testing.assert_array_equal(
+        auto_x.log_likelihoods_dla2, r1.log_likelihoods_dla2
+    )
+    np.testing.assert_array_equal(auto_x.model_posteriors, r1.model_posteriors)
