@@ -470,10 +470,11 @@ if __name__ == "__main__":
     p.add_argument("--n-spectra", type=int, default=DEFAULT_N)
     p.add_argument("--batch", type=int, default=PER_DEVICE_BATCH)
     p.add_argument("--stage", default="both", choices=["both", "inference"])
+    p.add_argument("--seed", type=int, default=40)
     a = p.parse_args()
     wd = Path(a.workdir)
     if a.cmd == "build":
-        build(wd, a.n_spectra)
+        build(wd, a.n_spectra, seed=a.seed)
     elif a.cmd == "run":
         run(wd, a.run_name, a.batch, a.stage)
     else:
