@@ -51,6 +51,19 @@ def poisson_binomial_pdf(probabilities) -> np.ndarray:
     n = p.size
     if n == 0:
         return np.ones(1)
+    # Probabilities can carry storage-precision noise: the f32 sample
+    # matrices round-trip normalization at ~1e-6, so a spectrum whose
+    # posterior sits entirely on one sample yields p = 1 + O(1e-6)
+    # (seen at survey scale, validation/l7_survey_parity.py).  The
+    # reference has no guard and lets the DFT emit a small NEGATIVE
+    # pdf mass for such p (calc_cddf.py:1040); our pdf clip below
+    # would turn that into a normalization error, so clamp the INPUT
+    # into [0, 1] instead — after bounding the excursion to noise
+    # level (a p of 1.5 is an upstream bug, not noise).
+    eps = 1e-4
+    assert -eps < float(p.min()) and float(p.max()) < 1.0 + eps, (
+        p.min(), p.max())
+    p = np.clip(p, 0.0, 1.0)
 
     # characteristic function at the (N+1) DFT frequencies; Hermitian
     # symmetry lets us compute only the first half and irfft back

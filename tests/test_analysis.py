@@ -51,6 +51,21 @@ def test_poisson_binomial_accepts_list_of_arrays():
     np.testing.assert_allclose(poisson_binomial_pdf([]), [1.0])
 
 
+def test_poisson_binomial_storage_noise_clamped():
+    """f32 sample-matrix round trips can hand the DFT a "probability"
+    of 1 + O(1e-6) (a posterior concentrated on one sample; seen at
+    survey scale, validation/l7_survey_parity.py).  The input must be
+    clamped into [0, 1] — the naive path emits a negative pdf mass the
+    output clip would turn into a normalization error — while a
+    genuinely out-of-range value still fails loudly."""
+    pdf = poisson_binomial_pdf([1.0000020352524501])
+    np.testing.assert_allclose(pdf, [0.0, 1.0], atol=1e-12)
+    pdf = poisson_binomial_pdf([-1e-7, 0.5])
+    assert abs(pdf.sum() - 1.0) < 1e-12
+    with pytest.raises(AssertionError):
+        poisson_binomial_pdf([1.5])
+
+
 def test_combine_with_poisson_matches_direct_convolution():
     p = [0.4, 0.8, 0.9]
     pdf_pb = poisson_binomial_pdf(p)
