@@ -104,7 +104,10 @@ def _line_tables(num_lines: int, pad_to: int | None = None) -> np.ndarray:
 
 
 def _evidence_kernel(
-    lam_ref,      # (1, P6)   extended wavelengths [Å]
+    lam_ref,      # (1, P6, 1) extended wavelengths [Å], COLUMN layout:
+                  # the windowed pass dynamic-slices the pixel axis, and
+                  # only SUBLANE slices go at 8-pixel granularity (lane
+                  # slices would force 128, see pad_align)
     flux_ref,     # (1, P)
     mu_ref,       # (1, P)
     omega2_ref,   # (1, P)
@@ -127,6 +130,8 @@ def _evidence_kernel(
     two_dla: bool = False,
     line_loop: bool = False,
     base_replicates: int = 1,
+    pad_align: int = 8,
+    g_degree: int | None = None,
 ):
     if line_loop:
         tbl_ref, *rest = rest
@@ -148,12 +153,12 @@ def _evidence_kernel(
         absorbers = [(z_ref, nhi_ref, window, 1)]
 
     dtype = flux_ref.dtype
-    P6 = lam_ref.shape[-1]
+    P6 = lam_ref.shape[-2]
     P = flux_ref.shape[-1]
     T = z_ref.shape[-1]
     # refs arrive as (1, 1, X) blocks: leading dims are the grid axes
 
-    lam = lam_ref[0, 0].reshape(P6, 1)
+    lam = lam_ref[0]                                        # (P6, 1)
 
     c_cgs = jnp.asarray(lines.C_CGS, dtype)
     inv_sqrt2_sigma = jnp.asarray(
@@ -197,7 +202,10 @@ def _evidence_kernel(
             fold = 1
             if reps > 1 and width < 128:
                 fold = 128 // width
-                while fold > 1 and P6 % fold:
+                # each pixel block must also start at a sublane (8-row)
+                # boundary for the static value slices of the (P6, 1)
+                # column-layout lam below
+                while fold > 1 and (P6 % fold or (P6 // fold) % 8):
                     fold //= 2
             if fold > 1:
                 blk = P6 // fold
@@ -214,7 +222,9 @@ def _evidence_kernel(
                 x = (lam_f * mult_f - c_cgs) * inv_sqrt2_sigma
             else:
                 x = (lam * mult - c_cgs) * inv_sqrt2_sigma  # (P6, width)
-            h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(x)
+            h = exp_core(x * x, y) + (2.0 / _SQRT_PI) * y * g_function(
+                x, degree=g_degree
+            )
             if fold > 1:
                 # un-fold: lane block i holds pixel rows [i*blk, (i+1)*blk).
                 # Mosaic cannot sublane-concat slices at nonzero LANE
@@ -242,16 +252,23 @@ def _evidence_kernel(
             # line centers.  Dynamic-slice access goes through the
             # VMEM scratch ref (Mosaic has no dynamic_slice on
             # values).
-            # Mosaic requires dynamic lane indices to be 128-aligned:
-            # the start rounds DOWN to a lane boundary (losing at most
-            # 127 px of right coverage), so widen the static window by
-            # one extra lane group; the clip bound must itself stay
-            # 128-aligned or the pl.multiple_of promise is violated for
+            # The window slices the PIXEL axis, which lives on sublanes
+            # for both sliced refs (lam_ref's column layout and the
+            # total scratch), so the dynamic start only needs sublane
+            # (8-row) alignment — lane slices would force 128 and an
+            # extra ~116 px of grid padding (see pad_align).  The start
+            # rounds DOWN to an aligned boundary (losing at most
+            # pad_align-1 px of right coverage), so widen the static
+            # window by one group; the clip bound must itself stay
+            # aligned or the pl.multiple_of promise is violated for
             # near-red-edge windows
-            W = min(-(-(min(win, P6) + 128) // 128) * 128, P6)
+            W = min(
+                -(-(min(win, P6) + pad_align) // pad_align) * pad_align,
+                P6,
+            )
             mult = c_over_lt18 / (1.0 + z)                  # (1, T)
             x = (lam * mult - c_cgs) * inv_sqrt2_sigma      # (P6, T)
-            h_wing = (2.0 / _SQRT_PI) * y * g_function(x)
+            h_wing = (2.0 / _SQRT_PI) * y * g_function(x, degree=g_degree)
             total_ref[...] = total_ref[...] - scale * h_wing
             center = jnp.log10(lt18 * (1.0 + zr[0, 0, 0]))
             log_lam0 = jnp.log10(lam_ref[0, 0, 0])
@@ -263,14 +280,14 @@ def _evidence_kernel(
             # clip's inner-jit boundary as i64[] consts, and Mosaic's
             # 64-bit convert lowering recurses without terminating
             # (tests/test_evidence_pallas.py::test_kernel_jaxpr_x64_safe)
-            lane = jnp.int32(128)
+            grp = jnp.int32(pad_align)
             start = jnp.clip(
-                (start_raw // lane) * lane,
+                (start_raw // grp) * grp,
                 jnp.int32(0),
-                jnp.int32(max(((P6 - W) // 128) * 128, 0)),
+                jnp.int32(max(((P6 - W) // pad_align) * pad_align, 0)),
             )
-            start = pl.multiple_of(start, 128)
-            lam_win = lam_ref[0, 0, pl.ds(start, W)].reshape(W, 1)
+            start = pl.multiple_of(start, pad_align)
+            lam_win = lam_ref[0, pl.ds(start, W), :]        # (W, 1)
             x_win = (lam_win * mult - c_cgs) * inv_sqrt2_sigma
             corr = exp_core(x_win * x_win, jnp.asarray(y, dtype))
             total_ref[pl.ds(start, W), :] = (
@@ -391,7 +408,7 @@ def _evidence_kernel(
     jax.jit,
     static_argnames=(
         "num_lines", "instrument", "tile", "interpret", "window", "line_loop",
-        "base_replicates",
+        "base_replicates", "pad_align", "g_degree",
     ),
 )
 def pallas_sample_log_likelihoods(
@@ -413,8 +430,16 @@ def pallas_sample_log_likelihoods(
     nhi2=None,         # (B, S)
     line_loop: bool | None = None,
     base_replicates: int = 1,
+    pad_align: int = 8,
+    g_degree: int | None = None,
 ):
     """Fused per-sample DLA log likelihoods, (B, S).  float32 only.
+
+    ``pad_align`` sets the pixel-axis padding/window granularity (8 =
+    the Mosaic sublane group, the production default; 128 reproduces
+    the r3 lane-aligned layout for A/B — it only adds masked pad work).
+    ``g_degree`` overrides the G-polynomial degree (validation A/B
+    hook; production follows faddeeva._G_NUM_DEG).
 
     ``line_loop`` selects the fori_loop-over-SMEM-constants line pass
     (bit-identical to the unrolled pass on the full grid, FMA-level
@@ -486,6 +511,7 @@ def pallas_sample_log_likelihoods(
                 nhi2=None if nhi2 is None else nhi2[sl],
                 interpret=interpret, window=window, tile=tile,
                 line_loop=line_loop, base_replicates=base_replicates,
+                pad_align=pad_align, g_degree=g_degree,
             )
             for sl in (slice(0, half), slice(half, B))
         ]
@@ -502,16 +528,31 @@ def pallas_sample_log_likelihoods(
         )
 
     # Pad the pixel axis so the EXTENDED grid P6 is a multiple of the
-    # 128-lane alignment: the windowed kernel's dynamic window start is
-    # clamped to 128-aligned values <= P6 - W (with W itself rounded up
-    # to a 128 multiple), so coverage ends (P6 - W) % 128 px short of
-    # the red edge — an unaligned grid whose remainder exceeds the
-    # window margin would leave the highest-z samples' line cores
-    # UNCORRECTED, accumulating the rational G's negative core as
-    # positive optical depth and overflowing exp to inf.  Padding is
-    # masked (zero weight) and replicates the last wavelength, so
-    # evidences are unchanged.
-    ppad = (-P6) % 128
+    # window-slice alignment: the windowed kernel's dynamic window start
+    # is clamped to pad_align-aligned values <= P6 - W (with W itself
+    # rounded up to a pad_align multiple), so coverage ends
+    # (P6 - W) % pad_align px short of the red edge — an unaligned grid
+    # whose remainder exceeds the window margin would leave the
+    # highest-z samples' line cores UNCORRECTED, accumulating the
+    # rational G's negative core as positive optical depth and
+    # overflowing exp to inf.  Padding is masked (zero weight) and
+    # replicates the last wavelength, so evidences are unchanged.  The
+    # production alignment is the 8-row sublane group (the window slices
+    # pixel SUBLANES — lam rides in column layout precisely so no lane
+    # dim is ever dynamically sliced): at the BOSS grid this pads
+    # 1292 -> 1296 px where the r3 lane-aligned kernel padded to 1408,
+    # ~8% of every elementwise/MXU op spent on masked pad rows.
+    # The PADDING alignment is 16 even though windows slice at 8: the
+    # R>=4 pixel fold needs P6 % fold == 0 AND (P6 // fold) sublane-
+    # aligned (the kernel silently degrades the fold otherwise), so
+    # P6 % 16 == 0 guarantees the production fold=2 on every grid —
+    # and it must NOT depend on base_replicates, because the padded
+    # reduction-tree shape must be identical at every R for the
+    # replicated kernel's bit-identity-vs-R=1 contract
+    # (tests/test_base_replicates.py).  R=8's fold=4 may degrade to 2
+    # on grids that are not 32-multiples; R=4 is the measured knee.
+    align = max(pad_align, 16)
+    ppad = (-P6) % align
     if ppad:
         last = lambda a: jnp.repeat(a[:, -1:], ppad, axis=1)
         ext_wavelengths = jnp.concatenate(
@@ -645,11 +686,12 @@ def pallas_sample_log_likelihoods(
                 _evidence_kernel, num_lines=num_lines, taps=taps, k=k,
                 window=window, pixel_spacing=instrument.pixel_spacing,
                 two_dla=two_dla, line_loop=use_loop,
-                base_replicates=base_replicates,
+                base_replicates=base_replicates, pad_align=pad_align,
+                g_degree=g_degree,
             ),
             grid=grid,
             in_specs=[
-                spec_block((1, P6)),
+                spec_block((P6, 1)),
                 spec_block((1, P)),
                 spec_block((1, P)),
                 spec_block((1, P)),
@@ -663,7 +705,7 @@ def pallas_sample_log_likelihoods(
             scratch_shapes=[pltpu.VMEM((P6, tile), dtype)],
             interpret=interpret,
         )(
-            expand(ext_wavelengths), expand(flux), expand(mu),
+            ext_wavelengths[:, :, None], expand(flux), expand(mu),
             expand(omega2), expand(noise_variance), expand(maskf),
             mt, ptri, *loop_inputs, *sample_inputs,
         )

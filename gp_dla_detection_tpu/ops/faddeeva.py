@@ -203,18 +203,23 @@ def wofz_real(x, y):
 # This
 # replaces the previous two-branch scheme (degree-32 Chebyshev-Dawson
 # inside a radius + 8-term asymptotic series outside): no branch
-# select, no clamp.  A denominator-free polynomial at degree 16
-# reaches the same 6.2e-6 weighted-error floor as the earlier
-# degree-(12/2) rational while removing one of its two division-class
-# ops (divisions are multi-op sequences on the TPU VPU; only the
-# s = 1/(1+x^2/A) reciprocal remains): ~2 fma more, ~5 flops less,
-# per element per Lyman line on every full-grid Voigt axis.
+# select, no clamp.  A denominator-free polynomial replaced the
+# earlier degree-(12/2) rational (removing one of its two
+# division-class ops; divisions are multi-op sequences on the TPU VPU,
+# only the s = 1/(1+x^2/A) reciprocal remains).  Degree choice (r4):
+# the weighted-error floor is nearly flat past degree 12 — 1.29e-4 /
+# 3.50e-5 / 8.33e-6 / 7.42e-6 / 6.23e-6 at degrees 8/10/12/14/16 (A=6
+# optimal at every degree) — so production runs degree 12: 4 fewer
+# fma per element per Lyman line on every full-grid Voigt axis (the
+# dominant VPU cost of both evidence kernels) for a composite
+# fast-path error of 1.2e-5 vs degree 16's 7.5e-6, both far below the
+# ~2e-3 evidence sensitivity of catalog decisions (RESULTS_F32.md).
 _G_A = 6.0
-_G_NUM_DEG = 16
+_G_NUM_DEG = 12
 
 
 @functools.lru_cache(maxsize=None)
-def _g_global_coeffs() -> tuple[float, ...]:
+def _g_global_coeffs(degree: int = _G_NUM_DEG) -> tuple[float, ...]:
     """Power coefficients (ascending, in s) of the global G fit.
 
     Fitted once at import against our own Weideman evaluation
@@ -226,9 +231,9 @@ def _g_global_coeffs() -> tuple[float, ...]:
     beyond |x|~3.5 G dominates Re w and needs true relative accuracy,
     nearer the core the Gaussian term dominates and absolute slack
     grows as e^{-x^2}/y; a peak-boosting reweight flattens the maxima
-    where they hurt the composite.  Achieved (vs scipy.wofz,
-    tests/test_faddeeva.py): <= 7.5e-6 rel in f32 at the largest
-    Lyman-series y, <= 2e-6 at the others.
+    where they hurt the composite.  Achieved at the production degree
+    12 (vs scipy.wofz, tests/test_faddeeva.py): <= 1.3e-5 rel in f32
+    at the largest Lyman-series y, <= 8.5e-6 at the others.
     """
     x = np.concatenate(
         [
@@ -248,7 +253,7 @@ def _g_global_coeffs() -> tuple[float, ...]:
     slack = (_SQRT_PI / (2 * y_max)) * np.exp(-np.minimum(x * x, 200.0))
     den = np.maximum(np.abs(g), slack)
     s = 1.0 / (1.0 + x * x / _G_A)
-    vm = np.vander(s, _G_NUM_DEG + 1, increasing=True)
+    vm = np.vander(s, degree + 1, increasing=True)
     extra = np.ones_like(s)
     best = None
     # one plain weighted solve, then 70 peak-reweighted refinements
@@ -268,13 +273,17 @@ def _g_global_coeffs() -> tuple[float, ...]:
     return tuple(float(c) for c in p_c)
 
 
-def g_function(x):
+def g_function(x, degree: int | None = None):
     """G(x) = 2x F(x) - 1 for ALL real x by the global polynomial fit
     (one reciprocal, Pallas-safe, even in x).  Single definition shared
     by the fast path and both windowed Voigt implementations: the
     in-window overwrite/correction must complete exactly this function
-    (wofz_real_fast = exp_core + (2y/sqrt(pi)) g_function)."""
-    p_c = _g_global_coeffs()
+    (wofz_real_fast = exp_core + (2y/sqrt(pi)) g_function).
+
+    ``degree`` overrides the production polynomial degree — a
+    validation A/B hook only (every production consumer must agree on
+    one degree or window corrections would not complete the wing)."""
+    p_c = _g_global_coeffs(_G_NUM_DEG if degree is None else degree)
     x2 = x * x
     one = jnp.ones_like(x2)
     s = one / (one + x2 * (1.0 / _G_A))
@@ -307,11 +316,10 @@ def wofz_real_fast(x, y):
         G(x) = 2x F(x) - 1   (F = Dawson function)
 
     G from the single global rational fit (see :func:`g_function`),
-    valid for all x.  Worst relative error 7.5e-6 in f32 / 6.6e-6 in
-    f64 at the largest Lyman-series y, <= 2.1e-6 at the others
+    valid for all x.  Worst relative error 1.3e-5 in f32 / 1.2e-5 in
+    f64 at the largest Lyman-series y, <= 8.5e-6 at the others
     (validated vs scipy.special.wofz in tests/test_faddeeva.py);
-    intended for the float32 TPU path, where fp32 roundoff dominates
-    anyway.
+    intended for the float32 TPU path.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)

@@ -205,7 +205,7 @@ def voigt_absorption_windowed(
     dtype = wavelengths.dtype
     if dtype != jnp.float32:
         # the documented contract ("float32 fast mode only"): the fast
-        # Faddeeva path here is ~6.6e-6 relative, above the 1e-6 parity
+        # Faddeeva path here is ~1.2e-5 relative, above the 1e-6 parity
         # bound f64 runs are held to — silently serving it to an f64
         # oracle would masquerade as a numerics regression
         raise ValueError(

@@ -68,12 +68,18 @@ def run_fingerprint(dtype, config, params, model, offsets, nhis, extra=()):
     import hashlib
 
     h = hashlib.md5()
+    # f32 kernel-numerics version: bumped whenever the FLOAT32 compute
+    # path changes values (any tolerance): v2 = the r4 sublane-aligned
+    # pixel padding (1408 -> 1296 pad rows reshapes the f32 reduction
+    # trees) + the degree-12 G polynomial.  f64 runs are exempt — they
+    # use the exact Faddeeva branches and the XLA path, both untouched.
+    f32v = "|f32kernel:v2" if np.dtype(dtype) == np.float32 else ""
     h.update(
         f"{np.dtype(dtype)}|{config.stream_dtype}|{config.backend}|"
         f"{config.windowed_voigt}|{config.sample_chunk}|"
         # getattr: pair-stage callers fingerprint with a minimal config
         # namespace (multi_dla.py) that always stores the matrix
-        f"{getattr(config, 'store_sample_likelihoods', True)}".encode()
+        f"{getattr(config, 'store_sample_likelihoods', True)}{f32v}".encode()
     )
     h.update(params.to_json().encode())
     for a in (

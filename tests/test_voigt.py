@@ -161,7 +161,7 @@ def test_scalar_z_vector_nhi_broadcasts():
 
 
 def test_windowed_rejects_float64():
-    """voigt_absorption_windowed is the float32 fast path (~6.6e-6 rel);
+    """voigt_absorption_windowed is the float32 fast path (~1.2e-5 rel);
     silently serving it to an f64 parity run would masquerade as a
     numerics regression — it must refuse loudly."""
     import pytest
