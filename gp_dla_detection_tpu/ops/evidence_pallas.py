@@ -526,12 +526,15 @@ def pallas_sample_log_likelihoods(
             f"f64 support); got {dtype}. Use backend='xla' for float64 "
             "parity mode."
         )
-    if pad_align % 8:
+    if pad_align <= 0 or pad_align % 8:
         # window starts are pl.multiple_of(pad_align) dynamic SUBLANE
-        # slices: anything not a multiple of the 8-row f32 sublane
-        # group would hand Mosaic an unaligned promise (and a start
-        # the clamp math no longer covers)
-        raise ValueError(f"pad_align must be a multiple of 8, got {pad_align}")
+        # slices: anything not a POSITIVE multiple of the 8-row f32
+        # sublane group would hand Mosaic an unaligned promise (and a
+        # start the clamp math no longer covers); 0 divides the W
+        # rounding, negatives invert the clamp
+        raise ValueError(
+            f"pad_align must be a positive multiple of 8, got {pad_align}"
+        )
 
     # Pad the pixel axis so the EXTENDED grid P6 is a multiple of the
     # window-slice alignment: the windowed kernel's dynamic window start

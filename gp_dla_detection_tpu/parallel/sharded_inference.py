@@ -73,7 +73,25 @@ def run_fingerprint(dtype, config, params, model, offsets, nhis, extra=()):
     # pixel padding (1408 -> 1296 pad rows reshapes the f32 reduction
     # trees) + the degree-12 G polynomial.  f64 runs are exempt — they
     # use the exact Faddeeva branches and the XLA path, both untouched.
-    f32v = "|f32kernel:v2" if np.dtype(dtype) == np.float32 else ""
+    f32v = ""
+    if np.dtype(dtype) == np.float32:
+        # Fold the kernel's EFFECTIVE pad_align/g_degree defaults into
+        # the token when they differ from production (8, 12): they
+        # change f32 values (validation-only knobs), so a build whose
+        # defaults were edited must not resume/mix with production
+        # checkpoints under an identical fingerprint.  inspect reads
+        # the def-time defaults — exactly what a driver call without
+        # the kwargs uses.  Production defaults append NOTHING so r4
+        # "f32kernel:v2" checkpoints keep resuming.
+        import inspect
+
+        from gp_dla_detection_tpu.ops import evidence_pallas as _ep
+
+        _sig = inspect.signature(_ep.pallas_sample_log_likelihoods).parameters
+        pa, gd = _sig["pad_align"].default, _sig["g_degree"].default
+        f32v = "|f32kernel:v2"
+        if (pa, gd) != (8, 12):
+            f32v += f"|pad_align:{pa}|g_degree:{gd}"
     h.update(
         f"{np.dtype(dtype)}|{config.stream_dtype}|{config.backend}|"
         f"{config.windowed_voigt}|{config.sample_chunk}|"
