@@ -269,9 +269,19 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
         # warm-up: one super-batch populates the jit cache at the run
         # shapes, so the timed section measures sustained throughput
         run(slice(0, per_device_batch), None)
+        # STEADY-STATE timing (VERDICT r4 #3): each driver call pays
+        # per-run fixed costs — the fused chain's first-batch
+        # force-completion verification (~5 s through the tunnel),
+        # manifest setup — that a short capture folds into the rate.
+        # Time a one-batch run and the full run in the same process and
+        # report the MARGINAL rate, which cancels the fixed costs and
+        # matches the GPDLA_DRIVER_TIMING steady state.
+        t0 = time.perf_counter()
+        run(slice(0, per_device_batch), f"{tmp}/w" if checkpoint else None)
+        t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = run(slice(0, n_spectra), f"{tmp}/ckpt" if checkpoint else None)
-        elapsed = time.perf_counter() - t0
+        t_long = time.perf_counter() - t0
     bad = ~np.isfinite(res.log_likelihoods_dla)
     assert not bad.any(), (
         f"non-finite DLA evidences for {bad.sum()} spectra "
@@ -282,7 +292,23 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
     # to per-chip so the metric and vs_baseline stay comparable across
     # machine sizes (the kernel metric in main() is single-device)
     n_chips = len(jax.devices())
-    value = n_spectra / elapsed / n_chips
+    elapsed = max(t_long - t_short, 1e-9)
+    value = (n_spectra - per_device_batch) / elapsed / n_chips
+    # adjacent tunnel-epoch calibration (upload stream), so the recorded
+    # rate can be normalized across epochs (~2.5x day-to-day variance)
+    epoch = None
+    try:
+        import pathlib
+        import sys as _sys
+
+        _sys.path.insert(
+            0, str(pathlib.Path(__file__).resolve().parent / "validation")
+        )
+        from epoch_probe import measure as _epoch_measure
+
+        epoch = _epoch_measure(B=min(per_device_batch, 1024), iters=2)
+    except Exception:
+        pass  # the probe must never sink the benchmark record
     print(
         json.dumps(
             {
@@ -296,10 +322,18 @@ def main_driver(n_spectra: int = 8192, per_device_batch: int = 1024,
                    if base_replicates is None
                    else f", base_replicates={base_replicates}"
                    if base_replicates != 1 else "")
-                + ", checkpointing)",
+                + ", checkpointing, steady-state marginal rate)",
                 "value": round(value, 3),
                 "unit": "spectra/s",
                 "mesh_chips": n_chips,
+                "first_batch_s": round(t_short, 2),
+                "epoch_upload_ms_per_batch": (
+                    None if epoch is None
+                    else epoch["upload_ms_per_batch"]
+                ),
+                "epoch_upload_mb_s": (
+                    None if epoch is None else epoch["upload_mb_s"]
+                ),
                 "vs_baseline": round(value / BASELINE_SPECTRA_PER_SEC_PER_CHIP, 2),
             }
         ),
@@ -359,8 +393,10 @@ if __name__ == "__main__":
             # second line: the PRODUCTION path (fused two-stage lean
             # catalog driver at the production default R) so the
             # captured per-round benchmark tracks driver-level work,
-            # not just the single kernel (VERDICT r3 #2).  4096
-            # spectra keeps the added wall time ~1 min warm-cache.
-            main_driver(4096, a.batch_size, a.num_samples, a.pixels,
+            # not just the single kernel (VERDICT r3 #2).  16384
+            # spectra = 16 super-batches reaches steady state (~45 s
+            # warm-cache); the marginal-rate timing excludes the
+            # per-run fixed costs (VERDICT r4 #3).
+            main_driver(16384, a.batch_size, a.num_samples, a.pixels,
                         a.k, a.backend or "pallas", True,
                         a.pipeline_depth, lean=True, two_stage=True)

@@ -154,11 +154,40 @@ class DLACatalogue:
         with np.load(workdir / fname) as f:
             results = {k: f[k] for k in f.files}
         if "sample_log_likelihoods_dla" not in results:
+            from ..cddf_inputs import CDDFInputs
+
+            if multi and CDDFInputs.npz_present(results):
+                # lean run that device-reduced the CDDF inputs
+                # (ShardedRunConfig.store_cddf_inputs): the statistics
+                # run from the binned masses + exact top-k entries
+                from .lean_catalogue import LeanDLACatalogue
+
+                with np.load(workdir / "dla_samples.npz") as f:
+                    offsets = f["offset_samples"]
+                    lnhi = f["log_nhi_samples"]
+                snrs = None
+                snrs_path = workdir / "snrs.npz"
+                if snrs_path.exists():
+                    with np.load(snrs_path) as f:
+                        snrs = f["snrs"]
+                return LeanDLACatalogue(
+                    results["p_dlas"],
+                    results["min_z_dlas"],
+                    results["max_z_dlas"],
+                    CDDFInputs.from_npz_dict(results),
+                    offsets,
+                    lnhi,
+                    snrs=snrs,
+                    p_dla_2=results["multi_model_posteriors"][:, 2],
+                    **kwargs,
+                )
             raise ValueError(
                 f"{fname} was written by a lean (catalog-only) run and "
                 "has no sample_log_likelihoods_dla matrix; the CDDF "
                 "marginalizes posterior sample weights (calc_cddf.py) — "
-                "rerun inference with store_sample_likelihoods=True"
+                "rerun with store_sample_likelihoods=True, or run the "
+                "fused lean two-stage driver with store_cddf_inputs="
+                "True to device-reduce the statistics' inputs"
             )
         if multi:
             kwargs.setdefault(

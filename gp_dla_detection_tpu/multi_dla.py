@@ -468,6 +468,11 @@ class MultiDLAResults:
     # ORIGINAL sample numbering; -1 = no valid pair
     map_sample_inds2: np.ndarray | None = None
     map_base_sample_inds: np.ndarray | None = None
+    # device-reduced CDDF inputs (cddf_inputs.CDDFInputs) when the lean
+    # fused driver ran with store_cddf_inputs=True: lets the L7 science
+    # statistics (analysis/lean_catalogue.LeanDLACatalogue) run without
+    # the (N, S) matrices
+    cddf_inputs: "object | None" = None
 
     # the ONLY fields save() may legitimately omit (lean runs omit the
     # matrices; full runs omit the device-reduced MAPs) — any other
@@ -495,6 +500,8 @@ class MultiDLAResults:
                 if getattr(self, attr) is not None
             }
         )
+        if self.cddf_inputs is not None:
+            payload.update(self.cddf_inputs.to_npz_dict())
         from .utils.atomic_io import atomic_savez
 
         # atomic + uncompressed: kill-safe, and the (N, S) pair matrix
@@ -522,6 +529,7 @@ class MultiDLAResults:
                     k: f[k]
                     for k in f.files
                     if k not in cls._MULTI_KEYS
+                    and not k.startswith("cddf_")
                 },
                 **{
                     name: None
@@ -539,8 +547,14 @@ class MultiDLAResults:
                     f"{path} is not a two-DLA results artifact: "
                     f"missing {missing}"
                 )
+            cddf = None
+            from .cddf_inputs import CDDFInputs
+
+            if CDDFInputs.npz_present(f.files):
+                cddf = CDDFInputs.from_npz_dict(f)
             return cls(
                 single=single,
+                cddf_inputs=cddf,
                 **{
                     attr: (f[key] if key in f.files else None)
                     for key, attr in cls._MULTI_KEYS.items()
@@ -687,6 +701,7 @@ def finalize_multi_from_evidence(
     params: Parameters,
     map_sample_inds2=None,
     map_base_sample_inds=None,
+    cddf_inputs=None,
 ) -> MultiDLAResults:
     """3-model posteriors from ALREADY-aggregated pair evidences — the
     lean (catalog-only) analogue of :func:`finalize_multi`, used by the
@@ -707,6 +722,7 @@ def finalize_multi_from_evidence(
         model_posteriors=model_posteriors,
         map_sample_inds2=map_sample_inds2,
         map_base_sample_inds=map_base_sample_inds,
+        cddf_inputs=cddf_inputs,
     )
 
 

@@ -170,6 +170,14 @@ class ShardedRunConfig:
     # Ignored by the single-DLA driver; the classic (matrix-storing)
     # two-stage driver rejects explicit values != 1.
     base_replicates: int | None = None
+    # lean runs only: additionally reduce the CDDF/dN_dX/Omega_DLA
+    # inputs ON DEVICE (cddf_inputs.py) so the L7 science statistics
+    # run from a lean result — binned small-probability masses, exact
+    # top-k entries, and N_HI moment histograms (~12 KB/spectrum on the
+    # wire vs the classic path's full f16 matrix).  Classic
+    # (store_sample_likelihoods=True) runs reject the flag: they
+    # already carry the matrices the statistics marginalize.
+    store_cddf_inputs: bool = False
 
 
 def build_single_ladder(
@@ -303,6 +311,20 @@ def process_spectra_sharded(
     from ..inference import resolve_dtype
 
     dtype = np.dtype(resolve_dtype(config.dtype, "process_spectra_sharded"))
+    if config.store_cddf_inputs:
+        if config.store_sample_likelihoods:
+            raise ValueError(
+                "store_cddf_inputs is a lean-mode feature: classic "
+                "(store_sample_likelihoods=True) runs already carry the "
+                "full matrices the CDDF statistics marginalize"
+            )
+        raise NotImplementedError(
+            "device-reduced CDDF inputs are produced by the fused "
+            "two-stage lean driver (process_spectra_multi_sharded with "
+            "store_sample_likelihoods=False) — the reference's published "
+            "statistics consume the multi-DLA posterior format "
+            "(calc_cddf.py:102-116), which needs the pair stage"
+        )
 
     n_data = mesh.shape[DATA_AXIS]
     super_batch = config.per_device_batch * n_data

@@ -83,9 +83,15 @@ class _FusedChainRunner:
     asynchronously.
     """
 
-    def __init__(self, runner1, runner2, glue):
+    def __init__(self, runner1, runner2, glue, probe_args=None):
         self.r1, self.r2 = runner1, runner2
         self.glue = glue  # (fn1, fn2) -> un-jitted fused callable
+        # maps the fused program's argument tuple to runner1's own
+        # argument list (the fused chain may carry extra inputs — e.g.
+        # CDDF-reduction priors — that the single-stage probe must not see)
+        self.probe_args = probe_args if probe_args is not None else (
+            lambda args: args
+        )
         self._fns: dict = {}
         self._verified: set = set()
 
@@ -121,7 +127,8 @@ class _FusedChainRunner:
                     # blind pair-first walk which would also pin the
                     # pair stage on its slowest rung afterwards
                     idx1 = self.r1.idx
-                    self.r1(*args)  # raises only if r1's ladder exhausts
+                    # raises only if r1's ladder exhausts
+                    self.r1(*self.probe_args(args))
                     if self.r1.idx == idx1:
                         # single stage healthy at this rung: the pair
                         # stage (or the fused program itself) failed.
@@ -215,6 +222,12 @@ def process_spectra_multi_sharded(
             "(store_sample_likelihoods=False): the classic pair stage "
             "resamples on the host and stores the full (N, S) base "
             "index matrix, where draw replication has no kernel payoff"
+        )
+    if config.store_cddf_inputs:
+        raise ValueError(
+            "store_cddf_inputs is a lean-mode feature: classic "
+            "(store_sample_likelihoods=True) runs already carry the "
+            "full matrices the CDDF statistics marginalize"
         )
     # fail at config time, not after an hours-long single stage: the
     # CLASSIC pair stage resamples base absorbers from the single-stage
@@ -785,6 +798,28 @@ def _process_multi_lean_fused(
     # (multi_dla.packed_base_tables: one (S, 2) gather, not two)
     base_tables = jax.device_put(packed_base_tables(offsets, nhis, dtype), repl)
 
+    # ---- optional on-device CDDF-input reduction (cddf_inputs.py):
+    # everything the L7 statistics marginalize from the (B, S) matrices,
+    # reduced inside the same fused program ----
+    store_cddf = config.store_cddf_inputs
+    cddf_spec = cddf_reduce = cddf_consts = None
+    n_fn1_args = 11  # (5 batch + 4 model + off + nh) = runner1's args
+    if store_cddf:
+        from ..cddf_inputs import CDDFReductionSpec, make_cddf_reducer
+        from ..multi_dla import multi_dla_rate_priors
+
+        cddf_spec = CDDFReductionSpec()
+        # the reduction's lnhi tables come from log10 of the linear
+        # N_HI samples — within 1 ulp of the stored log_nhi_samples the
+        # host statistics rebind against (knife-edge-only difference)
+        cddf_reduce, cddf_consts = make_cddf_reducer(
+            cddf_spec, offsets, np.log10(nhis), dtype,
+            order=order, replicated_sharding=repl,
+        )
+        log_p0m, log_p1m, log_p2m = multi_dla_rate_priors(
+            spectra.z_qso, prior_z_qsos, prior_num, params
+        )
+
     def glue(fn1, fn2):
         """Fused per-batch device chain (compiled as ONE program per
         ladder rung pair; see :class:`_FusedChainRunner`): single-DLA
@@ -792,9 +827,15 @@ def _process_multi_lean_fused(
         gather (in the pair kernel's column order; index VALUES stay in
         original sample numbering) -> pair kernel -> pair reductions ->
         one stacked (8, B) small-vector array.  Index rows ride at the
-        stacked dtype — exact for any S < 2**24 (guarded above)."""
+        stacked dtype — exact for any S < 2**24 (guarded above).
+        With store_cddf_inputs, the same program also reduces the CDDF
+        inputs and returns (stacked, hist, ex); the per-batch prior
+        vectors and the reduction's constant tables ride as extra
+        ARGUMENTS (not closures — large closed-over arrays would be
+        baked into the HLO payload, see models/training.py)."""
 
-        def fused(*args1):
+        def fused(*args):
+            args1 = args[:n_fn1_args]
             out1 = fn1(*args1)
             sll = out1["sample_log_likelihoods_dla"]
             ev1, map1 = pack_lean(sll)
@@ -809,11 +850,22 @@ def _process_multi_lean_fused(
                 out1["max_z_dla"], ev1, map1, ev2, map2, map_base,
             ]
             wide = jnp.result_type(*(a.dtype for a in small))
-            return jnp.stack([a.astype(wide) for a in small])
+            stacked = jnp.stack([a.astype(wide) for a in small])
+            if not store_cddf:
+                return stacked
+            lpno, lpdla, lp0m, lp1m, lp2m, consts = args[n_fn1_args:]
+            hist, ex = cddf_reduce(
+                consts, sll, ev1, out1["log_likelihood_no_dla"],
+                out1["min_z_dla"], out1["max_z_dla"],
+                lpno, lpdla, lp0m, lp1m, lp2m, lls2, ev2, base_cols,
+            )
+            return stacked, hist, ex
 
         return fused
 
-    fused_chain = _FusedChainRunner(runner1, runner2, glue)
+    fused_chain = _FusedChainRunner(
+        runner1, runner2, glue, probe_args=lambda a: a[:n_fn1_args]
+    )
 
     # ---- checkpoint manifest (one stream for the fused pass) ----
     ckpt_dir = (
@@ -830,11 +882,19 @@ def _process_multi_lean_fused(
         dtype, config, params, model, offsets, nhis,
         # base-replicated runs (R > 1) draw on a different grid — a
         # distinct numerics config that must not mix with R=1
-        # checkpoints; R=1 keeps the historical fingerprint
+        # checkpoints; R=1 keeps the historical fingerprint.  CDDF-
+        # reduction runs additionally fingerprint the reduction spec
+        # (its grids determine the stored hist values; non-CDDF
+        # checkpoints also lack the hist payload entirely)
         extra=(
             [min_sep_z, float(base_seed), 3.0]
             + ([float(R)] if R != 1 else []),
             spectra.z_qso,
+        )
+        + (
+            (np.frombuffer(cddf_spec.token().encode(), np.uint8),)
+            if store_cddf
+            else ()
         ),
     )
     done: set = set()
@@ -864,6 +924,15 @@ def _process_multi_lean_fused(
         "log_likelihood_dla2", "map_sample_ind2", "map_base_sample_ind",
     )
     host_vecs = {k: np.empty(n) for k in VEC_KEYS}
+    host_hist = host_ex = None
+    if store_cddf:
+        from ..cddf_inputs import N_CHANNELS
+
+        host_hist = np.empty(
+            (n, N_CHANNELS, cddf_spec.n_z_window, cddf_spec.n_lnhi + 1),
+            dtype,
+        )
+        host_ex = np.empty((n, 5 * cddf_spec.top_k + 4), dtype)
 
     meter = ProgressMeter(n, unit="spectra") if progress else None
     todo: list[tuple[int, int, int, Path | None]] = []
@@ -874,6 +943,9 @@ def _process_multi_lean_fused(
             with np.load(ckpt_file) as f:
                 for k in VEC_KEYS:
                     host_vecs[k][start:stop] = f[k]
+                if store_cddf:
+                    host_hist[start:stop] = f["cddf_hist"]
+                    host_ex[start:stop] = f["cddf_ex"]
             if meter is not None:
                 meter.update(stop - start)
             continue
@@ -904,6 +976,20 @@ def _process_multi_lean_fused(
             off_orig,
             nh_orig,
         )
+        if store_cddf:
+            pad_rows = super_batch - (stop - start)
+
+            def pad_vec(a):
+                v = np.asarray(a[start:stop], dtype)
+                if pad_rows:
+                    v = np.concatenate([v, np.repeat(v[-1:], pad_rows)])
+                return jax.device_put(v, data_spec)
+
+            args1 = args1 + (
+                pad_vec(log_p_no_dla), pad_vec(log_p_dla),
+                pad_vec(log_p0m), pad_vec(log_p1m), pad_vec(log_p2m),
+                cddf_consts,
+            )
         if timing:
             print(
                 f"[fused] batch {bi}: slice {t1 - t0:.3f}s "
@@ -924,10 +1010,14 @@ def _process_multi_lean_fused(
             )
         return out
 
-    def write_checkpoint(ckpt_file, bi, vecs):
+    def write_checkpoint(ckpt_file, bi, vecs, cddf=None):
+        extra = (
+            {} if cddf is None else {"cddf_hist": cddf[0], "cddf_ex": cddf[1]}
+        )
         atomic_savez(
             ckpt_file, compress=False,
             **{k: v for k, v in zip(VEC_KEYS, vecs)},
+            **extra,
         )
         done.add(bi)
         atomic_write_json(
@@ -944,7 +1034,7 @@ def _process_multi_lean_fused(
 
     with BackgroundWriter() as writer:
 
-        def finish_batch(bi, start, stop, ckpt_file, vecs):
+        def finish_batch(bi, start, stop, ckpt_file, vecs, cddf=None):
             keep = stop - start
             vecs = [np.asarray(v[:keep], np.float64) for v in vecs]
             # index translations (host side): -1 = no finite sample /
@@ -963,27 +1053,50 @@ def _process_multi_lean_fused(
             vecs[7] = vecs[7].astype(np.int64)  # already original-order
             for k, v in zip(VEC_KEYS, vecs):
                 host_vecs[k][start:stop] = v
+            if cddf is not None:
+                hist_h, ex_h = cddf[0][:keep], np.array(cddf[1][:keep])
+                if use_pallas:
+                    # the exact second-DLA PAIR indices ride the
+                    # z-sorted fresh axis — translate like map2 (base
+                    # indices and first-DLA indices are already
+                    # original-order)
+                    K = cddf_spec.top_k
+                    blk = slice(3 * K, 4 * K)
+                    pidx = ex_h[:, blk].astype(np.int64)
+                    ex_h[:, blk] = np.where(
+                        pidx >= 0, order[np.maximum(pidx, 0)], -1
+                    ).astype(ex_h.dtype)
+                host_hist[start:stop] = hist_h
+                host_ex[start:stop] = ex_h
+                cddf = (hist_h, ex_h)
             if ckpt_file and is_coordinator():
-                write_checkpoint(ckpt_file, bi, vecs)
+                write_checkpoint(ckpt_file, bi, vecs, cddf)
 
         def complete(item, state):
             bi, start, stop, ckpt_file = item
-            args1, (stacked, key) = state
+            args1, (out, key) = state
             t0 = _time.perf_counter()
             while True:
                 try:
+                    if store_cddf:
+                        stacked, hist_d, ex_d = out
+                        cddf = (fetch_global(hist_d), fetch_global(ex_d))
+                    else:
+                        stacked, cddf = out, None
                     smalls = fetch_global(stacked)
                     break
                 except Exception as exc:  # ladder recovery at fetch
                     fused_chain.recover_at_fetch(exc, key)
-                    stacked, key = fused_chain.call(*args1)
+                    out, key = fused_chain.call(*args1)
             if timing:
                 print(
                     f"[fused] batch {bi}: fetch {_time.perf_counter() - t0:.3f}s",
                     flush=True,
                 )
             vecs = [np.asarray(smalls[i]) for i in range(len(VEC_KEYS))]
-            writer.submit(finish_batch, bi, start, stop, ckpt_file, vecs)
+            writer.submit(
+                finish_batch, bi, start, stop, ckpt_file, vecs, cddf
+            )
             if meter is not None:
                 meter.update(stop - start)
 
@@ -1014,6 +1127,14 @@ def _process_multi_lean_fused(
         p_no_dlas=post["p_no_dlas"],
         p_dlas=post["p_dlas"],
     )
+    cddf_out = None
+    if store_cddf:
+        from ..cddf_inputs import CDDFInputs
+
+        cddf_out = CDDFInputs(
+            spec=cddf_spec, hist=host_hist, ex=host_ex, second=True
+        )
+        cddf_out.validate()
     # all-NaN pair rows (no valid pair) keep NaN evidence: the host
     # finalize_multi does the same via np.nanmax of an all-NaN row
     return finalize_multi_from_evidence(
@@ -1021,4 +1142,5 @@ def _process_multi_lean_fused(
         prior_z_qsos, prior_num, params,
         map_sample_inds2=host_vecs["map_sample_ind2"].astype(np.int64),
         map_base_sample_inds=host_vecs["map_base_sample_ind"].astype(np.int64),
+        cddf_inputs=cddf_out,
     )

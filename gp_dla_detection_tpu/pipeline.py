@@ -71,11 +71,26 @@ class PipelineConfig:
     # pre-r4 default runs must pin base_replicates=1 (R is part of
     # the checkpoint numerics fingerprint).
     base_replicates: int | None = None
+    # lean multi-DLA runs only: device-reduce the CDDF/dN_dX/Omega_DLA
+    # inputs so the L7 statistics (analysis/cddf.py via
+    # LeanDLACatalogue) run WITHOUT the (N, S) matrices — the complete
+    # science deliverable from the lean production driver (see
+    # cddf_inputs.py for the reduction and its quantization contract)
+    cddf_inputs: bool = False
 
     def __post_init__(self):
         # fail at config time, not hours into the run
         if self.backend not in ("xla", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.cddf_inputs and (
+            self.store_sample_likelihoods or not self.multi_dla
+        ):
+            raise ValueError(
+                "cddf_inputs=True requires the lean fused two-stage "
+                "driver: set store_sample_likelihoods=False and "
+                "multi_dla=True (classic full-matrix runs already carry "
+                "what the CDDF statistics marginalize)"
+            )
         if self.backend != "xla" and np.dtype(self.dtype) != np.float32:
             raise ValueError(
                 "backend='pallas' is float32-only; use dtype='float32' "
@@ -394,6 +409,7 @@ class Pipeline:
                     self.config.store_sample_likelihoods
                 ),
                 base_replicates=self.config.base_replicates,
+                store_cddf_inputs=self.config.cddf_inputs,
             ),
             # lean mode runs the FUSED two-stage driver, which
             # recomputes the single stage on device per batch (the base
@@ -529,6 +545,12 @@ def main() -> None:
         "resume pre-r4 checkpoints)",
     )
     p.add_argument(
+        "--cddf-inputs", action="store_true",
+        help="--lean --multi-dla only: device-reduce the CDDF/dN_dX/"
+        "Omega_DLA inputs so the science statistics run from the lean "
+        "result (analysis layer auto-detects them)",
+    )
+    p.add_argument(
         "--export-matlab", action="store_true",
         help="also write .mat v7.3 stage artifacts for the reference's "
         "CDDF_analysis code",
@@ -545,6 +567,7 @@ def main() -> None:
             dtype=args.dtype,
             store_sample_likelihoods=not args.lean,
             base_replicates=args.base_replicates,
+            cddf_inputs=args.cddf_inputs,
             export_matlab=args.export_matlab,
         ),
     )
