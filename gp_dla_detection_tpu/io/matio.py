@@ -139,11 +139,18 @@ def write_processed_mat(results, test_ind, path: str | Path) -> None:
     )
 
 
-def write_multi_processed_mat(results, test_ind, path: str | Path) -> None:
+def write_multi_processed_mat(
+    results, test_ind, path: str | Path, samples=None
+) -> None:
     """Export MultiDLAResults in the later-pipeline multi-DLA .mat
     format the reference's analysis reads (calc_cddf.py:85-116):
     sample_log_likelihoods_dla as (num_models, S, N) in the h5py view,
-    1-based base_sample_inds, 3-row model_posteriors."""
+    1-based base_sample_inds, 3-row model_posteriors.
+
+    ``samples`` (DLASamples, optional): when given, the export also
+    carries ``lyb_alias_suspect`` — the Lyβ/Lyγ re-fit signature flag
+    (alias_flag.py), a contract EXTENSION the reference's reader
+    ignores (h5py access is by name)."""
     single = results.single
     if (
         single.sample_log_likelihoods_dla is None
@@ -164,9 +171,19 @@ def write_multi_processed_mat(results, test_ind, path: str | Path) -> None:
         [single.sample_log_likelihoods_dla, results.sample_log_likelihoods_dla2],
         axis=-1,
     )
+    extra = {}
+    if samples is not None:
+        from ..alias_flag import lyb_alias_suspect
+
+        extra["lyb_alias_suspect"] = col(
+            lyb_alias_suspect(
+                results, samples.offset_samples, samples.log_nhi_samples
+            ).astype(np.float64)
+        )
     write_mat(
         path,
         {
+            **extra,
             "min_z_dlas": col(single.min_z_dlas),
             "max_z_dlas": col(single.max_z_dlas),
             "log_likelihoods_dla": col(single.log_likelihoods_dla),

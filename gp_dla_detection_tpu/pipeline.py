@@ -428,6 +428,7 @@ class Pipeline:
                 test_mask,
                 self.workdir
                 / f"processed_qsos_multi_{self.config.test_set_name}.mat",
+                samples=samples,
             )
         return multi
 
@@ -464,8 +465,8 @@ class Pipeline:
             write_snrs_mat(snrs, self.workdir / "snrs.mat")
         return snrs
 
-    def run_ascii(self, catalog, samples, results, test_mask) -> dict:
-        return write_ascii_catalog(
+    def run_ascii(self, catalog, samples, results, test_mask, multi=None) -> dict:
+        paths = write_ascii_catalog(
             self.workdir,
             self.config.test_set_name,
             catalog,
@@ -473,6 +474,14 @@ class Pipeline:
             results,
             test_mask,
         )
+        if multi is not None:
+            from .ascii_catalog import write_ascii_multi_results
+
+            paths["multi_results"] = write_ascii_multi_results(
+                self.workdir, self.config.test_set_name, catalog,
+                samples, multi, test_mask,
+            )
+        return paths
 
     def run_all(self) -> dict:
         catalog = self.run_catalog()
@@ -482,19 +491,32 @@ class Pipeline:
         test_mask = self.default_test_mask(catalog, spectra)
         results = self.run_inference(catalog, spectra, model, samples, test_mask)
         self.run_snrs(spectra, results, test_mask)
-        paths = self.run_ascii(catalog, samples, results, test_mask)
+        multi = None
+        if self.config.multi_dla:
+            multi = self.run_multi(
+                catalog, spectra, model, samples, results, test_mask
+            )
+        paths = self.run_ascii(catalog, samples, results, test_mask, multi)
         summary = {
             "num_quasars": int(len(catalog)),
             "num_processed": int(test_mask.sum()),
             "num_p_dla_gt_0.9": int((results.p_dlas > 0.9).sum()),
             "artifacts": {k: str(v) for k, v in paths.items()},
         }
-        if self.config.multi_dla:
-            multi = self.run_multi(
-                catalog, spectra, model, samples, results, test_mask
-            )
+        if multi is not None:
+            from .alias_flag import lyb_alias_suspect
+
             summary["num_p_2dla_gt_0.9"] = int(
                 (multi.model_posteriors[:, 2] > 0.9).sum()
+            )
+            summary["num_lyb_alias_suspect"] = int(
+                (
+                    (np.argmax(multi.model_posteriors, axis=1) == 2)
+                    & lyb_alias_suspect(
+                        multi, samples.offset_samples,
+                        samples.log_nhi_samples,
+                    )
+                ).sum()
             )
             summary["artifacts"]["multi"] = str(self.multi_results_path)
         (self.workdir / "summary.json").write_text(json.dumps(summary, indent=2))
