@@ -354,3 +354,93 @@ def test_base_replicates_auto_default(problem, prior_num):
         auto_x.log_likelihoods_dla2, r1.log_likelihoods_dla2
     )
     np.testing.assert_array_equal(auto_x.model_posteriors, r1.model_posteriors)
+
+
+def test_auto_r_mid_run_degradation_contract(problem, prior_num, tmp_path,
+                                             monkeypatch):
+    """Auto-R x ladder degradation (VERDICT r4 #6): R resolves ONCE,
+    from the configuration's original first rung, and the R-coarse draw
+    PATTERN is fixed for the whole run — a rung degradation after batch
+    k only drops the pair kernel's replicated-lane shortcut
+    (base_replicates=1 per degraded rung), never the draw-to-pair
+    binding, because the fused driver always feeds the pair stage the
+    z-sorted axis regardless of rung.  So a run whose later batches ran
+    on a degraded rung must reproduce the healthy run's catalog
+    decisions, with evidences at kernel-noise tolerance, under the SAME
+    checkpoint fingerprint.
+
+    Degradation is emulated exactly as it manifests across a process
+    restart: complete a healthy run, surgically remove the LAST batches
+    from its checkpoint manifest, and resume with the pair ladder's top
+    rungs removed (monkeypatched ladder_configs) — the resumed batches
+    then compute on the degraded rung while the early ones load from
+    rung-0 checkpoints, i.e. a mixed-rung catalog under one
+    fingerprint.  (A process RESTART under auto on a machine where the
+    fast path can no longer engage instead re-resolves R=1, which
+    changes the fingerprint and loudly invalidates the checkpoints —
+    also the intended contract; pinning base_replicates=4 here mirrors
+    the in-process mid-run case, where R never re-resolves.)
+    """
+    import json
+
+    import gp_dla_detection_tpu.inference as inf
+
+    kw = dict(dtype="float32", backend="pallas_interpret", n_samples=600)
+    ck = tmp_path / "mix"
+    healthy = _run_lean(
+        problem, prior_num, tmp=ck, base_replicates=4, **kw
+    )
+
+    # remove the last ~half of the completed batches
+    man_path = ck / "fused" / "manifest.json"
+    man = json.loads(man_path.read_text())
+    done = sorted(man["completed_batches"])
+    keep = done[: len(done) // 2]
+    assert keep and len(keep) < len(done)
+    for bi in done[len(done) // 2:]:
+        (ck / "fused" / f"batch_{bi:06d}.npz").unlink()
+    man["completed_batches"] = keep
+    man_path.write_text(json.dumps(man))
+
+    # degrade the PAIR ladder only: drop its top two rungs, so the
+    # resumed first rung is (interpret, tile=128) — pattern_ok False,
+    # kernel shortcut off, draw pattern unchanged
+    orig = inf.ladder_configs
+
+    def degraded(backend, npx, dtype, tile=None, two_dla=False,
+                 windowed=True):
+        cfg = orig(backend, npx, dtype, tile=tile, two_dla=two_dla,
+                   windowed=windowed)
+        return cfg[2:] if two_dla and len(cfg) > 2 else cfg
+
+    monkeypatch.setattr(inf, "ladder_configs", degraded)
+    # the degraded configuration SAYS it cannot engage the fast path
+    with pytest.warns(UserWarning, match="fast path"):
+        mixed = _run_lean(
+            problem, prior_num, tmp=ck, base_replicates=4, **kw
+        )
+
+    # same fingerprint: the early batches were REUSED, not recomputed
+    man2 = json.loads(man_path.read_text())
+    assert man2["fingerprint"] == man["fingerprint"]
+
+    # catalog decisions identical; evidences at kernel-noise tolerance
+    # (the degraded rung windows a different tile size)
+    np.testing.assert_array_equal(
+        np.argmax(mixed.model_posteriors, axis=1),
+        np.argmax(healthy.model_posteriors, axis=1),
+    )
+    np.testing.assert_array_equal(
+        mixed.map_base_sample_inds >= 0,
+        healthy.map_base_sample_inds >= 0,
+    )
+    both = np.isfinite(healthy.log_likelihoods_dla2)
+    np.testing.assert_allclose(
+        mixed.log_likelihoods_dla2[both],
+        healthy.log_likelihoods_dla2[both],
+        rtol=2e-4, atol=2e-3,
+    )
+    # stage 1 (undegraded ladder) is bit-identical
+    np.testing.assert_array_equal(
+        mixed.single.log_likelihoods_dla, healthy.single.log_likelihoods_dla
+    )
