@@ -41,6 +41,15 @@ sim 60 ms/put + 540 ms/fetch): serial 35.3/35.1 s vs threaded
 (2 reps per arm).  The win exceeds the 1.30x I/O-ratio ideal because
 the serial arm also serializes uploads against the device's compute
 drain at the pipeline boundary.
+
+MEASURED, chain mode (r5, `--chain`: the PRODUCTION fused lean
+two-stage driver under 2 controllers, its own upload-dominated wire
+profile — 5 puts + ONE stacked small fetch per batch): sim 60 ms/put:
+serial 48.1/45.1 s vs threaded 44.4/36.8 s = 1.147x; sim 150 ms/put
+(tunnel-slow-epoch profile): serial 128.9/102.1 s vs threaded
+73.2/80.2 s = 1.506x.  bit_identical=true in both (all catalog
+outputs — pair evidences, 3-model posteriors, MAP base indices —
+equal across arms, reps, and controllers), no deadlock across 8 runs.
 """
 
 from __future__ import annotations
@@ -61,7 +70,7 @@ SIM_MS_DEFAULT = 60   # per device_put; 5 puts/batch = 0.3 s/batch
 
 
 def worker(pid: int, nproc: int, addr: str, out_dir: Path,
-           threaded: bool, sim_ms: float) -> None:
+           threaded: bool, sim_ms: float, mode: str = "single") -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -102,17 +111,23 @@ def worker(pid: int, nproc: int, addr: str, out_dir: Path,
         # ratio: every device_put of host data blocks the calling
         # thread for sim_ms (the real tunnel: ~60 ms per ~3.4 MB array
         # x 5 puts/batch = 0.32 s), and every fetch_global of a device
-        # array blocks for 9*sim_ms (2 fetches/batch = 1.08 s at the
-        # default — the wire matrix + the stacked smalls).  Attribute
-        # patches: the drivers resolve jax.device_put at call time and
-        # sharded_inference binds fetch_global at import, so patch the
-        # module binding the driver actually calls through.
+        # array blocks for 9*sim_ms in "single" mode (2 fetches/batch
+        # = 1.08 s — the wire matrix + the stacked smalls) or 1*sim_ms
+        # in "chain" mode (the fused lean driver fetches ONE stacked
+        # small-vector array/batch, ~34 ms real: its wire profile is
+        # UPLOAD-dominated).  Attribute patches: the drivers resolve
+        # jax.device_put at call time and bind fetch_global at import,
+        # so patch the module binding the driver actually calls through.
         from gp_dla_detection_tpu.parallel import (
             sharded_inference as _si,
+        )
+        from gp_dla_detection_tpu.parallel import (
+            sharded_multi as _sm,
         )
 
         real_put = jax.device_put
         real_fetch = _si.fetch_global
+        fetch_factor = 9 if mode == "single" else 1
 
         def slow_put(x, *a, **k):
             if isinstance(x, np.ndarray):  # host->device only
@@ -121,11 +136,53 @@ def worker(pid: int, nproc: int, addr: str, out_dir: Path,
 
         def slow_fetch(x):
             if not isinstance(x, np.ndarray):  # device->host only
-                time.sleep(9 * sim_ms / 1e3)
+                time.sleep(fetch_factor * sim_ms / 1e3)
             return real_fetch(x)
 
         jax.device_put = slow_put
         _si.fetch_global = slow_fetch
+        _sm.fetch_global = slow_fetch
+
+    if mode == "chain":
+        # the PRODUCTION fused lean two-stage driver (VERDICT r4 #5):
+        # both kernels + device base resample per batch, one stacked
+        # fetch; upload overlap is exactly where its wire profile wins
+        from gp_dla_detection_tpu.parallel.sharded_multi import (
+            process_spectra_multi_sharded,
+        )
+
+        prior_num = np.random.default_rng(7).choice(
+            [0, 0, 0, 0, 0, 0, 1, 1, 2], 200
+        )
+
+        def run():
+            return process_spectra_multi_sharded(
+                model, offsets, nhis, spectra, prior_z, prior_num,
+                params=params, mesh=mesh,
+                config=ShardedRunConfig(
+                    per_device_batch=1, sample_chunk=32, dtype="float64",
+                    store_sample_likelihoods=False,
+                    dispatch_thread=threaded, pipeline_depth=3,
+                ),
+            )
+
+        run()
+        t0 = time.perf_counter()
+        multi = run()
+        wall = time.perf_counter() - t0
+        np.savez(
+            out_dir / f"result_p{pid}.npz",
+            log_likelihoods_dla2=multi.log_likelihoods_dla2,
+            multi_model_posteriors=multi.model_posteriors,
+            map_base_sample_inds=multi.map_base_sample_inds,
+            p_dlas=multi.single.p_dlas,
+        )
+        print(
+            f"WORKER {json.dumps({'pid': pid, 'wall_s': round(wall, 2)})}",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
 
     def run():
         return process_spectra_sharded(
@@ -153,7 +210,8 @@ def worker(pid: int, nproc: int, addr: str, out_dir: Path,
     jax.distributed.shutdown()
 
 
-def launch_pair(out_dir: Path, threaded: bool, sim_ms: float) -> float:
+def launch_pair(out_dir: Path, threaded: bool, sim_ms: float,
+                mode: str = "single") -> float:
     out_dir.mkdir(parents=True, exist_ok=True)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -168,7 +226,7 @@ def launch_pair(out_dir: Path, threaded: bool, sim_ms: float) -> float:
             procs.append(subprocess.Popen(
                 [sys.executable, str(HERE / "multiproc_overlap_ab.py"),
                  "--worker", str(pid), addr, str(out_dir),
-                 "1" if threaded else "0", str(sim_ms)],
+                 "1" if threaded else "0", str(sim_ms), mode],
                 env=env, stdout=fh, stderr=subprocess.STDOUT, text=True,
             ))
     deadline = time.monotonic() + 600
@@ -191,10 +249,11 @@ def launch_pair(out_dir: Path, threaded: bool, sim_ms: float) -> float:
     return max(walls)
 
 
-def main(sim_ms: float = SIM_MS_DEFAULT) -> None:
+def main(sim_ms: float = SIM_MS_DEFAULT, mode: str = "single") -> None:
     import tempfile
 
-    out = {"sim_upload_ms_per_put": sim_ms, "n_spectra": SPECTRA}
+    out = {"sim_upload_ms_per_put": sim_ms, "n_spectra": SPECTRA,
+           "mode": mode}
     ref = {}
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
@@ -202,14 +261,12 @@ def main(sim_ms: float = SIM_MS_DEFAULT) -> None:
             walls = []
             for rep in range(2):
                 d = tmp / f"{'thr' if threaded else 'ser'}_{rep}"
-                walls.append(launch_pair(d, threaded, sim_ms))
+                walls.append(launch_pair(d, threaded, sim_ms, mode))
                 with np.load(d / "result_p0.npz") as f0, \
                         np.load(d / "result_p1.npz") as f1:
                     # both processes hold the identical gathered result
-                    np.testing.assert_array_equal(
-                        f0["sample_log_likelihoods_dla"],
-                        f1["sample_log_likelihoods_dla"],
-                    )
+                    for k in f0.files:
+                        np.testing.assert_array_equal(f0[k], f1[k])
                     key = (threaded, rep)
                     ref[key] = {
                         k: np.asarray(f0[k]) for k in f0.files
@@ -232,6 +289,9 @@ def main(sim_ms: float = SIM_MS_DEFAULT) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), 2, sys.argv[3], Path(sys.argv[4]),
-               sys.argv[5] == "1", float(sys.argv[6]))
+               sys.argv[5] == "1", float(sys.argv[6]),
+               sys.argv[7] if len(sys.argv) > 7 else "single")
+    elif len(sys.argv) > 1 and sys.argv[1] == "--chain":
+        main(*(float(a) for a in sys.argv[2:3]), mode="chain")
     else:
         main(*(float(a) for a in sys.argv[1:2]))
