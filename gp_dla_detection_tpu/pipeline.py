@@ -483,6 +483,53 @@ class Pipeline:
             )
         return paths
 
+    def run_analysis(self, force: bool = False, plots: bool = True) -> dict:
+        """L7 science statistics stage (calc_cddf.py's deliverable):
+        build the catalogue from the stage artifacts — auto-detecting
+        lean device-reduced CDDF inputs (store_cddf_inputs=True) — and
+        emit CDDF / dN_dX / Omega_DLA (both estimators) with their
+        confidence intervals as ``analysis/statistics.json`` plus the
+        reference figure/table set (analysis/plots.do_data_plots) under
+        ``workdir/analysis/``."""
+        from .analysis.cddf import DLACatalogue
+
+        out_dir = self.workdir / "analysis"
+        stats_path = out_dir / "statistics.json"
+        if stats_path.exists() and not force:
+            return json.loads(stats_path.read_text())
+        out_dir.mkdir(parents=True, exist_ok=True)
+        cat = DLACatalogue.from_run(
+            self.workdir, self.config.test_set_name,
+            multi=self.config.multi_dla,
+        )
+        z_lo, z_hi = 2.0, 5.0
+        l_cent, cddf, c68, c95, _ = cat.column_density_function(
+            z_min=1.0, z_max=6.0
+        )
+        zc_d, dndx, d68, d95, _ = cat.line_density(z_min=z_lo, z_max=z_hi)
+        zc_o, om, om_err, _ = cat.omega_dla(z_min=z_lo, z_max=z_hi)
+        zc_c, omc, o68, o95, _ = cat.omega_dla_cddf(z_min=z_lo, z_max=z_hi)
+        tol = lambda a: np.asarray(a, np.float64).tolist()
+        stats = {
+            "lean_inputs": cat.__class__.__name__ != "DLACatalogue",
+            "cddf": {"log_nhi": tol(l_cent), "f_N": tol(cddf),
+                     "ci68": tol(c68), "ci95": tol(c95)},
+            "line_density": {"z": tol(zc_d), "dN_dX": tol(dndx),
+                             "ci68": tol(d68), "ci95": tol(d95)},
+            "omega_dla_direct": {"z": tol(zc_o), "omega": tol(om),
+                                 "err": tol(om_err)},
+            "omega_dla_cddf": {"z": tol(zc_c), "omega": tol(omc),
+                               "ci68": tol(o68), "ci95": tol(o95)},
+        }
+        stats_path.write_text(json.dumps(stats, indent=1))
+        if plots:
+            from .analysis.plots import do_2dla_plots, do_data_plots
+
+            do_data_plots(cat, out_dir)
+            if getattr(cat, "second_dla", False):
+                do_2dla_plots(cat, out_dir)
+        return stats
+
     def run_all(self) -> dict:
         catalog = self.run_catalog()
         spectra = self.run_preload(catalog)
@@ -519,6 +566,16 @@ class Pipeline:
                 ).sum()
             )
             summary["artifacts"]["multi"] = str(self.multi_results_path)
+        # the L7 statistics run whenever their inputs exist: classic
+        # full-matrix runs always; lean runs with device-reduced CDDF
+        # inputs (the one-command release path)
+        if self.config.multi_dla and (
+            self.config.store_sample_likelihoods or self.config.cddf_inputs
+        ):
+            self.run_analysis()
+            summary["artifacts"]["analysis"] = str(
+                self.workdir / "analysis" / "statistics.json"
+            )
         (self.workdir / "summary.json").write_text(json.dumps(summary, indent=2))
         return summary
 
@@ -534,7 +591,7 @@ def main() -> None:
         default="all",
         choices=[
             "all", "catalog", "preload", "learn", "samples", "process",
-            "multi", "ascii",
+            "multi", "ascii", "analysis",
         ],
     )
     p.add_argument(
@@ -616,6 +673,8 @@ def main() -> None:
         pipe.run_multi(catalog, spectra, model, samples, results, test_mask)
     if args.stage == "ascii":
         pipe.run_ascii(catalog, samples, results, test_mask)
+    if args.stage == "analysis":
+        print(json.dumps(pipe.run_analysis(), indent=1)[:2000])
 
 
 if __name__ == "__main__":

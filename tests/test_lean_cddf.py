@@ -268,3 +268,28 @@ def test_mass_accounting(lean, classic):
     keep = p_dla > 0.05
     assert keep.any()
     np.testing.assert_allclose(mass[keep], p_dla[keep], rtol=1e-6)
+
+
+def test_pipeline_run_analysis_from_lean(problem, prior_num, lean, tmp_path):
+    """One-command release path: the analysis stage computes the full
+    L7 statistic set directly from a lean artifact with device-reduced
+    CDDF inputs (auto-detected by DLACatalogue.from_run)."""
+    from gp_dla_detection_tpu.pipeline import Pipeline, PipelineConfig
+
+    _, _, _, offsets, nhis, _, _ = problem
+    lean.save(tmp_path / "processed_qsos_multi_dr12q.npz")
+    np.savez(
+        tmp_path / "dla_samples.npz",
+        offset_samples=offsets,
+        log_nhi_samples=np.log10(nhis),
+    )
+    pipe = Pipeline(config=PipelineConfig(
+        workdir=str(tmp_path), multi_dla=True,
+        store_sample_likelihoods=False, cddf_inputs=True,
+    ))
+    stats = pipe.run_analysis(plots=False)
+    assert stats["lean_inputs"] is True
+    assert len(stats["cddf"]["f_N"]) == 30
+    assert np.all(np.isfinite(stats["omega_dla_direct"]["omega"]))
+    assert (tmp_path / "analysis" / "statistics.json").exists()
+    assert pipe.run_analysis() == stats  # cached
