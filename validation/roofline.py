@@ -117,55 +117,91 @@ def op_model(S: int = 10000, P: int = 1274, k: int = 20,
 # ---------------------------------------------------------------------------
 
 def measure_ceilings() -> dict:
+    """Microbenchmark the three op-class ceilings on the real chip.
+
+    Tunnel discipline: each fetch through the axon tunnel costs ~34 ms
+    round trip, so every timed segment must carry SECONDS of device
+    work behind ONE final scalar fetch (the first cut of this harness
+    timed ~35 ms of work per fetch and "measured" the round trip:
+    0.121 "TFLOP/s").  lax.fori_loop keeps the whole chain in one
+    dispatch; runtime vector coefficients keep XLA's algebraic
+    simplifier from collapsing the affine FMA chain to a closed form.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     n = 1 << 23
-    x = jax.device_put(np.random.default_rng(0).uniform(
-        0.5, 1.0, n).astype(np.float32))
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    u = jax.device_put(rng.uniform(0.999999, 1.000001, n).astype(np.float32))
+    v = jax.device_put(rng.uniform(0.0, 1e-7, n).astype(np.float32))
 
-    reps = 256
+    # 4 independent accumulators (ILP so the FMA latency chain doesn't
+    # serialize the VPU) x 32 unrolled FMAs per fori step (so each HBM
+    # round trip of the carries amortizes over 256 flops/element —
+    # compute-bound at any plausible HBM rate).
+    fma_outer, fma_inner, fma_acc = 256, 32, 4
 
     @jax.jit
-    def fma_chain(a):
-        acc = a
-        for _ in range(reps):
-            acc = acc * 1.000001 + 1e-7  # 2 flops/el/step, no fold
-        return jnp.sum(acc)
+    def fma_chain(a, u, v):
+        def body(_, accs):
+            a1, a2, a3, a4 = accs
+            for _ in range(fma_inner):
+                a1 = a1 * u + v
+                a2 = a2 * u + v
+                a3 = a3 * u + v
+                a4 = a4 * u + v
+            return (a1, a2, a3, a4)
+        accs = lax.fori_loop(
+            0, fma_outer, body, (a, a * 1.1, a * 0.9, a * 1.05)
+        )
+        return jnp.sum(accs[0] + accs[1] + accs[2] + accs[3])
+
+    exp_outer, exp_inner, exp_acc = 128, 8, 2
 
     @jax.jit
     def exp_chain(a):
-        acc = a
-        for _ in range(32):
-            acc = jnp.exp(-acc) + 1e-3
-        return jnp.sum(acc)
+        def body(_, accs):
+            a1, a2 = accs
+            for _ in range(exp_inner):
+                a1 = jnp.exp(-a1) + 1e-3
+                a2 = jnp.exp(-a2) + 2e-3
+            return (a1, a2)
+        accs = lax.fori_loop(0, exp_outer, body, (a, a * 0.7))
+        return jnp.sum(accs[0] + accs[1])
 
     m = 4096
+    mm_steps = 64
 
     @jax.jit
     def mm_chain(a):
-        acc = a
-        for _ in range(16):
-            acc = jnp.dot(
+        def body(_, acc):
+            return jnp.dot(
                 acc, a, precision=jax.lax.Precision.HIGHEST
-            ) * 1e-4
-        return jnp.sum(acc)
+            ) * 1e-4 + a * 1e-6
+        return jnp.sum(lax.fori_loop(0, mm_steps, body, a))
 
     a_mm = jax.device_put(np.random.default_rng(1).uniform(
         0.9, 1.1, (m, m)).astype(np.float32))
 
-    def timed(fn, arg, work):
-        np.asarray(fn(arg))  # compile + warm
+    def timed(fn, args, work):
+        np.asarray(fn(*args))  # compile + warm
         t0 = time.perf_counter()
-        np.asarray(fn(arg))
-        np.asarray(fn(arg))
+        np.asarray(fn(*args))
+        np.asarray(fn(*args))
         dt = (time.perf_counter() - t0) / 2
         return work / dt
 
     return {
-        "vpu_f32_flops": timed(fma_chain, x, 2.0 * reps * n),
-        "transc_per_s": timed(exp_chain, x, 32.0 * n),
-        "mxu_f32_flops": timed(mm_chain, a_mm, 16.0 * 2 * m**3),
+        "vpu_f32_flops": timed(
+            fma_chain, (x, u, v),
+            2.0 * fma_outer * fma_inner * fma_acc * n,
+        ),
+        "transc_per_s": timed(
+            exp_chain, (x,), float(exp_outer * exp_inner * exp_acc) * n
+        ),
+        "mxu_f32_flops": timed(mm_chain, (a_mm,), mm_steps * 2.0 * m**3),
     }
 
 
@@ -275,9 +311,12 @@ def measure_kernels(B: int = 1024, S: int = 10000, iters: int = 5) -> dict:
 def main() -> None:
     from gp_dla_detection_tpu.utils import enable_compilation_cache
 
+    from epoch_probe import run_epoch_probe
+
     enable_compilation_cache()
     ceil = measure_ceilings()
     rates = measure_kernels()
+    probe = run_epoch_probe()
     m1 = op_model(two_dla=False)
     m2r1 = op_model(two_dla=True, R=1)
     m2r4 = op_model(two_dla=True, R=4)
@@ -322,6 +361,7 @@ def main() -> None:
             "g_flops_per_el": m1["g_flops_per_el"],
             "wing_flops_per_el_line": m1["wing_flops_per_el_line"],
         },
+        "epoch_probe": probe,
     }
     (HERE / "roofline.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
