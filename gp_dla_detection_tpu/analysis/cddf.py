@@ -93,14 +93,25 @@ class DLACatalogue:
         self.tophat_prior = False
 
         # normalized per-sample probabilities: sum_s exp(lnl) == 1
-        # (calc_cddf.py:87-99)
-        sll = np.asarray(sample_log_likelihoods, np.float64)
-        self.log_norm_like = (
-            sll - np.asarray(log_likelihoods_dla)[:, None] - np.log(s)
-        )
+        # (calc_cddf.py:87-99).  Memory discipline: at full DR12Q scale
+        # one (N, S) float64 matrix is 13 GB, so the normalization runs
+        # IN PLACE on an owned copy and the verification is blockwise —
+        # the naive expression peaks at 2-3 extra matrices and OOM'd a
+        # 125 GB host on the 162k two-stage catalogue.
+        sll = np.asarray(sample_log_likelihoods)
+        sll = sll.copy() if sll.dtype == np.float64 else sll.astype(np.float64)
+        sll -= np.asarray(log_likelihoods_dla, np.float64)[:, None]
+        sll -= np.log(s)
+        self.log_norm_like = sll
         keep = self.p_dla > self.p_thresh_spec
-        check = np.exp(self.log_norm_like[keep]).sum(axis=1)
-        assert np.all((check > 0.95) & (check < 1.05)), "sample probs unnormalized"
+        for lo in range(0, n, 16384):
+            rows = self.log_norm_like[lo:lo + 16384][keep[lo:lo + 16384]]
+            if rows.size == 0:
+                continue
+            check = np.exp(rows).sum(axis=1)
+            assert np.all(
+                (check > 0.95) & (check < 1.05)
+            ), "sample probs unnormalized"
 
         self.z_offsets = np.asarray(offset_samples, np.float64)
         self.lnhi_vals = np.asarray(log_nhi_samples, np.float64)
@@ -115,14 +126,29 @@ class DLACatalogue:
         # pairs that were too close to evaluate)
         self.second_dla = sample_log_likelihoods_2 is not None
         if self.second_dla:
-            from scipy.special import logsumexp as _lse
-
-            ll2 = np.array(sample_log_likelihoods_2, np.float64)
-            ll2[~np.isfinite(ll2)] = -1e30
-            combined = ll2 + self.log_norm_like
-            combined -= _lse(combined, axis=1, keepdims=True)
-            self.log_norm_like_2 = combined
-            self.base_sample_inds = np.asarray(base_sample_inds, np.int64)
+            ll2 = np.asarray(sample_log_likelihoods_2)
+            ll2 = (
+                ll2.copy() if ll2.dtype == np.float64
+                else ll2.astype(np.float64)
+            )
+            np.copyto(ll2, -1e30, where=~np.isfinite(ll2))
+            ll2 += self.log_norm_like
+            # blockwise in-place logsumexp normalization (the scipy
+            # call allocates a full (N, S) exp temporary)
+            for lo in range(0, n, 4096):
+                blk = ll2[lo:lo + 4096]
+                m = blk.max(axis=1, keepdims=True)
+                lse = m + np.log(
+                    np.exp(blk - m).sum(axis=1, keepdims=True)
+                )
+                blk -= lse
+            self.log_norm_like_2 = ll2
+            # fancy indexing accepts any integer dtype — keep the wire
+            # format's (int32/uint16) instead of widening to 13 GB int64
+            bsi = np.asarray(base_sample_inds)
+            if not np.issubdtype(bsi.dtype, np.integer):
+                bsi = bsi.astype(np.int64)
+            self.base_sample_inds = bsi
             self.p_dla_2 = np.asarray(p_dla_2, np.float64)
 
         self._path = AbsorptionPath(omega_m)
